@@ -1,0 +1,89 @@
+"""Local DuckDB-oracle comparison harness.
+
+Mirrors the driver's correctness gate: for each QuerySpec run the
+Spark plan and the DuckDB SQL over the same parquet files, then compare
+row count, column set, and order-insensitive values (columns sorted by
+name, rows sorted by all columns).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from gmall_realtime_flink_spark.catalog import TABLES, table_path
+from gmall_realtime_flink_spark.plans.registry import QuerySpec
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame, float_decimals: int = 6) -> pd.DataFrame:
+    """Sort columns by name, normalize cell values, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(float_decimals)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: round(v, float_decimals)
+                if isinstance(v, float) and not math.isnan(v)
+                else v
+            )
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_query(
+    spark: SparkSession, spec: QuerySpec, sf_dir: str
+) -> CompareResult:
+    got = spec.builder(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        ok = len(got) >= 0
+        return CompareResult(spec.name, ok, f"rows-only check: {len(got)} rows")
+    with duckdb_connect(sf_dir) as con:
+        want = con.execute(spec.oracle).fetchdf()
+    if len(got) != len(want):
+        return CompareResult(
+            spec.name, False, f"row count: spark={len(got)} oracle={len(want)}"
+        )
+    if sorted(got.columns) != sorted(want.columns):
+        return CompareResult(
+            spec.name,
+            False,
+            f"columns: spark={sorted(got.columns)} oracle={sorted(want.columns)}",
+        )
+    g, w = canonicalize(got), canonicalize(want)
+    try:
+        pd.testing.assert_frame_equal(
+            g, w, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+        )
+    except AssertionError as e:
+        mism = (g.astype(str) != w.astype(str)).any(axis=1)
+        sample = ""
+        if mism.any():
+            i = mism.idxmax()
+            sample = f"; first mismatch row {i}: spark={g.loc[i].to_dict()} oracle={w.loc[i].to_dict()}"
+        return CompareResult(spec.name, False, str(e).splitlines()[0] + sample)
+    return CompareResult(spec.name, True, f"{len(got)} rows match")

@@ -1,0 +1,580 @@
+"""Gmall-parity queries: every SURVEY §2 operator family instantiated
+on the driver testdata (FIXTURES.md §7 mapping: events→page_log,
+orders→order_info, lineitem→order_detail, customer/nation/region/part/
+supplier→dim tables, documents→search keywords).
+
+Each query = a Spark DataFrame plan + an equivalent DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_realtime_flink_spark.catalog import load
+from gmall_realtime_flink_spark.functions.compat import (
+    dec_round,
+    dec_sum,
+    det_round,
+    sql_dec_round,
+    sql_dec_sum,
+    sql_det_round,
+)
+from gmall_realtime_flink_spark.operators.joins import dim_enrich, interval_join
+from gmall_realtime_flink_spark.operators.routing import etl_filter, route
+from gmall_realtime_flink_spark.operators.stateful import (
+    jump_detect,
+    repair_is_new,
+    uv_dedup,
+)
+from gmall_realtime_flink_spark.operators.windows import tumble_agg
+from gmall_realtime_flink_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# DWS: windowed stats (A1/A2/W3 — VisitorStatsApp)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "visitor_stats",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type,
+           count(*) AS pv_ct,
+           count(DISTINCT user_id) AS uv_ct,
+           round(sum(CAST(value AS DECIMAL(28,4))), 2)::DOUBLE AS dur_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="A1/A2: keyed 10 s tumbling window agg with stt/edt stamping "
+    "(RT/app/dws/VisitorStatsApp.java:156-196).",
+    headline=True,
+    tags=("window", "agg"),
+)
+def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    out = tumble_agg(
+        events,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+            dec_sum("value").alias("dur_sum"),
+        ],
+    )
+    return out.select("stt", "edt", "event_type", "pv_ct", "uv_ct", "dur_sum")
+
+
+# ---------------------------------------------------------------------------
+# DWM stateful trio (ST1/ST2/ST3) — batch-exact window-function forms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unique_visit",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d') AS visit_date,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           count(*) AS visit_ct
+    FROM events
+    GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    """,
+    doc="ST2: daily UV dedup — first visit per (user, day), 1-day TTL made "
+    "explicit as day bucketing (RT/app/dwm/UniqueVisitApp.java:66-124).",
+    tags=("stateful", "dedup"),
+)
+def unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uv_dedup(load(spark, sf_dir, "events"), key="user_id", ts_col="ts")
+
+
+@register(
+    "visitor_repair",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d') AS visit_date,
+           CASE WHEN ts::DATE = min(ts::DATE) OVER (PARTITION BY user_id)
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    """,
+    doc="ST1: new/old-visitor flag repair via per-key first-visit date "
+    "(RT/app/dwd/BaseLogAPP.java:74-130).",
+    tags=("stateful",),
+)
+def visitor_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return repair_is_new(events, key="user_id", ts_col="ts").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("visit_date"),
+        "is_new",
+    )
+
+
+@register(
+    "user_jump",
+    oracle="""
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS jump_ts
+    FROM (
+      SELECT event_id, user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    WHERE next_ts IS NULL
+       OR date_diff('millisecond', ts, next_ts) > 600000
+    """,
+    doc="ST3: CEP bounce detection — entry not followed within the window; "
+    "batch-exact lead() form of the timeout side-output "
+    "(RT/app/dwm/UserJumpApp.java:88-158).",
+    tags=("stateful", "cep"),
+)
+def user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    jumps = jump_detect(events, key="user_id", ts_col="ts", gap_ms=600_000)
+    return jumps.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("jump_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DWM wide tables (J1/J2 interval joins, J3 broadcast dim enrichment)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_wide",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+           round(o.o_totalprice, 2) AS total_amount,
+           round(l.l_extendedprice, 2) AS split_amount
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAYS
+    """,
+    doc="J1: event-time interval join, band [t, t+30d] relative to the left "
+    "side, inclusive both ends (RT/app/dwm/OrderWideApp.java:140-152).",
+    headline=True,
+    tags=("join", "interval"),
+)
+def order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    l = load(spark, sf_dir, "lineitem").alias("l")
+    joined = interval_join(
+        o,
+        l,
+        on=F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        left_ts=F.col("o.o_orderdate"),
+        right_ts=F.col("l.l_shipdate"),
+        lower="0 seconds",
+        upper="30 days",
+    )
+    return joined.select(
+        "o.o_orderkey",
+        "l.l_linenumber",
+        "l.l_partkey",
+        F.date_format("o.o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.round("o.o_totalprice", 2).alias("total_amount"),
+        F.round("l.l_extendedprice", 2).alias("split_amount"),
+    )
+
+
+@register(
+    "payment_wide",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           strftime(l.l_shipdate, '%Y-%m-%d') AS callback_date,
+           round(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)), 2)::DOUBLE
+             AS payment_amount
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate - INTERVAL 7 DAYS
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAYS
+    """,
+    doc="J2: interval join with an asymmetric band [-7d, +90d] "
+    "(RT/app/dwm/PaymentWideApp.java:116-131, ±30 min in the reference).",
+    tags=("join", "interval"),
+)
+def payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    l = load(spark, sf_dir, "lineitem").alias("l")
+    joined = interval_join(
+        o,
+        l,
+        on=F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        left_ts=F.col("o.o_orderdate"),
+        right_ts=F.col("l.l_shipdate"),
+        lower="-7 days",
+        upper="90 days",
+    )
+    return joined.select(
+        "o.o_orderkey",
+        "l.l_linenumber",
+        F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("callback_date"),
+        dec_round(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")), 2).alias(
+            "payment_amount"
+        ),
+    )
+
+
+@register(
+    "order_enriched",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+           n.n_name AS nation_name, r.r_name AS region_name,
+           CASE WHEN c.c_acctbal < 0 THEN 'debt'
+                WHEN c.c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS balance_band
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    doc="J3: chained broadcast dim enrichment with a derived attribute, "
+    "replacing the ×6 async Phoenix/Redis lookups "
+    "(RT/app/dwm/OrderWideApp.java:156-281; derived col ≈ age calc X4).",
+    headline=True,
+    tags=("join", "broadcast"),
+)
+def order_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    n = load(spark, sf_dir, "nation").alias("n")
+    r = load(spark, sf_dir, "region").alias("r")
+    enriched = dim_enrich(
+        o,
+        [
+            (c, F.col("o.o_custkey") == F.col("c.c_custkey")),
+            (n, F.col("c.c_nationkey") == F.col("n.n_nationkey")),
+            (r, F.col("n.n_regionkey") == F.col("r.r_regionkey")),
+        ],
+    )
+    return enriched.select(
+        "o.o_orderkey",
+        "o.o_custkey",
+        "c.c_name",
+        "c.c_mktsegment",
+        F.col("n.n_name").alias("nation_name"),
+        F.col("r.r_name").alias("region_name"),
+        F.when(F.col("c.c_acctbal") < 0, "debt")
+        .when(F.col("c.c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DWS: product / province stats (A3/A4/J4/U1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_stats",
+    oracle="""
+    SELECT g.l_partkey AS sku_id, p.p_name AS sku_name, p.p_brand AS tm_name,
+           g.ship_month, g.order_ct, g.quantity, g.revenue
+    FROM (
+      SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+             count(DISTINCT l_orderkey) AS order_ct,
+             round(sum(CAST(l_quantity AS DECIMAL(28,4))), 2)::DOUBLE AS quantity,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)::DOUBLE
+               AS revenue
+      FROM lineitem
+      GROUP BY 1, 2
+    ) g
+    LEFT JOIN part p ON g.l_partkey = p.p_partkey
+    """,
+    doc="A3+J4: per-sku windowed agg with exact distinct order count, dims "
+    "joined AFTER aggregation as in the reference "
+    "(RT/app/dws/ProductStatsApp.java:263-397).",
+    headline=True,
+    tags=("agg", "distinct", "join"),
+)
+def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").alias("p")
+    g = (
+        l.groupBy(
+            "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.countDistinct("l_orderkey").alias("order_ct"),
+            dec_sum("l_quantity").alias("quantity"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .alias("g")
+    )
+    # dims joined after the agg — same ordering as the reference (cheaper:
+    # |groups| rows hit the join, not |lineitem|)
+    out = g.join(F.broadcast(p), F.col("g.l_partkey") == F.col("p.p_partkey"), "left")
+    return out.select(
+        F.col("g.l_partkey").alias("sku_id"),
+        F.col("p.p_name").alias("sku_name"),
+        F.col("p.p_brand").alias("tm_name"),
+        "g.ship_month",
+        "g.order_ct",
+        "g.quantity",
+        "g.revenue",
+    )
+
+
+@register(
+    "province_stats",
+    oracle="""
+    SELECT n.n_name AS province_name, r.r_name AS region_name,
+           count(DISTINCT o.o_orderkey) AS order_count,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE AS order_amount
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="A4: SQL tumble + COUNT(DISTINCT) per province "
+    "(RT/app/dws/ProvinceStatsSqlApp.java:53-61), nation as province.",
+    headline=True,
+    tags=("agg", "distinct", "sql"),
+)
+def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    n = load(spark, sf_dir, "nation").alias("n")
+    r = load(spark, sf_dir, "region").alias("r")
+    joined = (
+        o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+        .join(F.broadcast(r), F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+    )
+    return joined.groupBy(
+        F.col("n.n_name").alias("province_name"),
+        F.col("r.r_name").alias("region_name"),
+    ).agg(
+        F.countDistinct("o.o_orderkey").alias("order_count"),
+        dec_sum("o.o_totalprice").alias("order_amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyword apps (F2/F3/F4, A5/A6) — tokenizer UDTF surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "keyword_stats",
+    oracle="""
+    SELECT keyword, count(*) AS ct, 'SEARCH' AS source
+    FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS keyword
+      FROM documents
+    )
+    WHERE length(keyword) >= 2
+    GROUP BY keyword
+    """,
+    doc="F2+A5: tokenize → explode → keyword frequency, tagged SEARCH "
+    "(RT/app/func/KeywordUDTF.java:16-26, KeywordStatsApp.java:68-88). "
+    "Tokenizer = deterministic regex segmentation (public analogue of IK).",
+    headline=True,
+    tags=("udtf", "explode", "agg"),
+)
+def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("keyword")
+    ).filter(F.length("keyword") >= 2)
+    return tokens.groupBy("keyword").agg(
+        F.count(F.lit(1)).alias("ct"), F.lit("SEARCH").alias("source")
+    )
+
+
+@register(
+    "keyword_product_stats",
+    oracle="""
+    WITH agg AS (
+      SELECT p.p_brand,
+             sum(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END) AS click_ct,
+             sum(CASE WHEN l.l_returnflag = 'A' THEN 1 ELSE 0 END) AS cart_ct,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS order_ct
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand AS keyword, ct, source FROM (
+      SELECT p_brand, click_ct AS ct, 'CLICK' AS source FROM agg
+      UNION ALL
+      SELECT p_brand, cart_ct AS ct, 'CART' AS source FROM agg
+      UNION ALL
+      SELECT p_brand, order_ct AS ct, 'ORDER' AS source FROM agg
+    ) WHERE ct > 0
+    """,
+    doc="F3/F4+A6: unpivot nonzero measures to (ct, source) rows via stack() "
+    "(RT/app/func/KeywordProductUDTF.java:14-38, "
+    "KeywordStats4ProductApp.java:61-66).",
+    tags=("udtf", "unpivot"),
+)
+def keyword_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").alias("l")
+    p = load(spark, sf_dir, "part").alias("p")
+    agg = (
+        l.join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .groupBy("p.p_brand")
+        .agg(
+            F.sum(F.when(F.col("l.l_returnflag") == "N", 1).otherwise(0)).alias(
+                "click_ct"
+            ),
+            F.sum(F.when(F.col("l.l_returnflag") == "A", 1).otherwise(0)).alias(
+                "cart_ct"
+            ),
+            F.sum(F.when(F.col("l.l_returnflag") == "R", 1).otherwise(0)).alias(
+                "order_ct"
+            ),
+        )
+    )
+    return agg.selectExpr(
+        "p_brand as keyword",
+        "stack(3, click_ct, 'CLICK', cart_ct, 'CART', order_ct, 'ORDER') as (ct, source)",
+    ).filter(F.col("ct") > 0)
+
+
+# ---------------------------------------------------------------------------
+# DWD routing (R1/R2, P1/P4/P7) and ADS serving (S12/A7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_route",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           CASE WHEN event_type = 'view' THEN 'dwd_page_log'
+                WHEN event_type = 'click' THEN 'dwd_display_log'
+                WHEN event_type = 'signup' THEN 'dwd_start_log'
+                WHEN event_type = 'purchase' THEN 'dwd_order_info'
+                ELSE 'dwd_other' END AS sink_table
+    FROM events
+    WHERE props IS NOT NULL AND length(props) >= 3
+    """,
+    doc="P1+P4+R2: JSON envelope parse, ETL validity filter, config-driven "
+    "dynamic routing as a CASE column (RT/app/dwd/BaseDBApp.java:63-92, "
+    "RT/app/func/TableProcessFunction.java:181-228).",
+    tags=("routing", "json"),
+)
+def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    filtered = etl_filter(events, required=["props"], min_len_col="props", min_len=3)
+    routed = route(
+        filtered,
+        routing={
+            "view": "dwd_page_log",
+            "click": "dwd_display_log",
+            "signup": "dwd_start_log",
+            "purchase": "dwd_order_info",
+        },
+        key_col="event_type",
+    )
+    return routed.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        "sink_table",
+    )
+
+
+@register(
+    "serving_gmv",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+           round(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE AS order_amount
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="S12/A7: ADS serving query — daily GMV "
+    "(gmall-publisher ProductStatsMapper.java:16: sum(order_amount) by "
+    "toYYYYMMDD(stt)).",
+    tags=("serving", "agg"),
+)
+def serving_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyyMMdd").alias("dt")).agg(
+        dec_sum("o_totalprice").alias("order_amount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference batch OLAP (A8 note: free in Spark) — exercised to prove
+# the engine covers standard warehouse queries on the same tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A8 extension: TPC-H Q1-style pricing summary (multi-agg groupBy; "
+    "absent from the reference, free under Catalyst).",
+    headline=True,
+    tags=("agg", "olap"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "top_products",
+    oracle="""
+    SELECT sku_id, revenue, rk FROM (
+      SELECT l_partkey AS sku_id,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             row_number() OVER (
+               ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                        l_partkey) AS rk
+      FROM lineitem
+      GROUP BY l_partkey
+    ) WHERE rk <= 10
+    """,
+    doc="A8 extension: top-k by revenue with deterministic (measure, key) "
+    "tie-break.",
+    tags=("topk", "window"),
+)
+def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy(F.col("l_partkey").alias("sku_id")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("sku_id"))
+    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)

@@ -1,0 +1,62 @@
+"""SparkSession factory with engine-wide configuration.
+
+Single place where execution knobs are set so tests, bench, and the
+driver contract all run under identical semantics.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast demotion/promotion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is a local-mode default only; at
+  cluster scale AQE's ``advisoryPartitionSizeInBytes`` governs the
+  post-shuffle layout, so the static number matters little.
+- Arrow enabled: every pandas-UDF boundary (dedup sketches, stateful
+  ops, multimodal decode) moves columnar batches, not pickled rows.
+- Session timezone pinned to UTC so event-time windows, date_format
+  and the DuckDB oracle (UTC-naive timestamps) agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "gmall_realtime_flink_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    Mirrors the reference's per-job env setup (e.g. the
+    ``StreamExecutionEnvironment`` + ``setParallelism(4)`` preamble in
+    gmall-realtime BaseLogAPP.java:43-45) as one shared factory.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # streaming state: RocksDB provider keeps large keyed state
+        # (UV dedup at 100 TB scale) off-heap and spillable
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
