@@ -31,15 +31,6 @@ TABLES = (
     "embeddings",
 )
 
-# dims small enough to broadcast at any realistic scale factor
-# (region=5, nation=25 rows fixed; customer/supplier/part grow with SF
-#  but stay << fact tables — still broadcastable at sf<=1, bucketed
-#  co-partitioned join beyond that; see SCALE.md)
-BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
-
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -48,9 +39,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan, schema from footer).
 
     `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects by default; we read it as long (legacy conf, runtime-safe)
-    and truncate ns → µs, matching DuckDB's TIMESTAMP_NS → TIMESTAMP
-    semantics so both engines see identical microsecond values.
+    rejects by default; `get_spark` sets the legacy nanos-as-long conf,
+    so we read it as long here and truncate ns → µs, matching DuckDB's
+    TIMESTAMP_NS → TIMESTAMP semantics so both engines see identical
+    microsecond values.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,10 +51,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
-
-
-def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

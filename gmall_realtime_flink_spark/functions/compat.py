@@ -9,11 +9,6 @@ never float. This is also what makes the DuckDB oracle hash-match:
   the cast is exact and the sum is order-independent), round HALF_UP
   (both engines agree on decimals), cast back to double for output.
   Oracle mirror: ``round(sum(CAST(x AS DECIMAL(28,4))), n)::DOUBLE``.
-- `det_round`: engine `round()` on doubles diverges near ties (Spark
-  rounds the exact binary expansion, DuckDB multiply-shifts). This
-  helper is pure double arithmetic + floor — bit-identical wherever
-  both engines start from bit-identical doubles.
-  Oracle mirror: ``floor(x * 1eN + 0.5) / 1eN``.
 """
 
 from __future__ import annotations
@@ -34,21 +29,3 @@ def dec_round(col: Column | str, scale: int = 2) -> Column:
     """Row-level exact-decimal rounding of a ≤4dp double expression."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c.cast(MONEY), scale).cast("double")
-
-
-def det_round(col: Column, scale: int = 4) -> Column:
-    p = float(10**scale)
-    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
-
-
-def sql_dec_sum(expr: str, scale: int = 2) -> str:
-    return f"round(sum(CAST({expr} AS DECIMAL(28,4))), {scale})::DOUBLE"
-
-
-def sql_dec_round(expr: str, scale: int = 2) -> str:
-    return f"round(CAST({expr} AS DECIMAL(28,4)), {scale})::DOUBLE"
-
-
-def sql_det_round(expr: str, scale: int = 4) -> str:
-    p = float(10**scale)
-    return f"(floor(({expr}) * {p} + 0.5) / {p})"

@@ -60,7 +60,7 @@ def compare_query(
 ) -> CompareResult:
     got = spec.builder(spark, sf_dir).toPandas()
     if spec.oracle is None:
-        ok = len(got) >= 0
+        ok = len(got) > 0
         return CompareResult(spec.name, ok, f"rows-only check: {len(got)} rows")
     with duckdb_connect(sf_dir) as con:
         want = con.execute(spec.oracle).fetchdf()
@@ -74,16 +74,20 @@ def compare_query(
             False,
             f"columns: spark={sorted(got.columns)} oracle={sorted(want.columns)}",
         )
-    g, w = canonicalize(got), canonicalize(want)
-    try:
-        pd.testing.assert_frame_equal(
-            g, w, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
-        )
-    except AssertionError as e:
-        mism = (g.astype(str) != w.astype(str)).any(axis=1)
+    # Dtype-strict, stringified compare — mirrors the driver's value hash,
+    # which stringifies cells (so bigint 946 != float64 946.0). A green
+    # local run must predict a green CORRECTNESS entry.
+    g, w = canonicalize(got).astype(str), canonicalize(want).astype(str)
+    if not g.equals(w):
+        mism = (g != w).any(axis=1)
         sample = ""
         if mism.any():
             i = mism.idxmax()
-            sample = f"; first mismatch row {i}: spark={g.loc[i].to_dict()} oracle={w.loc[i].to_dict()}"
-        return CompareResult(spec.name, False, str(e).splitlines()[0] + sample)
+            sample = (
+                f"first mismatch row {i}: spark={g.loc[i].to_dict()} "
+                f"oracle={w.loc[i].to_dict()}"
+            )
+        else:
+            sample = "dtype/order mismatch with equal string cells"
+        return CompareResult(spec.name, False, sample)
     return CompareResult(spec.name, True, f"{len(got)} rows match")

@@ -12,14 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_realtime_flink_spark.catalog import load
-from gmall_realtime_flink_spark.functions.compat import (
-    dec_round,
-    dec_sum,
-    det_round,
-    sql_dec_round,
-    sql_dec_sum,
-    sql_det_round,
-)
+from gmall_realtime_flink_spark.functions.compat import dec_round, dec_sum
 from gmall_realtime_flink_spark.operators.joins import dim_enrich, interval_join
 from gmall_realtime_flink_spark.operators.routing import etl_filter, route
 from gmall_realtime_flink_spark.operators.stateful import (
@@ -409,11 +402,11 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.p_brand
     )
     SELECT p_brand AS keyword, ct, source FROM (
-      SELECT p_brand, click_ct AS ct, 'CLICK' AS source FROM agg
+      SELECT p_brand, click_ct::BIGINT AS ct, 'CLICK' AS source FROM agg
       UNION ALL
-      SELECT p_brand, cart_ct AS ct, 'CART' AS source FROM agg
+      SELECT p_brand, cart_ct::BIGINT AS ct, 'CART' AS source FROM agg
       UNION ALL
-      SELECT p_brand, order_ct AS ct, 'ORDER' AS source FROM agg
+      SELECT p_brand, order_ct::BIGINT AS ct, 'ORDER' AS source FROM agg
     ) WHERE ct > 0
     """,
     doc="F3/F4+A6: unpivot nonzero measures to (ct, source) rows via stack() "
@@ -576,5 +569,10 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+    # orderBy().limit() plans TakeOrderedAndProject: each partition keeps
+    # its local top-10, the driver merges — no single-partition global
+    # sort of |sku| rows (which grows with SF). The row_number window
+    # then runs over exactly 10 rows.
+    top = agg.orderBy(F.col("revenue").desc(), F.col("sku_id")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("sku_id"))
-    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    return top.withColumn("rk", F.row_number().over(w))

@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+        # default; read as long once here (catalog.load truncates ns → µs)
+        # instead of mutating session conf inside a loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # streaming state: RocksDB provider keeps large keyed state
         # (UV dedup at 100 TB scale) off-heap and spillable
         .config(
