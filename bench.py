@@ -1,0 +1,79 @@
+"""Headline-query benchmark harness (driver contract).
+
+Runs every ``headline=True`` query from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE machine-parseable JSON
+line::
+
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end with a ``noop``-format write, which
+materializes every output row/column through the full physical plan
+(scan → shuffle → agg/join) without collecting to the driver —
+the honest distributed-execution cost, unlike ``count()`` which lets
+Catalyst prune all measure columns.
+
+A throwaway warm-up query first absorbs JVM/codegen startup, and each
+query is run REPS times with the minimum reported: single-JVM local
+mode shows multi-second GC/scheduling jitter on sub-second plans, and
+the minimum is the reproducible plan cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmall_realtime_flink_spark.plans import REGISTRY  # noqa: E402
+from gmall_realtime_flink_spark.session import get_spark  # noqa: E402
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+
+    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    # warm-up: JVM classloading + codegen on a scan-and-agg
+    run_query(REGISTRY["pricing_summary"].builder(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name, spec in headline.items():
+        df = spec.builder(spark, sf_dir)
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            run_query(df)
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
