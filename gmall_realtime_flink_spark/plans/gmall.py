@@ -20,6 +20,10 @@ from gmall_realtime_flink_spark.operators.stateful import (
     repair_is_new,
     uv_dedup,
 )
+from gmall_realtime_flink_spark.operators.union import (
+    project_to_skeleton,
+    union_streams,
+)
 from gmall_realtime_flink_spark.operators.windows import tumble_agg
 from gmall_realtime_flink_spark.plans.registry import register
 
@@ -356,6 +360,192 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o.o_orderkey").alias("order_count"),
         dec_sum("o.o_totalprice").alias("order_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DWS union pipelines (U1/U2 + P8 skeleton projections)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "product_stats_union",
+    oracle="""
+    WITH src AS (
+      SELECT ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS sku_id,
+             event_type, value
+      FROM events
+    ),
+    u AS (
+      SELECT ts, sku_id, 1 AS click_ct, 0 AS display_ct, 0 AS favor_ct,
+             0 AS order_ct, 0 AS refund_ct, 0.0 AS amount
+      FROM src WHERE event_type = 'click'
+      UNION ALL
+      SELECT ts, sku_id, 0, 1, 0, 0, 0, 0.0 FROM src WHERE event_type = 'view'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 1, 0, 0, 0.0 FROM src WHERE event_type = 'signup'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 1, 0, value FROM src WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 0, 1, 0.0 FROM src WHERE event_type = 'error'
+    )
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           sku_id,
+           sum(click_ct)::BIGINT AS click_ct,
+           sum(display_ct)::BIGINT AS display_ct,
+           sum(favor_ct)::BIGINT AS favor_ct,
+           sum(order_ct)::BIGINT AS order_ct,
+           sum(refund_ct)::BIGINT AS refund_ct,
+           round(sum(CAST(amount AS DECIMAL(28,4))), 2)::DOUBLE AS order_amount
+    FROM u GROUP BY 1, 2, 3
+    """,
+    doc="U1+P8+A1/A2: the ProductStatsApp pipeline — 5 per-type event "
+    "streams projected onto a shared stats skeleton (measure slots seeded "
+    "0/1, RT/app/dws/ProductStatsApp.java:143-238), unionByName'd "
+    "(:241-248), then one keyed 10 s tumbling window agg (:263-312). "
+    "The union is a zero-shuffle plan node; the single downstream shuffle "
+    "is on (window, sku).",
+    headline=True,
+    tags=("union", "window", "agg"),
+)
+def product_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    src = events.select(
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("sku_id"),
+        "event_type",
+        "value",
+    )
+    zero, zerod = F.lit(0), F.lit(0.0)
+
+    def branch(etype: str, **slots) -> DataFrame:
+        skeleton = {
+            "ts": F.col("ts"),
+            "sku_id": F.col("sku_id"),
+            "click_ct": slots.get("click_ct", zero),
+            "display_ct": slots.get("display_ct", zero),
+            "favor_ct": slots.get("favor_ct", zero),
+            "order_ct": slots.get("order_ct", zero),
+            "refund_ct": slots.get("refund_ct", zero),
+            "amount": slots.get("amount", zerod),
+        }
+        return project_to_skeleton(
+            src.filter(F.col("event_type") == etype), skeleton
+        )
+
+    unioned = union_streams(
+        [
+            branch("click", click_ct=F.lit(1)),
+            branch("view", display_ct=F.lit(1)),
+            branch("signup", favor_ct=F.lit(1)),
+            branch("purchase", order_ct=F.lit(1), amount=F.col("value")),
+            branch("error", refund_ct=F.lit(1)),
+        ]
+    )
+    out = tumble_agg(
+        unioned,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["sku_id"],
+        aggs=[
+            F.sum("click_ct").alias("click_ct"),
+            F.sum("display_ct").alias("display_ct"),
+            F.sum("favor_ct").alias("favor_ct"),
+            F.sum("order_ct").alias("order_ct"),
+            F.sum("refund_ct").alias("refund_ct"),
+            dec_sum("amount").alias("order_amount"),
+        ],
+    )
+    return out.select(
+        "stt", "edt", "sku_id", "click_ct", "display_ct", "favor_ct",
+        "order_ct", "refund_ct", "order_amount",
+    )
+
+
+@register(
+    "visitor_stats_union",
+    oracle="""
+    WITH uv AS (
+      SELECT min(ts) AS ts FROM events
+      GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    ),
+    uj AS (
+      SELECT ts FROM (
+        SELECT ts, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+      ) WHERE next_ts IS NULL OR date_diff('millisecond', ts, next_ts) > 600000
+    ),
+    u AS (
+      SELECT ts, 1 AS pv_ct, 0 AS uv_ct, 0 AS sv_ct, 0 AS uj_ct, value AS dur
+      FROM events WHERE event_type = 'view'
+      UNION ALL SELECT ts, 0, 1, 0, 0, 0.0 FROM uv
+      UNION ALL SELECT ts, 0, 0, 1, 0, 0.0 FROM events WHERE event_type = 'signup'
+      UNION ALL SELECT ts, 0, 0, 0, 1, 0.0 FROM uj
+    )
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           sum(pv_ct)::BIGINT AS pv_ct,
+           sum(uv_ct)::BIGINT AS uv_ct,
+           sum(sv_ct)::BIGINT AS sv_ct,
+           sum(uj_ct)::BIGINT AS uj_ct,
+           round(sum(CAST(dur AS DECIMAL(28,4))), 2)::DOUBLE AS dur_sum
+    FROM u GROUP BY 1, 2
+    """,
+    doc="U2+P8: the VisitorStatsApp pipeline — pv / uv-dedup / session / "
+    "jump streams (the latter two derived by the ST2/ST3 operators) "
+    "projected to one shape and unioned "
+    "(RT/app/dws/VisitorStatsApp.java:80-141), then 10 s tumble agg "
+    "(:156-196).",
+    tags=("union", "window", "agg", "stateful"),
+)
+def visitor_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    zero, zerod = F.lit(0), F.lit(0.0)
+
+    def skel(df: DataFrame, **slots) -> DataFrame:
+        skeleton = {
+            "ts": F.col("ts"),
+            "pv_ct": slots.get("pv_ct", zero),
+            "uv_ct": slots.get("uv_ct", zero),
+            "sv_ct": slots.get("sv_ct", zero),
+            "uj_ct": slots.get("uj_ct", zero),
+            "dur": slots.get("dur", zerod),
+        }
+        return project_to_skeleton(df, skeleton)
+
+    pv = skel(
+        events.filter(F.col("event_type") == "view"),
+        pv_ct=F.lit(1),
+        dur=F.col("value"),
+    )
+    # uv stream = ST2 output (first event per user per day)
+    uv_src = events.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.min("ts").alias("ts"))
+    uv = skel(uv_src, uv_ct=F.lit(1))
+    sv = skel(events.filter(F.col("event_type") == "signup"), sv_ct=F.lit(1))
+    # uj stream = ST3 output (bounce events)
+    uj = skel(
+        jump_detect(events, key="user_id", ts_col="ts", gap_ms=600_000),
+        uj_ct=F.lit(1),
+    )
+    out = tumble_agg(
+        union_streams([pv, uv, sv, uj]),
+        ts_col="ts",
+        duration="10 seconds",
+        keys=[],
+        aggs=[
+            F.sum("pv_ct").alias("pv_ct"),
+            F.sum("uv_ct").alias("uv_ct"),
+            F.sum("sv_ct").alias("sv_ct"),
+            F.sum("uj_ct").alias("uj_ct"),
+            dec_sum("dur").alias("dur_sum"),
+        ],
+    )
+    return out.select("stt", "edt", "pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum")
 
 
 # ---------------------------------------------------------------------------
