@@ -15,5 +15,6 @@ from gmall_realtime_flink_spark.plans.registry import REGISTRY, QuerySpec, regis
 # importing the modules populates REGISTRY
 from gmall_realtime_flink_spark.plans import gmall  # noqa: E402,F401
 from gmall_realtime_flink_spark.plans import datapipe  # noqa: E402,F401
+from gmall_realtime_flink_spark.plans import streaming_jobs  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,74 @@
+"""Streaming queries registered in the driver contract.
+
+Each runs the Structured Streaming form of a stateful operator
+(ST1/ST2/ST3) to completion over the bounded event stream and returns
+the collected result — so the DuckDB oracle checks *streaming* output,
+not just the batch analogue. The oracles are the same window-function
+formulations as the batch forms (operators/stateful.py), which is the
+point: streaming == batch on bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gmall_realtime_flink_spark.plans.registry import register
+from gmall_realtime_flink_spark.streaming import jobs
+
+
+@register(
+    "streaming_visitor_repair",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d') AS visit_date,
+           CASE WHEN ts::DATE = min(ts::DATE) OVER (PARTITION BY user_id)
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    """,
+    doc="ST1 streaming: applyInPandasWithState keyed on user_id with "
+    "first-visit-date ValueState (RT/app/dwd/BaseLogAPP.java:74-130), run "
+    "bounded; oracle = the batch window-function form.",
+    tags=("streaming", "stateful"),
+)
+def streaming_visitor_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_visitor_repair(spark, sf_dir)
+
+
+@register(
+    "streaming_unique_visit",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d') AS visit_date,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events
+    GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    """,
+    doc="ST2 streaming: per-key seen-dates state dedup "
+    "(RT/app/dwm/UniqueVisitApp.java:66-124), run bounded; emits the "
+    "first event per (user, day).",
+    tags=("streaming", "stateful", "dedup"),
+)
+def streaming_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_unique_visit(spark, sf_dir)
+
+
+@register(
+    "streaming_user_jump",
+    oracle="""
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS jump_ts
+    FROM (
+      SELECT event_id, user_id, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    WHERE next_ts IS NULL
+       OR date_diff('millisecond', ts, next_ts) > 600000
+    """,
+    doc="ST3 streaming: CEP bounce detection via event-time timers "
+    "(applyInPandasWithState + EventTimeTimeout, "
+    "RT/app/dwm/UserJumpApp.java:88-158), run bounded with a sentinel "
+    "watermark-advancer; oracle = the lead() batch form.",
+    tags=("streaming", "stateful", "cep"),
+)
+def streaming_user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_user_jump(spark, sf_dir)

@@ -1,0 +1,119 @@
+"""Streaming sinks (SURVEY §2.1 S2/S3/S5/S7, §2.4 R1 multi-sink half).
+
+The reference's sink matrix — fixed-topic Kafka (S2), dynamic-topic
+Kafka keyed on a per-record `sink_table` field (S3,
+RT/utils/MyKafkaUtil.java:38-45), Phoenix dim upserts (S5,
+RT/app/func/DimSink.java:25-92), ClickHouse batched appends (S7,
+RT/utils/ClickHouseUtil.java:27-78) — collapses onto two Spark
+primitives:
+
+- **append**: `writeStream.foreachBatch` + `write.parquet` (or
+  `format("kafka")` with a `topic` column, which natively gives the
+  dynamic-topic routing of S3);
+- **upsert**: `foreachBatch` + MERGE-style rewrite keyed on the pk
+  (Delta `MERGE INTO` in production; a read-union-dedup rewrite over
+  parquet here, same semantics, since Delta isn't in this container).
+
+R1's "3 sinks, one scan": `partitionBy(route_col)` at write time
+splits output directories in a single pass with **zero shuffle** —
+each task writes its rows to per-route files directly.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BatchSink = Callable[[DataFrame, int], None]
+
+
+def route_writer(base_dir: str, route_col: str = "sink_table") -> BatchSink:
+    """R1/S3: one-pass multi-sink — micro-batch rows land under
+    `base_dir/<route_col>=<value>/` (the file analogue of the
+    per-record dynamic Kafka topic, BaseDBApp.java:96-113)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.partitionBy(route_col)
+            .mode("append")
+            .parquet(base_dir)
+        )
+
+    return write
+
+
+def append_writer(path: str) -> BatchSink:
+    """S7: result-table append sink (ClickHouse analogue)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    return write
+
+
+def parquet_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, pk: Sequence[str]
+) -> None:
+    """S5: MERGE-keyed-on-pk upsert semantics over a parquet dim table
+    (DimSink.java:43-78 upsert; Delta `MERGE INTO` in production).
+
+    Last-writer-wins per pk within `updates`, updates beat existing
+    rows. The rewrite cost is |dim|, acceptable because dims are small
+    by design (broadcastable); big mutable tables belong in Delta/
+    Iceberg where MERGE rewrites only matching files.
+    """
+    updates = updates.withColumn("__gen", F.lit(1))
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path).withColumn("__gen", F.lit(0))
+        merged = existing.unionByName(updates)
+    else:
+        merged = updates
+    w = Window.partitionBy(*pk).orderBy(F.col("__gen").desc())
+    dedup = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__gen")
+    )
+    tmp = path.rstrip("/") + ".tmp"
+    dedup.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    # tmp cleanup is best-effort; correctness does not depend on it
+    try:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def dim_upsert_writer(
+    spark: SparkSession,
+    base_dir: str,
+    pk: Sequence[str],
+    table_col: str = "sink_table",
+) -> BatchSink:
+    """S5 + R2 dim half: route each micro-batch's rows to per-dim-table
+    upserts (the loop over distinct sink tables mirrors DimSink's
+    per-record Phoenix upserts, batched)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            tables = [
+                r[0] for r in batch_df.select(table_col).distinct().collect()
+            ]
+            for t in tables:
+                parquet_upsert(
+                    spark,
+                    os.path.join(base_dir, t),
+                    batch_df.filter(F.col(table_col) == t).drop(table_col),
+                    pk,
+                )
+        finally:
+            batch_df.unpersist()
+
+    return write

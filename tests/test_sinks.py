@@ -1,0 +1,123 @@
+"""Sink layer (S2/S3/S5/S7, R1 multi-sink half).
+
+- route_writer: one-pass partitionBy multi-sink — the file analogue of
+  the dynamic-topic Kafka sink; every routed group lands under its own
+  directory from a single scan.
+- parquet_upsert / dim_upsert_writer: MERGE-keyed-on-pk semantics
+  (Phoenix DimSink analogue): new pks insert, existing pks update,
+  last writer wins.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from gmall_realtime_flink_spark.catalog import load
+from gmall_realtime_flink_spark.operators.routing import route
+from gmall_realtime_flink_spark.streaming import jobs
+from gmall_realtime_flink_spark.streaming.sinks import (
+    append_writer,
+    dim_upsert_writer,
+    parquet_upsert,
+    route_writer,
+)
+from gmall_realtime_flink_spark.streaming.source import stream_events
+
+ROUTING = {
+    "view": "dwd_page_log",
+    "click": "dwd_display_log",
+    "signup": "dwd_start_log",
+    "purchase": "dwd_order_info",
+}
+
+
+def test_route_writer_splits_one_scan(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="route_sink_")
+    events = load(spark, sf_dir, "events")
+    routed = route(events, routing=ROUTING, key_col="event_type")
+    route_writer(base)(routed, 0)
+    written = spark.read.parquet(base)
+    assert written.count() == events.count()
+    by_sink = {
+        r["sink_table"]: r["n"]
+        for r in written.groupBy("sink_table").agg(F.count("*").alias("n")).collect()
+    }
+    want = {
+        r["sink_table"]: r["n"]
+        for r in routed.groupBy("sink_table").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_sink == want
+    assert set(os.listdir(base)) >= {
+        f"sink_table={s}" for s in set(ROUTING.values())
+    }
+
+
+def test_streaming_foreach_batch_route(spark, sf_dir):
+    """R1 end-to-end: stream -> foreachBatch -> per-route directories."""
+    base = tempfile.mkdtemp(prefix="route_stream_")
+    events = stream_events(spark, jobs.events_path(sf_dir))
+    routed = route(events, routing=ROUTING, key_col="event_type")
+    q = (
+        routed.writeStream.foreachBatch(route_writer(base))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = load(spark, sf_dir, "events")
+    assert spark.read.parquet(base).count() == batch.count()
+
+
+def test_parquet_upsert_merge_semantics(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="dim_"), "dim_user")
+    base = spark.createDataFrame(
+        [(1, "alice", "v1"), (2, "bob", "v1")], ["id", "name", "ver"]
+    )
+    parquet_upsert(spark, path, base, pk=["id"])
+    upd = spark.createDataFrame(
+        [(2, "bob2", "v2"), (3, "carol", "v2")], ["id", "name", "ver"]
+    )
+    parquet_upsert(spark, path, upd, pk=["id"])
+    got = {
+        r["id"]: (r["name"], r["ver"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("alice", "v1"), 2: ("bob2", "v2"), 3: ("carol", "v2")}
+
+
+def test_dim_upsert_writer_routes_tables(spark):
+    base = tempfile.mkdtemp(prefix="dims_")
+    batch = spark.createDataFrame(
+        [
+            (1, "a", "DIM_USER"),
+            (2, "b", "DIM_USER"),
+            (1, "x", "DIM_SKU"),
+        ],
+        ["id", "val", "sink_table"],
+    )
+    dim_upsert_writer(spark, base, pk=["id"])(batch, 0)
+    batch2 = spark.createDataFrame(
+        [(2, "b2", "DIM_USER")], ["id", "val", "sink_table"]
+    )
+    dim_upsert_writer(spark, base, pk=["id"])(batch2, 1)
+    users = {
+        r["id"]: r["val"]
+        for r in spark.read.parquet(os.path.join(base, "DIM_USER")).collect()
+    }
+    skus = {
+        r["id"]: r["val"]
+        for r in spark.read.parquet(os.path.join(base, "DIM_SKU")).collect()
+    }
+    assert users == {1: "a", 2: "b2"}
+    assert skus == {1: "x"}
+
+
+def test_append_writer(spark, sf_dir):
+    path = os.path.join(tempfile.mkdtemp(prefix="ads_"), "visitor_stats")
+    events = load(spark, sf_dir, "events").limit(10)
+    append_writer(path)(events, 0)
+    append_writer(path)(events, 1)
+    assert spark.read.parquet(path).count() == 20
