@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_realtime_flink_spark.catalog import load
+from gmall_realtime_flink_spark.catalog import load, register_views
 from gmall_realtime_flink_spark.functions.compat import dec_round, dec_sum
 from gmall_realtime_flink_spark.operators.joins import dim_enrich, interval_join
 from gmall_realtime_flink_spark.operators.routing import etl_filter, route
@@ -549,6 +549,104 @@ def visitor_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Flink-SQL apps re-expressed through spark.sql (A4/A5 with real tumble
+# windows, P11/X10 map access, F2/F4 LATERAL VIEW)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "province_stats_sql",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, o.o_orderdate::TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 1 DAY, o.o_orderdate::TIMESTAMP)
+                    + INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS edt,
+           n.n_name AS province_name,
+           count(DISTINCT o.o_orderkey) AS order_count,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE
+             AS order_amount
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+    doc="A4 full form: ProvinceStatsSqlApp re-expressed through spark.sql "
+    "— DDL-registered views + a TUMBLE window (day-granular: "
+    "o_orderdate is a date) + COUNT(DISTINCT) + window start/end "
+    "stamping (RT/app/dws/ProvinceStatsSqlApp.java:45-61). Catalyst "
+    "plans the same partial-agg + broadcast joins as the DataFrame "
+    "form — the SQL text is just another front-end to the same plans.",
+    tags=("sql", "window", "agg", "distinct"),
+)
+def province_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+               n.n_name AS province_name,
+               count(DISTINCT o.o_orderkey) AS order_count,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)
+                    AS DOUBLE) AS order_amount
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY window(CAST(o.o_orderdate AS TIMESTAMP), '1 day'), n.n_name
+        """
+    )
+
+
+@register(
+    "keyword_stats_sql",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts),
+                    '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           keyword,
+           count(*) AS ct,
+           'SEARCH' AS source
+    FROM (
+      SELECT e.ts,
+             unnest(regexp_split_to_array(lower(d.text), '[^a-z]+')) AS keyword
+      FROM events e
+      JOIN documents d
+        ON CAST(json_extract_string(e.props, '$.k') AS BIGINT) = d.doc_id
+      WHERE e.event_type = 'view'
+    )
+    WHERE length(keyword) >= 2
+    GROUP BY 1, 2, 3
+    """,
+    doc="A5+P11+X10+F2/F4 full form: KeywordStatsApp re-expressed through "
+    "spark.sql — MAP<STRING,STRING> access on the parsed props "
+    "(page['item'] analogue), LATERAL VIEW explode tokenizer UDTF "
+    "surface, and a real 10 s TUMBLE window "
+    "(RT/app/dws/KeywordStatsApp.java:56-88). The search text comes "
+    "from the documents table keyed by the event's item reference — "
+    "the same search-log⋈query-text shape as the reference.",
+    tags=("sql", "window", "udtf", "explode"),
+)
+def keyword_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+               word AS keyword,
+               count(*) AS ct,
+               'SEARCH' AS source
+        FROM events e
+        JOIN documents d
+          ON CAST(from_json(e.props, 'map<string,string>')['k'] AS BIGINT)
+             = d.doc_id
+        LATERAL VIEW explode(split(lower(d.text), '[^a-z]+')) t AS word
+        WHERE e.event_type = 'view' AND length(word) >= 2
+        GROUP BY window(e.ts, '10 seconds'), word
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Keyword apps (F2/F3/F4, A5/A6) — tokenizer UDTF surface
 # ---------------------------------------------------------------------------
 
@@ -626,6 +724,128 @@ def keyword_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand as keyword",
         "stack(3, click_ct, 'CLICK', cart_ct, 'CART', order_ct, 'ORDER') as (ct, source)",
     ).filter(F.col("ct") > 0)
+
+
+# ---------------------------------------------------------------------------
+# DWD nested-log processing (P1/P2/P3/F1) — BaseLogAPP JSON surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "display_log_explode",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE props IS NOT NULL AND length(props) >= 3
+    )
+    SELECT event_id,
+           user_id AS uid,
+           'p' || k AS page_id,
+           value AS during_time,
+           'sku_' || (k + d.o) AS item,
+           'sku_id' AS item_type,
+           (d.o + 1)::INT AS display_order
+    FROM src CROSS JOIN (SELECT 0 AS o UNION ALL SELECT 1) d
+    """,
+    doc="P3+P1+F1: the BaseLogAPP nested-JSON path — build the full log "
+    "envelope as a JSON string (to_json(struct(...)), the pre-sink map "
+    "P3, RT/app/dwm/OrderWideApp.java:285-287), parse it back with "
+    "from_json + a nested StructType/ArrayType(Struct) schema (P1, "
+    "RT/app/dwd/BaseLogAPP.java:64-70), then explode the displays array "
+    "injecting the parent page_id/common fields into each element (F1, "
+    "RT/app/dwd/BaseLogAPP.java:166-178). All JVM-side: json codegen + "
+    "generator explode, zero shuffles.",
+    tags=("json", "explode", "udtf"),
+)
+def display_log_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    # P3: serialize the nested envelope to a JSON string
+    env = etl_filter(
+        events, required=["props"], min_len_col="props", min_len=3
+    ).select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("user_id").alias("uid"),
+                    F.col("event_type").alias("ch"),
+                ).alias("common"),
+                F.struct(
+                    F.concat(F.lit("p"), k).alias("page_id"),
+                    F.col("value").alias("during_time"),
+                ).alias("page"),
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("sku_"), k).alias("item"),
+                        F.lit("sku_id").alias("item_type"),
+                        F.lit(1).alias("display_order"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("sku_"), k + 1).alias("item"),
+                        F.lit("sku_id").alias("item_type"),
+                        F.lit(2).alias("display_order"),
+                    ),
+                ).alias("displays"),
+            )
+        ).alias("log"),
+    )
+    # P1: schema-on-read parse of the envelope
+    schema = T.StructType(
+        [
+            T.StructField(
+                "common",
+                T.StructType(
+                    [
+                        T.StructField("uid", T.LongType()),
+                        T.StructField("ch", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "page",
+                T.StructType(
+                    [
+                        T.StructField("page_id", T.StringType()),
+                        T.StructField("during_time", T.DoubleType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "displays",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("item", T.StringType()),
+                            T.StructField("item_type", T.StringType()),
+                            T.StructField("display_order", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    parsed = env.select("event_id", F.from_json("log", schema).alias("l"))
+    # F1: flatten displays, injecting parent page/common fields
+    return parsed.select(
+        "event_id",
+        F.col("l.common.uid").alias("uid"),
+        F.col("l.page.page_id").alias("page_id"),
+        F.col("l.page.during_time").alias("during_time"),
+        F.explode("l.displays").alias("d"),
+    ).select(
+        "event_id",
+        "uid",
+        "page_id",
+        "during_time",
+        F.col("d.item").alias("item"),
+        F.col("d.item_type").alias("item_type"),
+        F.col("d.display_order").alias("display_order"),
+    )
 
 
 # ---------------------------------------------------------------------------
