@@ -12,12 +12,17 @@ idiomatic Apache Spark engine:
 - dimension stores (HBase/Phoenix/Redis in the reference) are replaced
   by parquet dim tables + broadcast hash joins;
 - the Flink keyed-state trio (visitor repair / UV dedup / CEP bounce)
-  is implemented twice: as window-function batch analogues and as
-  ``applyInPandasWithState`` streaming operators;
+  is implemented twice: as window-function batch analogues
+  (operators/stateful.py) and as ``applyInPandasWithState`` streaming
+  operators (streaming/state.py), with pytest parity asserts between
+  the two on bounded input;
 - beyond the reference surface, large-scale training-data pipeline
-  operators are first-class: dedup (exact / MinHash-LSH / SimHash /
-  n-gram Jaccard), similarity search (brute-force + IVF ANN),
-  multimodal binary columns, and text analysis.
+  operators are first-class: dedup (exact / MinHash-LSH banded /
+  SimHash / n-gram Jaccard — operators/dedup.py, textstats.py),
+  similarity search (brute-force cosine top-k + sign-bucketed ANN —
+  operators/similarity.py), multimodal binary columns with
+  Arrow-batched feature extraction (operators/multimodal.py), and
+  text analysis (language ID, quality scoring, token stats).
 
 Scale design notes live in docstrings next to each operator and in
 ``SCALE.md`` at the repo root.

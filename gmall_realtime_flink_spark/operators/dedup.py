@@ -1,0 +1,164 @@
+"""Fuzzy-dedup operators for large-scale text corpora: MinHash-LSH and
+n-gram Jaccard (the exact-dedup and fingerprint operators live in
+plans/datapipe.py; SimHash in operators/textstats.py).
+
+Beyond-reference components (the reference dedups only visitors, ST2);
+these are the corpus-dedup primitives a training-data pipeline needs.
+
+Cross-engine determinism (the DuckDB oracle must reproduce every hash
+bit-for-bit): all hashing is md5 over strings — identical lowercase hex
+in Spark and DuckDB — and each minhash is the *lexicographic min* of
+md5 hex strings, so no engine-specific 64-bit integer hash is ever
+involved.
+
+Scale design (100 TB):
+- shingling + signatures are narrow per-row transforms (JVM codegen,
+  no Python);
+- LSH candidates come from a self-equi-join on (band_index, band_hash)
+  — ONE shuffle keyed by a uniform 128-bit hash, never an all-pairs
+  product. Each bucket holds only colliding docs; the join output is
+  |candidate pairs|, which banding keeps near-linear;
+- exact Jaccard verification runs only on candidates (joins back to
+  the shingle sets by doc id — two broadcast-or-shuffle hash joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 8
+ROWS_PER_BAND = 2  # 8 hashes -> 4 bands of 2
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercase word tokens (ASCII letters; the X11 tokenizer surface)."""
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: F.length(x) > 0)
+
+
+def shingles(toks_col: str, n: int = 2) -> Column:
+    """Word n-gram shingles via a 1-based sequence/element_at transform
+    (the same 1-based indexing DuckDB lists use, so the oracle SQL is a
+    transliteration, not a reimplementation)."""
+    parts = ", ".join(f"element_at({toks_col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))"
+    )
+
+
+def minhash_cols(sh_col: str, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """MinHash signature: h_i = min over shingles of md5('<i>|' || s)."""
+    return [
+        F.expr(
+            f"array_min(transform({sh_col}, s -> md5(concat('{i}|', s))))"
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def band_cols(
+    num_hashes: int = NUM_HASHES, rows_per_band: int = ROWS_PER_BAND
+) -> list[tuple[int, Column]]:
+    """LSH bands: band_j = md5(concat of its row hashes)."""
+    out = []
+    for j in range(num_hashes // rows_per_band):
+        cols = [f"h{j * rows_per_band + r}" for r in range(rows_per_band)]
+        out.append((j, F.md5(F.concat(*[F.col(c) for c in cols]))))
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(id, h0..h{k-1}) signatures; docs with < n+1 tokens are dropped
+    (too short to shingle — at corpus scale these go to exact dedup)."""
+    toks = docs.select(
+        id_col, tokenize(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n + 1)
+    sh = toks.select(id_col, shingles("toks", n).alias("sh"))
+    return sh.select(id_col, *minhash_cols("sh", num_hashes))
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Banded candidate pairs (id_a < id_b, distinct).
+
+    The stack() unpivots the signature into (band, band_hash) rows; the
+    self-join shuffles on that uniform hash — the banding join that
+    replaces the quadratic all-pairs comparison.
+    """
+    pairs = band_cols(num_hashes, rows_per_band)
+    stack_expr = ", ".join(f"{j}, b{j}" for j, _ in pairs)
+    bands = signatures.select(
+        id_col, *[c.alias(f"b{j}") for j, c in pairs]
+    ).selectExpr(
+        id_col,
+        f"stack({len(pairs)}, {stack_expr}) as (band, band_hash)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard over candidate pairs only.
+
+    similarity = |A ∩ B| / |A ∪ B| over distinct shingle sets, rounded
+    to 6dp for cross-engine float parity.
+    """
+    sets_df = (
+        docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= n + 1)
+        .select(id_col, F.array_distinct(shingles("toks", n)).alias("sset"))
+    )
+    j = (
+        candidates.join(
+            sets_df.select(
+                F.col(id_col).alias("doc_a"), F.col("sset").alias("set_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_df.select(
+                F.col(id_col).alias("doc_b"), F.col("sset").alias("set_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / F.size(F.array_union("set_a", "set_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,88 @@
+"""Similarity search over an embedding column (beyond-reference).
+
+Two tiers:
+
+- `cosine_topk` — brute-force exact top-k: the correctness baseline.
+  The query vector rides along as a broadcast single-row cross join
+  (no `.collect()`, no driver round-trip); dot/norm are JVM-side
+  `aggregate`/`zip_with` folds over the double-cast array. One
+  TakeOrderedAndProject finishes it — no global sort shuffle.
+- `cosine_topk_bucketed` — the ANN scale path: a deterministic
+  sign-bit signature over the leading dimensions buckets the space
+  (an IVF-style coarse quantizer with hyperoctant cells instead of
+  k-means centroids); only the query's bucket is scanned. At 100 TB
+  the bucket column is a partition key: candidate scan touches one
+  partition (partition pruning), and recall is tuned by probing
+  neighboring buckets (multi-probe), exactly like IVF `nprobe`.
+
+Determinism across engines: all arithmetic in float64 after an
+explicit cast from the stored float32 (exact), similarity rounded to
+6dp, ties broken on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), "
+    "(acc, v) -> acc + v)"
+)
+AS_DOUBLE = "transform({c}, x -> cast(x as double))"
+
+
+def _with_query(embeddings: DataFrame, query_id: int) -> DataFrame:
+    q = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
+    )
+    return (
+        embeddings.filter(F.col("vec_id") != query_id)
+        .withColumn("emb", F.expr(AS_DOUBLE.format(c="embedding")))
+        .crossJoin(F.broadcast(q))
+    )
+
+
+def _cosine(df: DataFrame) -> DataFrame:
+    dot = F.expr(DOT.format(a="emb", b="q_emb"))
+    na = F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
+    nb = F.sqrt(F.expr(DOT.format(a="q_emb", b="q_emb")))
+    return df.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id", "cos_sim", "rk"
+    )
+
+
+def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k against the query vector."""
+    return _ranked_topk(_cosine(_with_query(embeddings, query_id)), k)
+
+
+def sign_bucket(col_name: str, bits: int = 4) -> F.Column:
+    """IVF-style coarse cell: bit i set iff embedding[i] >= 0
+    (1-based element_at, mirroring the DuckDB oracle)."""
+    terms = " + ".join(
+        f"(CASE WHEN element_at({col_name}, {i + 1}) >= cast(0.0 as double) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return F.expr(terms)
+
+
+def cosine_topk_bucketed(
+    embeddings: DataFrame, query_id: int = 0, k: int = 10, bits: int = 4
+) -> DataFrame:
+    """ANN top-k scanning only the query's sign-bucket (cell)."""
+    df = _with_query(embeddings, query_id)
+    df = df.withColumn("bucket", sign_bucket("emb", bits)).withColumn(
+        "q_bucket", sign_bucket("q_emb", bits)
+    )
+    pruned = df.filter(F.col("bucket") == F.col("q_bucket")).drop(
+        "bucket", "q_bucket"
+    )
+    return _ranked_topk(_cosine(pruned), k)

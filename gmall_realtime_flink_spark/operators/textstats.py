@@ -1,0 +1,117 @@
+"""Text-analysis operators (beyond-reference): SimHash fingerprinting,
+n-gram-heuristic language ID, and document quality scoring.
+
+All are single-pass JVM-side expressions (plus one shuffle for the
+SimHash bit sums); no Python in the hot path. Every float output is
+rounded for DuckDB-oracle parity; SimHash bit values derive from md5
+hex digits so both engines compute identical fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gmall_realtime_flink_spark.operators.dedup import tokenize
+
+SIMHASH_BITS = 16
+
+# small fixed stopword lists for the language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "ist", "das", "nicht", "mit", "ein", "auf", "sie"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "los", "las", "y", "es", "una", "por", "para", "con", "como"],
+}
+CJK_PATTERN = "[一-鿿]"
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash fingerprint: for each bit b, sum +1/-1 token votes taken
+    from bit b of md5(token); fingerprint bit = 1 iff the sum > 0.
+
+    One explode + one hash shuffle on doc id — the explode output is
+    |tokens| rows but each row is (id, 16 small ints) wide only after
+    partial aggregation, so shuffled volume is |docs| rows.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("m", F.md5("tok"))
+    sums = []
+    for b in range(bits):
+        digit, bit = b // 4, b % 4
+        nibble = F.conv(F.substring("m", digit + 1, 1), 16, 10).cast("int")
+        vote = F.when(
+            F.shiftright(nibble, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+        sums.append(F.sum(vote).alias(f"s{b}"))
+    agg = toks.groupBy(id_col).agg(*sums)
+    fp: Column = F.lit(0)
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def _score(toks: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), words))
+
+
+def lang_id(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language ID: CJK-script check, else stopword-overlap argmax
+    (fixed en→de→fr→es tie order)."""
+    toks = tokenize(F.col(text_col))
+    scores = {lang: _score(toks, lang) for lang in STOPWORDS}
+    mx = F.greatest(*scores.values())
+    pred = (
+        F.when(F.col(text_col).rlike(CJK_PATTERN), "zh")
+        .when(scores["en"] == mx, "en")
+        .when(scores["de"] == mx, "de")
+        .when(scores["fr"] == mx, "fr")
+        .otherwise("es")
+    )
+    return docs.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        mx.alias("stopword_hits"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality metrics + composite score (all rounded)."""
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_tokens = F.size(toks)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ct = F.size(
+        F.filter(toks, lambda t: F.array_contains(en, t))
+    )
+    punct_ct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    digit_ct = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    stop_ratio = F.round(stop_ct / n_tokens, 6)
+    punct_ratio = F.round(punct_ct / F.length(text), 6)
+    digit_ratio = F.round(digit_ct / F.length(text), 6)
+    score = F.round(
+        0.4 * stop_ratio
+        + 0.3 * (F.least(n_tokens, F.lit(100)) / 100.0)
+        + 0.3 * (1.0 - punct_ratio),
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )

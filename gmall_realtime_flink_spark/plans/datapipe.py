@@ -14,7 +14,61 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_realtime_flink_spark.catalog import load
+from gmall_realtime_flink_spark.operators.dedup import (
+    jaccard_verify,
+    lsh_candidates,
+    minhash_signatures,
+)
+from gmall_realtime_flink_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+)
+from gmall_realtime_flink_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_bucketed,
+)
+from gmall_realtime_flink_spark.operators.textstats import (
+    lang_id,
+    quality_score,
+    simhash,
+)
 from gmall_realtime_flink_spark.plans.registry import register
+
+# shared oracle CTEs for the minhash family (word 2-gram shingles,
+# 8 minhashes, 4 bands × 2) — DuckDB lists are 1-based like
+# element_at, so the SQL is a transliteration of operators/dedup.py
+_MINHASH_CTES = """
+    d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS sh
+      FROM d WHERE len(toks) >= 3),
+    mh AS (
+      SELECT doc_id,
+        list_aggregate(list_transform(sh, s -> md5('0|' || s)), 'min') AS h0,
+        list_aggregate(list_transform(sh, s -> md5('1|' || s)), 'min') AS h1,
+        list_aggregate(list_transform(sh, s -> md5('2|' || s)), 'min') AS h2,
+        list_aggregate(list_transform(sh, s -> md5('3|' || s)), 'min') AS h3,
+        list_aggregate(list_transform(sh, s -> md5('4|' || s)), 'min') AS h4,
+        list_aggregate(list_transform(sh, s -> md5('5|' || s)), 'min') AS h5,
+        list_aggregate(list_transform(sh, s -> md5('6|' || s)), 'min') AS h6,
+        list_aggregate(list_transform(sh, s -> md5('7|' || s)), 'min') AS h7
+      FROM s),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM mh
+      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM mh
+      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM mh
+      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM mh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+"""
 
 # ---------------------------------------------------------------------------
 # Dedup: exact
@@ -92,3 +146,283 @@ def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(ws_tokens).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash-LSH + n-gram Jaccard (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_minhash_signature",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7 FROM mh
+    """,
+    doc="MinHash signatures (8 hashes over word 2-gram shingles): the "
+    "narrow per-doc transform feeding LSH. Min over md5 hex strings — "
+    "deterministic across engines.",
+    tags=("dedup", "minhash"),
+)
+def doc_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return minhash_signatures(d)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b FROM cand
+    """,
+    doc="MinHash-LSH banded near-dup candidates: unpivot signatures to "
+    "(band, band_hash) rows, self-equi-join on the band hash — ONE "
+    "shuffle keyed by a uniform 128-bit hash, never an all-pairs "
+    "cross product. 100 TB path: band buckets are the join key; "
+    "output is |colliding pairs|.",
+    headline=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return lsh_candidates(minhash_signatures(d))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM s)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(x.sset, y.sset))::DOUBLE
+                   / len(list_distinct(x.sset || y.sset)), 6) AS jaccard
+      FROM cand c
+      JOIN sets x ON c.doc_a = x.doc_id
+      JOIN sets y ON c.doc_b = y.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+    doc="Exact word-2-gram-set Jaccard verification over the LSH "
+    "candidates only (never all pairs): the verify half of "
+    "candidate-generation + verification dedup.",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(d))
+    return jaccard_verify(cand, d, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprinting (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+# the oracle mirrors textstats.simhash bit-for-bit: vote for bit b is
+# +1/-1 from bit (b%4) of hex digit (b//4) of md5(token)
+_SIMHASH_SUMS = ",\n        ".join(
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(m, {b // 4 + 1}, 1)) - 1)"
+    f" >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+
+
+@register(
+    "doc_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+    s AS (
+      SELECT doc_id,
+        {_SIMHASH_SUMS}
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, ({_SIMHASH_FP})::BIGINT AS simhash FROM s
+    """,
+    doc="SimHash 16-bit fingerprint: per-bit +1/-1 token votes from md5 "
+    "bits, sign -> bit. One explode + one doc-id shuffle (partial agg "
+    "collapses to |docs| rows pre-exchange). Near-dup search = "
+    "hamming distance on fingerprints (bit_count(a ^ b)).",
+    tags=("dedup", "simhash", "text"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id != 0)
+    SELECT vec_id, cos_sim, rk FROM (
+      SELECT vec_id, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="Brute-force cosine top-k over the embedding column: the exact "
+    "baseline for ANN. Query vector broadcast-cross-joined (no "
+    "collect); dot/norm as JVM aggregate/zip_with folds; "
+    "TakeOrderedAndProject top-k (no global sort).",
+    headline=True,
+    tags=("similarity", "ann"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk(e, query_id=0, k=10)
+
+
+@register(
+    "similarity_topk_bucketed",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = 0),
+    b AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x -> x::DOUBLE) AS de, q.qe,
+             (CASE WHEN e.embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN e.embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN e.embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN e.embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket,
+             (CASE WHEN q.qe[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN q.qe[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN q.qe[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN q.qe[4] >= 0 THEN 8 ELSE 0 END) AS q_bucket
+      FROM embeddings e, q WHERE e.vec_id != 0),
+    scored AS (
+      SELECT vec_id, round(list_cosine_similarity(de, qe), 6) AS cos_sim
+      FROM b WHERE bucket = q_bucket)
+    SELECT vec_id, cos_sim, rk FROM (
+      SELECT vec_id, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="ANN top-k via a deterministic sign-bit coarse quantizer "
+    "(IVF-style hyperoctant cells): only the query's bucket is "
+    "scanned. At 100 TB the bucket is a partition key -> partition "
+    "pruning; recall tunes by multi-probing neighbor buckets "
+    "(IVF nprobe analogue).",
+    tags=("similarity", "ann", "lsh"),
+)
+def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk_bucketed(e, query_id=0, k=10, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Language ID + quality scoring (operators/textstats.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_langid",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> length(x) > 0)) AS dt
+      FROM documents),
+    s AS (
+      SELECT doc_id, text,
+        len(list_intersect(dt, ['the','and','of','to','in','is','that','it','for','was'])) AS s_en,
+        len(list_intersect(dt, ['der','die','und','ist','das','nicht','mit','ein','auf','sie'])) AS s_de,
+        len(list_intersect(dt, ['le','la','les','et','des','est','dans','que','pour','une'])) AS s_fr,
+        len(list_intersect(dt, ['el','los','las','y','es','una','por','para','con','como'])) AS s_es
+      FROM d)
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN s_en = mx THEN 'en'
+                WHEN s_de = mx THEN 'de'
+                WHEN s_fr = mx THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           mx AS stopword_hits
+    FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM s)
+    """,
+    doc="Language ID heuristic: CJK-script check, else stopword-overlap "
+    "argmax with fixed tie order. Pure narrow JVM expressions.",
+    tags=("text", "langid"),
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return lang_id(d)
+
+
+@register(
+    "doc_quality",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_tokens,
+             round(len(list_filter(toks, t -> list_contains(
+               ['the','and','of','to','in','is','that','it','for','was'], t)))::DOUBLE
+               / len(toks), 6) AS stopword_ratio,
+             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+               / length(text), 6) AS punct_ratio,
+             round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+               / length(text), 6) AS digit_ratio
+      FROM d)
+    SELECT doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio, digit_ratio,
+           round(0.4 * stopword_ratio
+                 + 0.3 * (least(n_tokens, 100) / 100.0)
+                 + 0.3 * (1.0 - punct_ratio), 6) AS quality_score
+    FROM m
+    """,
+    doc="Quality scoring: length / stopword / punctuation / digit "
+    "ratios + composite score. All rounded for cross-engine parity.",
+    tags=("text", "quality"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return quality_score(d)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::INT AS n_bytes,
+           unicode(text)::INT AS first_cp,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary payload column + typed metadata "
+    "struct, feature extraction via Arrow-batched mapInPandas (the "
+    "real decode path is stubbed — operators/multimodal.decode_media "
+    "— since image/audio libs aren't installed; the byte-level fake "
+    "keeps every value oracle-checkable).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return extract_features(attach_payload(d))
