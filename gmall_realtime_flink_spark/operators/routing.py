@@ -63,3 +63,33 @@ def route(df: DataFrame, routing: Mapping[str, str], key_col: str,
 def prune_columns(df: DataFrame, keep: Sequence[str]) -> DataFrame:
     """P7: config-driven column pruning (TableProcessFunction.java:231-246)."""
     return df.select(*[c for c in df.columns if c in set(keep)])
+
+
+def route_with_config(
+    df: DataFrame,
+    config_df: DataFrame,
+    source_col: str,
+    type_col: str,
+) -> DataFrame:
+    """R2/S8 real form: route CDC rows by joining the *config table*
+    (the reference polls MySQL `table_process` into a keyed map every
+    5 s, TableProcessFunction.java:43-64; here the config DataFrame is
+    broadcast per batch — same freshness, no per-record lookup).
+
+    Config schema: (source_table, operate_type, sink_table,
+    sink_columns). Rows with no config entry are dropped, matching the
+    reference's "no that key in config" branch (:222-227).
+    """
+    cond = (F.col(source_col) == config_df["source_table"]) & (
+        F.col(type_col) == config_df["operate_type"]
+    )
+    return df.join(F.broadcast(config_df), cond, "inner")
+
+
+def prune_data_map(data_map, sink_columns):
+    """P7 on dynamic records: keep only the JSON-object keys named in
+    the config's comma-separated `sink_columns`
+    (TableProcessFunction.java:231-246 filters the fastjson entrySet).
+    """
+    keep = F.split(sink_columns, ",")
+    return F.map_filter(data_map, lambda k, v: F.array_contains(keep, k))

@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from gmall_realtime_flink_spark.catalog import load, register_views
 from gmall_realtime_flink_spark.functions.compat import dec_round, dec_sum
 from gmall_realtime_flink_spark.operators.joins import dim_enrich, interval_join
-from gmall_realtime_flink_spark.operators.routing import etl_filter, route
+from gmall_realtime_flink_spark.operators.routing import (
+    etl_filter,
+    normalize_cdc_type,
+    prune_data_map,
+    route,
+    route_with_config,
+)
 from gmall_realtime_flink_spark.operators.stateful import (
     jump_detect,
     repair_is_new,
@@ -889,6 +895,86 @@ def cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
         "sink_table",
+    )
+
+
+@register(
+    "cdc_route_config",
+    oracle="""
+    WITH cfg(source_table, operate_type, sink_table, sink_columns) AS (
+      VALUES ('view', 'insert', 'dwd_page_log', 'k'),
+             ('click', 'insert', 'dwd_display_log', 'k'),
+             ('signup', 'update', 'dim_user_info', ''),
+             ('purchase', 'insert', 'dwd_order_info', 'k')),
+    src AS (
+      SELECT event_id, event_type,
+             CASE event_type
+               WHEN 'view' THEN 'insert'
+               WHEN 'click' THEN 'bootstrap-insert'
+               WHEN 'signup' THEN 'update'
+               WHEN 'purchase' THEN 'insert'
+               ELSE 'delete' END AS op,
+             json_extract_string(props, '$.k') AS k
+      FROM events
+      WHERE props IS NOT NULL AND length(props) >= 3),
+    n AS (
+      SELECT event_id, event_type,
+             CASE WHEN op = 'bootstrap-insert' THEN 'insert' ELSE op END AS op,
+             k
+      FROM src)
+    SELECT n.event_id, n.event_type, n.op AS cdc_type, c.sink_table,
+           CASE WHEN list_contains(string_split(c.sink_columns, ','), 'k')
+                THEN '{"k":"' || n.k || '"}' ELSE '{}' END AS pruned_data
+    FROM n JOIN cfg c
+      ON n.event_type = c.source_table AND n.op = c.operate_type
+    """,
+    doc="S8+R2+P6+P7 real form: routing driven by a config *table* "
+    "(the MySQL table_process analogue, "
+    "RT/app/func/TableProcessFunction.java:43-64): ETL filter, "
+    "bootstrap-insert normalization (:189-194), broadcast config join "
+    "keyed (source_table, operate_type) (:181-228), config-driven "
+    "pruning of the dynamic record's keys via map_filter (:231-246). "
+    "Unconfigured (table, op) pairs drop, matching the reference.",
+    tags=("routing", "config", "json"),
+)
+def cdc_route_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    config = spark.createDataFrame(
+        [
+            ("view", "insert", "dwd_page_log", "k"),
+            ("click", "insert", "dwd_display_log", "k"),
+            ("signup", "update", "dim_user_info", ""),
+            ("purchase", "insert", "dwd_order_info", "k"),
+        ],
+        ["source_table", "operate_type", "sink_table", "sink_columns"],
+    )
+    src = etl_filter(
+        events, required=["props"], min_len_col="props", min_len=3
+    ).select(
+        "event_id",
+        "event_type",
+        # synthesize the Maxwell CDC op from the event type (the
+        # testdata has no native CDC envelope)
+        F.when(F.col("event_type") == "view", "insert")
+        .when(F.col("event_type") == "click", "bootstrap-insert")
+        .when(F.col("event_type") == "signup", "update")
+        .when(F.col("event_type") == "purchase", "insert")
+        .otherwise("delete")
+        .alias("type"),
+        F.from_json("props", "map<string,string>").alias("data"),
+    )
+    normalized = normalize_cdc_type(src, type_col="type")
+    routed = route_with_config(
+        normalized, config, source_col="event_type", type_col="type"
+    )
+    return routed.select(
+        "event_id",
+        "event_type",
+        F.col("type").alias("cdc_type"),
+        "sink_table",
+        F.to_json(prune_data_map(F.col("data"), F.col("sink_columns"))).alias(
+            "pruned_data"
+        ),
     )
 
 
