@@ -29,3 +29,15 @@ def dec_round(col: Column | str, scale: int = 2) -> Column:
     """Row-level exact-decimal rounding of a ≤4dp double expression."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c.cast(MONEY), scale).cast("double")
+
+
+def snake_to_camel(name: str) -> str:
+    """X8: snake_case -> camelCase column rename (the Guava CaseFormat
+    conversion in the reference's MySQLUtil.java:63-66)."""
+    head, *rest = name.split("_")
+    return head + "".join(w.capitalize() for w in rest)
+
+
+def rename_snake_to_camel(df):
+    """Rename every column of `df` snake_case -> camelCase."""
+    return df.toDF(*[snake_to_camel(c) for c in df.columns])

@@ -417,7 +417,13 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("union", "window", "agg"),
 )
 def product_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
+    return product_stats_union_core(load(spark, sf_dir, "events"))
+
+
+def product_stats_union_core(events: DataFrame) -> DataFrame:
+    """The U1 pipeline as a pure DataFrame->DataFrame transform: runs
+    identically on a batch table and a watermarked stream (asserted in
+    tests/test_streaming.py)."""
     src = events.select(
         "ts",
         F.get_json_object("props", "$.k").cast("bigint").alias("sku_id"),

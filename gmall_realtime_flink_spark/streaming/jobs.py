@@ -59,13 +59,42 @@ def events_path(sf_dir: str) -> str:
     return tmp
 
 
+SENTINEL_TYPES = ("view", "click", "signup", "purchase", "error", "sentinel")
+
+
+def write_sentinel_file(path: str, ts_ns: int) -> None:
+    """Write the watermark-advancing sentinel rows (user_id = -1, null
+    props), one per real event type plus a 'sentinel' marker.
+
+    One row per type matters: a pipeline branch that filters on
+    event_type gets that predicate PUSHED DOWN into the parquet scan,
+    *below* the EventTimeWatermark operator — a single sentinel row of
+    an unmatched type would be skipped by row-group statistics and the
+    branch's watermark would never pass the final open window (found
+    the hard way; see tests/test_streaming.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(SENTINEL_TYPES)
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([-(i + 1) for i in range(n)], pa.int64()),
+            "ts": pa.array([ts_ns] * n, pa.int64()),
+            "user_id": pa.array([-1] * n, pa.int64()),
+            "event_type": pa.array(list(SENTINEL_TYPES), pa.string()),
+            "value": pa.array([0.0] * n, pa.float64()),
+            "props": pa.array([None] * n, pa.string()),
+        }
+    )
+    pq.write_table(sentinel, path)
+
+
 def events_with_sentinel(
     spark: SparkSession, sf_dir: str, gap_ms: int
 ) -> str:
-    """Stage an input dir = events.parquet (symlinked) + one sentinel
-    event 2×gap past the max event time, so every real ST3 timer fires.
+    """Stage an input dir = events.parquet (symlinked) + sentinel events
+    2×gap past the max event time, so every real ST3 timer fires.
     """
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
@@ -73,17 +102,10 @@ def events_with_sentinel(
     max_ns = max(max_ns.to_pylist())
     tmp = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(tmp, "part-000.parquet"))
-    sentinel = pa.table(
-        {
-            "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([max_ns + 2 * gap_ms * 1_000_000], pa.int64()),
-            "user_id": pa.array([-1], pa.int64()),
-            "event_type": pa.array(["sentinel"], pa.string()),
-            "value": pa.array([0.0], pa.float64()),
-            "props": pa.array([None], pa.string()),
-        }
+    write_sentinel_file(
+        os.path.join(tmp, "part-001-sentinel.parquet"),
+        max_ns + 2 * gap_ms * 1_000_000,
     )
-    pq.write_table(sentinel, os.path.join(tmp, "part-001-sentinel.parquet"))
     return tmp
 
 

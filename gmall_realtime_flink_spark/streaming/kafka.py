@@ -1,0 +1,101 @@
+"""Kafka source/sink builders (SURVEY §2.1 S1/S2/S3/S4).
+
+The reference's Kafka layer (RT/utils/MyKafkaUtil.java):
+- S1 string source (:23-29)  -> `kafka_source`
+- S2 fixed-topic sink (:31-36) -> `kafka_sink(topic=...)`
+- S3 dynamic-topic sink (:38-45, topic from each record's
+  `sink_table`) -> `kafka_sink()` with a `topic` column — Spark's
+  Kafka sink honors a per-row `topic` column natively
+- S4 SQL source with json format + watermark (:55-63) ->
+  `kafka_json_source`
+
+This container has no Kafka broker and pyspark ships without the
+`spark-sql-kafka` connector jar, so these builders cannot execute
+here — the file-based source/sinks (source.py / sinks.py) carry the
+same pipeline code in tests. The builders are the production wiring:
+swap `stream_events` for `kafka_json_source` and the rest of a
+pipeline is unchanged. Each raises a clear error if the connector is
+absent.
+
+Delivery semantics: checkpointed offsets + state give exactly-once
+*state*; the Kafka sink itself is at-least-once (the reference's
+EXACTLY_ONCE txn producer has no Spark equivalent — documented
+deviation, see README).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CONNECTOR_HINT = (
+    "the spark-sql-kafka connector is not on the classpath; submit with "
+    "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+)
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    group_id: str | None = None,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """S1: value-as-string Kafka stream (SimpleStringSchema analogue)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if group_id:
+        reader = reader.option("kafka.group.id", group_id)
+    return reader.load().select(F.col("value").cast("string").alias("value"))
+
+
+def kafka_json_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    schema: T.StructType,
+    ts_col: str,
+    watermark: str = "2 seconds",
+) -> DataFrame:
+    """S4: Kafka DDL source — json parse + event-time watermark
+    (ProvinceStatsSqlApp.java:45-50, KeywordStatsApp.java:56-64)."""
+    raw = kafka_source(spark, brokers, topic)
+    parsed = raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+    return parsed.withWatermark(ts_col, watermark)
+
+
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    checkpoint: str,
+    topic: str | None = None,
+    topic_col: str | None = None,
+):
+    """S2 (fixed topic) / S3 (dynamic per-record topic).
+
+    For S3, pass `topic_col` — the column is renamed to `topic`, which
+    the Kafka sink reads per record (the built-in equivalent of the
+    reference's KafkaSerializationSchema topic routing,
+    BaseDBApp.java:96-113).
+    """
+    if topic is None and topic_col is None:
+        raise ValueError("either topic or topic_col is required")
+    out = df.select(
+        F.to_json(F.struct(*[c for c in df.columns if c != topic_col])).alias(
+            "value"
+        ),
+        *([F.col(topic_col).alias("topic")] if topic_col else []),
+    )
+    writer = (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("checkpointLocation", checkpoint)
+    )
+    if topic is not None:
+        writer = writer.option("topic", topic)
+    return writer

@@ -43,9 +43,14 @@ def rows(df, cols):
 
 @pytest.fixture(scope="module")
 def split_events_dir(sf_dir):
-    """events table sorted by ts, split into 3 chronological parquet
-    files + a far-future sentinel, so maxFilesPerTrigger=1 yields 4
-    micro-batches with strictly advancing watermark."""
+    """(dir, cutoff): events table sorted by ts, split into 3
+    chronological parquet files + far-future sentinel rows (one per
+    event type — a filtered branch's pushed-down scan predicate would
+    skip a lone unmatched-type sentinel *below* the watermark operator,
+    leaving the final window forever open). `cutoff` is an stt string
+    separating real windows from sentinel windows."""
+    import pandas as pd
+
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     t = t.set_column(
         t.schema.get_field_index("ts"), "ts", t["ts"].cast("int64")
@@ -56,18 +61,14 @@ def split_events_dir(sf_dir):
     for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
         pq.write_table(t.slice(lo, hi - lo), os.path.join(tmp, f"part-{i:03d}.parquet"))
     max_ns = max(t["ts"].to_pylist())
-    sentinel = pa.table(
-        {
-            "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([max_ns + 2 * GAP_MS * 1_000_000], pa.int64()),
-            "user_id": pa.array([-1], pa.int64()),
-            "event_type": pa.array(["sentinel"], pa.string()),
-            "value": pa.array([0.0], pa.float64()),
-            "props": pa.array([None], pa.string()),
-        }
+    jobs.write_sentinel_file(
+        os.path.join(tmp, "part-999-sentinel.parquet"),
+        max_ns + 2 * 86_400_000_000_000,  # +2 days
     )
-    pq.write_table(sentinel, os.path.join(tmp, "part-999-sentinel.parquet"))
-    return tmp
+    cutoff = pd.Timestamp(max_ns + 3_600_000_000_000, unit="ns").strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    return tmp, cutoff
 
 
 # -- single micro-batch parity ------------------------------------------------
@@ -112,7 +113,7 @@ def test_jump_parity(spark, sf_dir):
 
 
 def test_repair_parity_multibatch(spark, sf_dir, split_events_dir):
-    events = stream_events(spark, split_events_dir, max_files_per_trigger=1)
+    events = stream_events(spark, split_events_dir[0], max_files_per_trigger=1)
     got = jobs.run_bounded(
         repair_is_new_stream(events, key="user_id"), spark
     ).filter(F.col("user_id") >= 0)
@@ -128,7 +129,7 @@ def test_repair_parity_multibatch(spark, sf_dir, split_events_dir):
 
 
 def test_uv_parity_multibatch(spark, sf_dir, split_events_dir):
-    events = stream_events(spark, split_events_dir, max_files_per_trigger=1)
+    events = stream_events(spark, split_events_dir[0], max_files_per_trigger=1)
     got = jobs.run_bounded(uv_dedup_stream(events, key="user_id"), spark).filter(
         F.col("user_id") >= 0
     )
@@ -146,7 +147,7 @@ def test_windowed_agg_streaming_parity(spark, sf_dir, split_events_dir):
     sentinel pushes the watermark past all real windows)."""
     from gmall_realtime_flink_spark.operators.windows import tumble_agg
 
-    events = stream_events(spark, split_events_dir, max_files_per_trigger=1)
+    events = stream_events(spark, split_events_dir[0], max_files_per_trigger=1)
     agg = tumble_agg(
         events,
         ts_col="ts",
@@ -154,7 +155,7 @@ def test_windowed_agg_streaming_parity(spark, sf_dir, split_events_dir):
         keys=["event_type"],
         aggs=[F.count(F.lit(1)).alias("pv_ct")],
     )
-    got = jobs.run_bounded(agg, spark).filter(F.col("event_type") != "sentinel")
+    got = jobs.run_bounded(agg, spark).filter(F.col("stt") < split_events_dir[1])
     batch = load(spark, sf_dir, "events")
     want = tumble_agg(
         batch,
@@ -167,8 +168,141 @@ def test_windowed_agg_streaming_parity(spark, sf_dir, split_events_dir):
     assert rows(got, cols) == rows(want, cols)
 
 
+def test_union_pipeline_streaming_parity(spark, sf_dir, split_events_dir):
+    """U1 under streaming: the full ProductStats union pipeline (5
+    skeleton branches -> unionByName -> keyed tumble agg) on a
+    watermarked multi-batch stream equals the batch run."""
+    from gmall_realtime_flink_spark.plans.gmall import product_stats_union_core
+
+    events = stream_events(spark, split_events_dir[0], max_files_per_trigger=1)
+    got = jobs.run_bounded(product_stats_union_core(events), spark).filter(
+        F.col("sku_id").isNotNull() & (F.col("stt") < split_events_dir[1])
+    )
+    want = product_stats_union_core(load(spark, sf_dir, "events"))
+    cols = [
+        "stt", "edt", "sku_id", "click_ct", "display_ct", "favor_ct",
+        "order_ct", "refund_ct", "order_amount",
+    ]
+    assert rows(got, cols) == rows(want, cols)
+
+
+def test_streaming_distinct_collect_set(spark, sf_dir, split_events_dir):
+    """A3 streaming-safe distinct counting: size(collect_set(id)) in a
+    streaming window agg equals batch countDistinct (exact
+    countDistinct is unsupported on streaming aggregations)."""
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+
+    events = stream_events(spark, split_events_dir[0], max_files_per_trigger=1)
+    agg = tumble_agg(
+        events,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["event_type"],
+        aggs=[F.size(F.collect_set("user_id")).alias("uv_ct")],
+    )
+    got = jobs.run_bounded(agg, spark).filter(F.col("stt") < split_events_dir[1])
+    batch = load(spark, sf_dir, "events")
+    want = tumble_agg(
+        batch,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["event_type"],
+        aggs=[F.countDistinct("user_id").alias("uv_ct")],
+    )
+    cols = ["stt", "edt", "event_type", "uv_ct"]
+    assert rows(got, cols) == rows(want, cols)
+
+
+def test_late_data_dropped_by_watermark(spark, sf_dir):
+    """W6: rows behind the watermark are dropped (the reference's
+    no-allowedLateness policy).
+
+    Spark ≥3.4 subtlety (found empirically): stateful operators filter
+    late input against the PREVIOUS batch's watermark and evict state
+    with the current one — so data one batch late still slips in. The
+    middle third here arrives two watermark advances after the newest
+    third (an intermediate sentinel batch moves the late-filter
+    watermark past it), so every middle-third row must drop."""
+    import pandas as pd
+    import uuid
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", t["ts"].cast("int64")
+    )
+    t = t.sort_by("ts")
+    n = t.num_rows
+    f1, f3, f2 = (
+        t.slice(0, n // 3),
+        t.slice(n // 3, (2 * n) // 3 - n // 3),
+        t.slice((2 * n) // 3),
+    )
+    tmp = tempfile.mkdtemp(prefix="events_late_")
+    max2_ns = max(f2["ts"].to_pylist())
+    s1 = os.path.join(tmp, "part-002-sentinel1.parquet")
+    s2 = os.path.join(tmp, "part-004-sentinel2.parquet")
+    parts = [
+        (os.path.join(tmp, "part-000.parquet"), f1),
+        (os.path.join(tmp, "part-001.parquet"), f2),
+        (s1, None),  # advances the late-filter watermark past f3
+        (os.path.join(tmp, "part-003.parquet"), f3),
+        (s2, None),  # closes remaining windows
+    ]
+    for i, (p, part) in enumerate(parts):
+        if part is None:
+            jobs.write_sentinel_file(
+                p, max2_ns + (1 + parts.index((p, None))) * 3_600_000_000_000
+            )
+        else:
+            pq.write_table(part, p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    events = stream_events(spark, tmp, max_files_per_trigger=1)
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+
+    agg = tumble_agg(
+        events,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=[],
+        aggs=[F.count(F.lit(1)).alias("ct")],
+    )
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cutoff = pd.Timestamp(max2_ns + 1_800_000_000_000, unit="ns").strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    got = spark.table(name).filter(F.col("stt") < cutoff)
+
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    # the output equality below is the semantic check; the progress
+    # metric undercounts by one row in this Spark build, so only bound it
+    assert dropped >= f3.num_rows - 1
+
+    exp = {}
+    for ts_ns in pa.concat_tables([f1, f2])["ts"].to_pylist():
+        stt = pd.Timestamp(ts_ns, unit="ns").floor("10s").strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        exp[stt] = exp.get(stt, 0) + 1
+    got_map = {r["stt"]: r["ct"] for r in got.collect()}
+    assert got_map == exp
+
+
 def test_jump_parity_multibatch(spark, sf_dir, split_events_dir):
-    events = stream_events(spark, split_events_dir, max_files_per_trigger=1)
+    events = stream_events(spark, split_events_dir[0], max_files_per_trigger=1)
     got = jobs.run_bounded(
         jump_detect_stream(events, key="user_id", gap_ms=GAP_MS), spark
     ).filter(F.col("user_id") >= 0)
