@@ -116,6 +116,11 @@ def lsh_candidates(
         id_col,
         f"stack({len(pairs)}, {stack_expr}) as (band, band_hash)",
     )
+    # repartition on the join key so both sides of the self-join share
+    # one identical exchange: ReuseExchange then computes the (md5-heavy)
+    # signatures ONCE instead of once per side — at 100 TB the signature
+    # pass dominates, so this halves the job
+    bands = bands.repartition("band", "band_hash")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

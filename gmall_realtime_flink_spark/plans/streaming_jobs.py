@@ -72,3 +72,27 @@ def streaming_unique_visit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_user_jump(spark, sf_dir)
+
+
+@register(
+    "streaming_view_click_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 2 DAYS
+    """,
+    doc="ST4+J1 streaming: stream-stream inner interval join with "
+    "watermark-bounded state (RT/app/dwm/OrderWideApp.java:140-152 — "
+    "the keyed interval-join buffering is Spark's stream-stream join "
+    "state, evicted by watermark + band width).",
+    tags=("streaming", "join", "interval"),
+)
+def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_view_click_join(spark, sf_dir)

@@ -131,3 +131,73 @@ def streaming_user_jump(
         jump_detect_stream(events, key="user_id", gap_ms=gap_ms), spark
     )
     return out.filter(F.col("user_id") >= 0)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts,
+    right_ts,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """J1/J2 + ST4: stream-stream inner interval join.
+
+    Identical predicate shape to operators.joins.interval_join — the
+    equi-key carries the shuffle, the band is a residual predicate.
+    Under streaming, both sides must carry watermarks; Spark bounds the
+    join state to watermark + band width (the Flink intervalJoin's
+    keyed buffering state, OrderWideApp.java:144-152, for free).
+    """
+    band = (right_ts >= left_ts + F.expr(f"INTERVAL {lower}")) & (
+        right_ts <= left_ts + F.expr(f"INTERVAL {upper}")
+    )
+    return left.join(right, on & band, "inner")
+
+
+def streaming_view_click_join(
+    spark: SparkSession, sf_dir: str, window: str = "2 days"
+) -> DataFrame:
+    """ST4 under Structured Streaming: per-user view⋈click pairs where
+    the click lands within `window` after the view (the OrderWideApp
+    order⋈detail shape on the events table)."""
+    path = events_path(sf_dir)
+    views = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    clicks = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = interval_join_stream(
+        views,
+        clicks,
+        on=F.col("v_user") == F.col("c_user"),
+        left_ts=F.col("v_ts"),
+        right_ts=F.col("c_ts"),
+        lower="0 seconds",
+        upper=window,
+    )
+    out = run_bounded(
+        joined.select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        ),
+        spark,
+    )
+    return out

@@ -109,6 +109,42 @@ def test_jump_parity(spark, sf_dir):
     assert rows(got, cols) == rows(want, cols)
 
 
+def test_interval_join_streaming_parity(spark, sf_dir):
+    """ST4/J1: the stream-stream interval join equals the batch
+    interval_join operator on bounded input."""
+    from gmall_realtime_flink_spark.operators.joins import interval_join
+
+    got = jobs.streaming_view_click_join(spark, sf_dir, window="2 days")
+    events = load(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = interval_join(
+        v,
+        c,
+        on=F.col("v_user") == F.col("c_user"),
+        left_ts=F.col("v_ts"),
+        right_ts=F.col("c_ts"),
+        lower="0 seconds",
+        upper="2 days",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    cols = ["user_id", "view_id", "click_id", "view_ts", "click_ts"]
+    assert rows(got, cols) == rows(want, cols)
+
+
 # -- multi-micro-batch parity (state survives across triggers) ----------------
 
 
