@@ -55,6 +55,29 @@ def uv_dedup(
     )
 
 
+def session_entry(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    gap_ms: int = 600_000,
+) -> DataFrame:
+    """P5: entry-event detection — the `last_page_id is null` filter
+    (RT/app/dwm/UniqueVisitApp.java:95-101, VisitorStatsApp.java:106-125).
+
+    The testdata has no page-chain column, so "entry" is derived the
+    way sessionizers do: an event opens a session iff no prior event
+    for the key within `gap_ms` (lag-based; the mirror image of
+    jump_detect's lead-based timeout).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, *order_cols)
+    with_prev = df.withColumn("__prev", F.lag(ts_col).over(w))
+    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__prev"))
+    return with_prev.filter(
+        F.col("__prev").isNull() | (gap > gap_ms)
+    ).drop("__prev")
+
+
 def jump_detect(
     df: DataFrame,
     key: str = "user_id",

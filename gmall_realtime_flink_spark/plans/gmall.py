@@ -24,6 +24,7 @@ from gmall_realtime_flink_spark.operators.routing import (
 from gmall_realtime_flink_spark.operators.stateful import (
     jump_detect,
     repair_is_new,
+    session_entry,
     uv_dedup,
 )
 from gmall_realtime_flink_spark.operators.union import (
@@ -142,6 +143,33 @@ def user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("jump_ts"),
+    )
+
+
+@register(
+    "session_entry",
+    oracle="""
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS entry_ts
+    FROM (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    WHERE prev_ts IS NULL
+       OR date_diff('millisecond', prev_ts, ts) > 600000
+    """,
+    doc="P5: entry-event detection — the `last_page_id is null` session "
+    "filter (RT/app/dwm/UniqueVisitApp.java:95-101), derived lag-based "
+    "(an event opens a session iff no prior event within the gap) since "
+    "the testdata has no page chain.",
+    tags=("stateful", "session"),
+)
+def session_entry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return session_entry(events, key="user_id", ts_col="ts").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("entry_ts"),
     )
 
 
@@ -654,6 +682,57 @@ def keyword_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL VIEW explode(split(lower(d.text), '[^a-z]+')) t AS word
         WHERE e.event_type = 'view' AND length(word) >= 2
         GROUP BY window(e.ts, '10 seconds'), word
+        """
+    )
+
+
+@register(
+    "keyword_product_sql",
+    oracle="""
+    WITH agg AS (
+      SELECT p.p_brand,
+             sum(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS click_ct,
+             sum(CASE WHEN l.l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS cart_ct,
+             sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS order_ct
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand),
+    words AS (
+      SELECT unnest(regexp_split_to_array(lower(p_brand), '[^a-z0-9]+')) AS word,
+             click_ct, cart_ct, order_ct
+      FROM agg),
+    unp AS (
+      SELECT word, click_ct AS ct, 'CLICK' AS source FROM words
+      UNION ALL SELECT word, cart_ct, 'CART' FROM words
+      UNION ALL SELECT word, order_ct, 'ORDER' FROM words)
+    SELECT word AS keyword, ct, source
+    FROM unp WHERE length(word) >= 2 AND ct > 0
+    """,
+    doc="F4 full form: the double LATERAL cross-apply of "
+    "KeywordStats4ProductApp.java:61-66 — tokenizer UDTF × unpivot UDTF "
+    "chained as two LATERAL VIEW explodes in one spark.sql query "
+    "(ik_analyze ≈ regex split; keywordProduct ≈ filtered struct array).",
+    tags=("sql", "udtf", "explode", "unpivot"),
+)
+def keyword_product_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT word AS keyword, m.ct AS ct, m.source AS source
+        FROM (
+          SELECT p.p_brand,
+                 sum(CASE WHEN l.l_returnflag = 'N' THEN 1 ELSE 0 END) AS click_ct,
+                 sum(CASE WHEN l.l_returnflag = 'A' THEN 1 ELSE 0 END) AS cart_ct,
+                 sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS order_ct
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand
+        ) agg
+        LATERAL VIEW explode(split(lower(p_brand), '[^a-z0-9]+')) t1 AS word
+        LATERAL VIEW explode(filter(array(
+            named_struct('ct', click_ct, 'source', 'CLICK'),
+            named_struct('ct', cart_ct, 'source', 'CART'),
+            named_struct('ct', order_ct, 'source', 'ORDER')
+          ), x -> x.ct > 0)) t2 AS m
+        WHERE length(word) >= 2
         """
     )
 
