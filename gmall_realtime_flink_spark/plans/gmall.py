@@ -1125,6 +1125,84 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(28,4))), 2)::DOUBLE AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    doc="A8 extension (TPC-H Q3 shape): segment-filtered 3-table join + "
+    "revenue agg. Scale: both filters push to the scans; customer is "
+    "broadcast; the orders⋈lineitem join shuffles on the order key.",
+    tags=("olap", "join", "agg"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).alias("c")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    ).alias("o")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    ).alias("l")
+    joined = o.join(
+        F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey")
+    ).join(l, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+    return joined.groupBy(
+        "l.l_orderkey",
+        F.date_format("o.o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o.o_orderpriority",
+    ).agg(
+        dec_sum(F.col("l.l_extendedprice") * (1 - F.col("l.l_discount"))).alias(
+            "revenue"
+        )
+    ).select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+
+
+@register(
+    "nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           strftime(o.o_orderdate, '%Y-%m') AS order_month,
+           count(*)::BIGINT AS order_ct,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="A8 extension (TPC-H Q5 shape): per-nation monthly revenue "
+    "rollup — broadcast dims, single shuffle on (nation, month).",
+    tags=("olap", "join", "agg"),
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    n = load(spark, sf_dir, "nation").alias("n")
+    joined = o.join(
+        F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey")
+    ).join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+    return joined.groupBy(
+        F.col("n.n_name").alias("nation"),
+        F.date_format("o.o_orderdate", "yyyy-MM").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("order_ct"),
+        dec_sum("o.o_totalprice").alias("revenue"),
+    )
+
+
+@register(
     "top_products",
     oracle="""
     SELECT sku_id, revenue, rk FROM (
