@@ -1203,6 +1203,41 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(strftime(o.o_orderdate, '%Y'), 'ALL') AS order_year,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, strftime(o.o_orderdate, '%Y'))
+    """,
+    doc="A8 extension: hierarchical ROLLUP (nation, year) revenue — "
+    "grouping-sets family, absent from the reference, native in both "
+    "Catalyst (Expand + single shuffle) and the DuckDB oracle.",
+    tags=("olap", "rollup", "agg"),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    n = load(spark, sf_dir, "nation").alias("n")
+    joined = o.join(
+        F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey")
+    ).join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+    rolled = joined.rollup(
+        F.col("n.n_name").alias("nation"),
+        F.date_format("o.o_orderdate", "yyyy").alias("order_year"),
+    ).agg(dec_sum("o.o_totalprice").alias("revenue"))
+    return rolled.select(
+        F.coalesce("nation", F.lit("ALL")).alias("nation"),
+        F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+        "revenue",
+    )
+
+
+@register(
     "top_products",
     oracle="""
     SELECT sku_id, revenue, rk FROM (
