@@ -249,6 +249,85 @@ def test_streaming_distinct_collect_set(spark, sf_dir, split_events_dir):
     assert rows(got, cols) == rows(want, cols)
 
 
+def test_layer_chained_streaming_dag(spark, sf_dir):
+    """The reference's warehouse topology: independent streaming apps
+    chained through a durable layer boundary (Kafka topic there, a
+    parquet directory here). Stage 1 = UniqueVisitApp (ST2 stateful
+    dedup) writing the DWM layer via foreachBatch; stage 2 = a DWS app
+    streaming *from that layer* into a daily-UV windowed aggregate.
+    End-to-end result must equal the single batch computation."""
+    import uuid
+
+    from pyspark.sql import types as T
+    from gmall_realtime_flink_spark.operators.stateful import uv_dedup
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+    from gmall_realtime_flink_spark.streaming.sinks import append_writer
+    from gmall_realtime_flink_spark.streaming.state import uv_dedup_stream
+
+    # stage 1: events stream -> ST2 dedup -> DWM parquet layer
+    dwm = os.path.join(tempfile.mkdtemp(prefix="dwm_"), "dwm_unique_visit")
+    events = stream_events(spark, jobs.events_path(sf_dir))
+    q1 = (
+        uv_dedup_stream(events, key="user_id")
+        .writeStream.foreachBatch(append_writer(dwm))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    # sentinel row in the DWM layer so stage 2's final window closes
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    pq2.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "visit_date": pa.array(["2030-01-01"], pa.string()),
+                "first_ts": pa.array(["2030-01-01 00:00:00"], pa.string()),
+            }
+        ),
+        os.path.join(dwm, "part-sentinel.parquet"),
+    )
+
+    # stage 2: DWM layer as a stream -> daily UV window agg
+    dwm_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("visit_date", T.StringType()),
+            T.StructField("first_ts", T.StringType()),
+        ]
+    )
+    uv_stream = (
+        spark.readStream.schema(dwm_schema)
+        .parquet(dwm)
+        .withColumn("ts", F.to_timestamp("first_ts"))
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = tumble_agg(
+        uv_stream,
+        ts_col="ts",
+        duration="1 day",
+        keys=[],
+        aggs=[F.count(F.lit(1)).alias("uv_ct")],
+    )
+    got = jobs.run_bounded(agg, spark).filter(F.col("stt") < "2030-01-01")
+
+    batch = load(spark, sf_dir, "events")
+    want = tumble_agg(
+        uv_dedup(batch, key="user_id", ts_col="ts").withColumn(
+            "ts", F.to_timestamp("first_ts")
+        ),
+        ts_col="ts",
+        duration="1 day",
+        keys=[],
+        aggs=[F.count(F.lit(1)).alias("uv_ct")],
+    )
+    cols = ["stt", "edt", "uv_ct"]
+    assert rows(got, cols) == rows(want, cols)
+
+
 def test_late_data_dropped_by_watermark(spark, sf_dir):
     """W6: rows behind the watermark are dropped (the reference's
     no-allowedLateness policy).
