@@ -96,3 +96,70 @@ def streaming_user_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_view_click_join(spark, sf_dir)
+
+
+@register(
+    "streaming_product_stats",
+    oracle="""
+    WITH src AS (
+      SELECT ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS sku_id,
+             event_type, value
+      FROM events
+    ),
+    u AS (
+      SELECT ts, sku_id, 1 AS click_ct, 0 AS display_ct, 0 AS favor_ct,
+             0 AS order_ct, 0 AS refund_ct, 0.0 AS amount
+      FROM src WHERE event_type = 'click'
+      UNION ALL
+      SELECT ts, sku_id, 0, 1, 0, 0, 0, 0.0 FROM src WHERE event_type = 'view'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 1, 0, 0, 0.0 FROM src WHERE event_type = 'signup'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 1, 0, value FROM src WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 0, 1, 0.0 FROM src WHERE event_type = 'error'
+    )
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           sku_id,
+           sum(click_ct)::BIGINT AS click_ct,
+           sum(display_ct)::BIGINT AS display_ct,
+           sum(favor_ct)::BIGINT AS favor_ct,
+           sum(order_ct)::BIGINT AS order_ct,
+           sum(refund_ct)::BIGINT AS refund_ct,
+           round(sum(CAST(amount AS DECIMAL(28,4))), 2)::DOUBLE AS order_amount
+    FROM u GROUP BY 1, 2, 3
+    """,
+    doc="U1 under Structured Streaming: the full ProductStatsApp union "
+    "pipeline (skeleton branches -> unionByName -> keyed 10 s tumble) "
+    "run as a watermarked stream; oracle = the batch formulation. "
+    "Checks the whole DWS streaming path end-to-end.",
+    tags=("streaming", "union", "window", "agg"),
+)
+def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_product_stats(spark, sf_dir)
+
+
+@register(
+    "streaming_visitor_stats",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type,
+           count(*) AS pv_ct,
+           count(DISTINCT user_id) AS uv_ct,
+           round(sum(CAST(value AS DECIMAL(28,4))), 2)::DOUBLE AS dur_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="A1/A2/A3 under Structured Streaming: keyed tumble with "
+    "streaming-safe exact distinct (size(collect_set) — countDistinct "
+    "is unsupported on streaming aggs, SURVEY §7.3); oracle = the "
+    "batch visitor_stats formulation with exact COUNT(DISTINCT).",
+    tags=("streaming", "window", "agg", "distinct"),
+)
+def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_visitor_stats(spark, sf_dir)

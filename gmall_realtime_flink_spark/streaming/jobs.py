@@ -89,11 +89,18 @@ def write_sentinel_file(path: str, ts_ns: int) -> None:
     pq.write_table(sentinel, path)
 
 
+# fixed far-future sentinel event time (testdata is all 2024): lets any
+# downstream query separate real windows with `stt < SENTINEL_CUTOFF`
+SENTINEL_TS_NS = 1_893_456_000_000_000_000  # 2030-01-01 UTC
+SENTINEL_CUTOFF = "2029-01-01"
+
+
 def events_with_sentinel(
     spark: SparkSession, sf_dir: str, gap_ms: int
 ) -> str:
     """Stage an input dir = events.parquet (symlinked) + sentinel events
-    2×gap past the max event time, so every real ST3 timer fires.
+    far past the max event time, so every real ST3 timer fires and
+    every real window closes.
     """
     import pyarrow.parquet as pq
 
@@ -104,7 +111,7 @@ def events_with_sentinel(
     os.symlink(src, os.path.join(tmp, "part-000.parquet"))
     write_sentinel_file(
         os.path.join(tmp, "part-001-sentinel.parquet"),
-        max_ns + 2 * gap_ms * 1_000_000,
+        max(max_ns + 2 * gap_ms * 1_000_000, SENTINEL_TS_NS),
     )
     return tmp
 
@@ -131,6 +138,49 @@ def streaming_user_jump(
         jump_detect_stream(events, key="user_id", gap_ms=gap_ms), spark
     )
     return out.filter(F.col("user_id") >= 0)
+
+
+def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 under Structured Streaming: the full ProductStats union
+    pipeline on a watermarked stream, run bounded. Equals the batch
+    `product_stats_union` query (same oracle)."""
+    from gmall_realtime_flink_spark.plans.gmall import product_stats_union_core
+
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path)
+    out = run_bounded(product_stats_union_core(events), spark)
+    # sentinel rows carry null props -> null sku; their windows are far
+    # future — both filters drop only sentinel output
+    return out.filter(
+        F.col("sku_id").isNotNull() & (F.col("stt") < SENTINEL_CUTOFF)
+    )
+
+
+def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3 under Structured Streaming: keyed 10 s tumble with
+    streaming-safe distinct counting (collect_set — exact countDistinct
+    is unsupported on streaming aggs, SURVEY §7.3)."""
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path)
+    agg = tumble_agg(
+        events,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.size(F.collect_set("user_id")).alias("uv_ct"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,4)")), 2
+            ).cast("double").alias("dur_sum"),
+        ],
+    )
+    out = run_bounded(agg, spark)
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF).select(
+        "stt", "edt", "event_type", "pv_ct", "uv_ct", "dur_sum"
+    )
 
 
 def interval_join_stream(
