@@ -99,6 +99,29 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_order_wide",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+           round(o.o_totalprice, 2) AS total_amount,
+           round(l.l_extendedprice, 2) AS split_amount
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAYS
+    """,
+    doc="J1+ST4 on the warehouse tables: the OrderWideApp interval join "
+    "(RT/app/dwm/OrderWideApp.java:140-152) as a stream-stream join "
+    "over two file streams with watermark-bounded state; oracle = the "
+    "batch order_wide formulation.",
+    tags=("streaming", "join", "interval"),
+)
+def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_order_wide(spark, sf_dir)
+
+
+@register(
     "streaming_product_stats",
     oracle="""
     WITH src AS (

@@ -140,6 +140,84 @@ def streaming_user_jump(
     return out.filter(F.col("user_id") >= 0)
 
 
+def stage_table_dir(sf_dir: str, table: str) -> str:
+    """Symlink one parquet table into a fresh streaming input dir."""
+    tmp = tempfile.mkdtemp(prefix=f"{table}_stream_")
+    os.symlink(
+        os.path.join(sf_dir, f"{table}.parquet"),
+        os.path.join(tmp, "part-000.parquet"),
+    )
+    return tmp
+
+
+def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/ST4 on the real warehouse tables: orders ⋈ lineitem as two
+    file streams, equi-key + [0, 30d] event-time band — the streaming
+    form of the batch `order_wide` query (same oracle)."""
+    from pyspark.sql import types as T
+
+    orders_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    lineitem_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    )
+    o = (
+        spark.readStream.schema(orders_schema)
+        .parquet(stage_table_dir(sf_dir, "orders"))
+        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_ts", "0 seconds")
+        .alias("o")
+    )
+    l = (
+        spark.readStream.schema(lineitem_schema)
+        .parquet(stage_table_dir(sf_dir, "lineitem"))
+        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_ts", "0 seconds")
+        .alias("l")
+    )
+    joined = interval_join_stream(
+        o,
+        l,
+        on=F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        left_ts=F.col("o_ts"),
+        right_ts=F.col("l_ts"),
+        lower="0 seconds",
+        upper="30 days",
+    )
+    return run_bounded(
+        joined.select(
+            "o.o_orderkey",
+            "l.l_linenumber",
+            "l.l_partkey",
+            F.date_format("o.o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.round("o.o_totalprice", 2).alias("total_amount"),
+            F.round("l.l_extendedprice", 2).alias("split_amount"),
+        ),
+        spark,
+    )
+
+
 def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 under Structured Streaming: the full ProductStats union
     pipeline on a watermarked stream, run bounded. Equals the batch

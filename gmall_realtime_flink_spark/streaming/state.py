@@ -101,10 +101,15 @@ def _uv_fn(
         if fresh:
             seen.add(d)
     out = rows[pd.Series(keep, index=rows.index)]
-    # the reference's 1-day TTL (StateTtlConfig, :85-89) bounds state to
-    # ~1 date; keeping the full set is exact and still tiny (≤ distinct
-    # days per key). A TTL analogue would drop dates < watermark day.
-    state.update((sorted(seen),))
+    # TTL eviction (the reference's 1-day StateTtlConfig, :85-89): once
+    # the key's event time has advanced past a date by more than a day,
+    # that date can never be claimed again by in-watermark data — drop
+    # it so per-key state stays O(1) instead of O(distinct days)
+    horizon = max(seen)  # latest date seen for this key
+    cutoff = (pd.Timestamp(horizon) - pd.Timedelta(days=1)).strftime(
+        "%Y-%m-%d"
+    )
+    state.update((sorted(d for d in seen if d >= cutoff),))
     yield pd.DataFrame(
         {
             "user_id": out["user_id"],
