@@ -770,6 +770,33 @@ def keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "keyword_stats_mixed",
+    oracle="""
+    SELECT keyword, count(*) AS ct
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[一-鿿]')) AS keyword
+      FROM documents
+    )
+    WHERE length(keyword) >= 2
+    GROUP BY keyword
+    """,
+    doc="F2/X11 mixed-script form: the CJK-aware tokenizer "
+    "(operators/dedup.tokenize_mixed — ASCII word runs + CJK unigrams, "
+    "the IK out-of-dictionary degradation) feeding keyword frequency; "
+    "oracle uses the identical regex in DuckDB.",
+    tags=("udtf", "explode", "text"),
+)
+def keyword_stats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import tokenize_mixed
+
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(tokenize_mixed(F.col("text"))).alias("keyword")
+    ).filter(F.length("keyword") >= 2)
+    return tokens.groupBy("keyword").agg(F.count(F.lit(1)).alias("ct"))
+
+
+@register(
     "keyword_product_stats",
     oracle="""
     WITH agg AS (
@@ -1199,6 +1226,39 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("order_ct"),
         dec_sum("o.o_totalprice").alias("revenue"),
+    )
+
+
+@register(
+    "discount_revenue",
+    oracle="""
+    SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))), 2)::DOUBLE
+             AS promo_revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="A8 extension (TPC-H Q6 shape): tight-filter scan-and-aggregate "
+    "— every predicate pushes to the parquet scan, no join, no "
+    "post-shuffle work beyond a scalar merge.",
+    tags=("olap", "agg", "pushdown"),
+)
+def discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "promo_revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
     )
 
 
