@@ -166,6 +166,52 @@ def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_product_stats_enriched",
+    oracle="""
+    WITH src AS (
+      SELECT ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS sku_id,
+             event_type, value
+      FROM events
+    ),
+    u AS (
+      SELECT ts, sku_id, 1 AS click_ct, 0 AS order_ct, 0.0 AS amount
+      FROM src WHERE event_type = 'click'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0.0 FROM src WHERE event_type = 'view'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0.0 FROM src WHERE event_type = 'signup'
+      UNION ALL
+      SELECT ts, sku_id, 0, 1, value FROM src WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0.0 FROM src WHERE event_type = 'error'
+    ),
+    agg AS (
+      SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+             strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                      '%Y-%m-%d %H:%M:%S') AS edt,
+             sku_id,
+             sum(click_ct)::BIGINT AS click_ct,
+             sum(order_ct)::BIGINT AS order_ct,
+             round(sum(CAST(amount AS DECIMAL(28,4))), 2)::DOUBLE AS order_amount
+      FROM u GROUP BY 1, 2, 3)
+    SELECT agg.stt, agg.edt, agg.sku_id, s.s_name AS sku_name,
+           agg.click_ct, agg.order_ct, agg.order_amount
+    FROM agg LEFT JOIN supplier s ON agg.sku_id = s.s_suppkey
+    """,
+    doc="J4 under streaming: broadcast dim join AFTER the streaming "
+    "window agg (stream-static join downstream of the stateful "
+    "operator, RT/app/dws/ProductStatsApp.java:318-397) — |groups| "
+    "rows hit the join, not |events|.",
+    tags=("streaming", "join", "broadcast", "agg"),
+)
+def streaming_product_stats_enriched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return jobs.streaming_product_stats_enriched(spark, sf_dir)
+
+
+@register(
     "streaming_visitor_stats",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,

@@ -234,6 +234,36 @@ def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_product_stats_enriched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J4 under streaming: broadcast dim enrichment AFTER the streaming
+    window aggregation — the reference joins dims onto the aggregated
+    ProductStats stream (RT/app/dws/ProductStatsApp.java:318-397), the
+    cheap ordering (|groups| rows hit the join, not |events|). In
+    Spark this is a stream-static join downstream of the streaming agg,
+    in the same query."""
+    from gmall_realtime_flink_spark.plans.gmall import product_stats_union_core
+
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path)
+    agg = product_stats_union_core(events)
+    dim = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).select(
+        F.col("s_suppkey"), F.col("s_name")
+    )
+    enriched = agg.join(
+        F.broadcast(dim), agg["sku_id"] == dim["s_suppkey"], "left"
+    ).select(
+        "stt", "edt", "sku_id",
+        F.col("s_name").alias("sku_name"),
+        "click_ct", "order_ct", "order_amount",
+    )
+    out = run_bounded(enriched, spark)
+    return out.filter(
+        F.col("sku_id").isNotNull() & (F.col("stt") < SENTINEL_CUTOFF)
+    )
+
+
 def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/A3 under Structured Streaming: keyed 10 s tumble with
     streaming-safe distinct counting (collect_set — exact countDistinct
