@@ -179,3 +179,72 @@ def jaccard_verify(
         )
     )
     return j.filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup candidate pairs into connected components:
+    (doc_id, cluster_id, is_canonical) with cluster_id = min doc id
+    reachable through the pair graph. The last stage of the dedup
+    pipeline — downstream keeps `is_canonical` rows (one doc per
+    cluster) via a filter or anti-join.
+
+    Algorithm: Pregel-style min-label propagation. Each round joins
+    the (symmetrized) edge list with the current labels and takes the
+    min label over each node's neighborhood; converged when no label
+    changes. Rounds = graph diameter; near-dup components are
+    star/clique shaped (diameter <= ~3), so this terminates in a few
+    rounds. For adversarial long-chain graphs at 100 TB, switch the
+    round body to the large-star/small-star steps (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    join harness, O(log^2 n) rounds worst case.
+
+    Scale notes: per round = one shuffle hash join + one min
+    aggregation, both keyed on doc id (uniform). `localCheckpoint`
+    truncates lineage each round so the plan stays constant-size
+    instead of growing by one join per iteration (driver OOM /
+    exponential re-analysis otherwise). The convergence check is a
+    driver-side count — the normal coordination pattern for iterative
+    algorithms (GraphX/Pregel supersteps do the same).
+    """
+    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            F.col("src").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )

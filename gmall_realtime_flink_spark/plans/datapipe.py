@@ -456,3 +456,113 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return extract_features(attach_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: cluster candidates into components (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+# the oracle computes min-reachable-id per node via a recursive CTE —
+# the declarative statement of what the iterative Spark propagation
+# converges to
+_HEXVAL = (
+    "((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)"
+)
+
+
+@register(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    nodes AS (SELECT doc_a AS id FROM cand UNION SELECT doc_b FROM cand),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
+    SELECT id AS doc_id, min(r) AS cluster_id,
+           (id = min(r)) AS is_canonical
+    FROM reach GROUP BY id
+    """,
+    doc="Near-dup clustering: connected components over the MinHash-LSH "
+    "candidate pairs via Pregel-style min-label propagation "
+    "(operators/dedup.connected_components); downstream dedup keeps "
+    "the is_canonical row per cluster. The final stage of the "
+    "candidate->verify->cluster->keep-one dedup pipeline.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    return connected_components(lsh_candidates(minhash_signatures(d)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split / stratified sampling / normalization
+# (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_HEXVAL} < 12 THEN 'test'
+                WHEN {_HEXVAL} < 24 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split (90/5/5) keyed on "
+    "md5(doc_id) buckets — content-stable, partitioning-independent, "
+    "reproducible at any scale factor (operators/sampling.train_split).",
+    tags=("sampling", "split"),
+)
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.sampling import train_split
+
+    d = load(spark, sf_dir, "documents")
+    return train_split(d).select("doc_id", "split")
+
+
+@register(
+    "doc_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_HEXVAL} < CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 192
+                      ELSE 128 END
+    """,
+    doc="Deterministic stratified downsample by language: en kept at "
+    "64/256, zh at 192/256, default 128/256 — hash-bucket filter on "
+    "the scan, no shuffle (operators/sampling.stratified_sample).",
+    tags=("sampling", "stratified"),
+)
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 64, "zh": 192}, default_rate=128
+    ).select("doc_id", "lang")
+
+
+@register(
+    "doc_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+             AS norm_text
+    FROM documents
+    """,
+    doc="Canonical text normalization (lowercase, punctuation runs to "
+    "single spaces, trimmed) — the pre-pass feeding exact dedup and "
+    "fingerprinting (operators/sampling.normalize_text).",
+    tags=("text", "normalize"),
+)
+def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.sampling import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
