@@ -1330,3 +1330,102 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.col("revenue").desc(), F.col("sku_id")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("sku_id"))
     return top.withColumn("rk", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (A8 extension — join-strategy surface Spark adds
+# beyond the reference's inner/left joins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: LEFT SEMI join (EXISTS) — orders with at least "
+    "one deep-discount lineitem, counted per priority. The semi join "
+    "never materializes the (order x lineitem) match multiplicity, so "
+    "the shuffle carries each order key once; the discount filter is "
+    "pushed into the lineitem scan.",
+    tags=("join", "semi"),
+)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "customers_no_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*)::BIGINT AS customer_ct
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): customers with no recent order "
+    "(churn probe), per market segment. Anti join emits each probe row "
+    "at most once — no match multiplication; the date filter prunes "
+    "the build side at the scan.",
+    tags=("join", "anti"),
+)
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customer_ct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4: age-from-birthday derivation (OrderWideApp.java:167-182)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_age",
+    oracle="""
+    SELECT age, count(*)::BIGINT AS user_ct FROM (
+      SELECT CAST(floor(date_diff('day',
+               DATE '1950-01-01' + INTERVAL ((c_custkey % 18262)) DAY,
+               DATE '2026-08-13') / 365) AS INT) AS age
+      FROM customer)
+    GROUP BY age
+    """,
+    doc="X4 parity: age = floor(days-since-birthday / 365) — the "
+    "reference divides by exactly 365, not 365.25 "
+    "(RT/app/dwm/OrderWideApp.java:167-182); birthday synthesized "
+    "deterministically from c_custkey (testdata has no birthday "
+    "column), 'now' pinned for reproducibility.",
+    tags=("function", "datetime"),
+)
+def user_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    birthday = F.date_add(
+        F.lit("1950-01-01").cast("date"), (F.col("c_custkey") % 18262).cast("int")
+    )
+    age = F.floor(
+        F.datediff(F.lit("2026-08-13").cast("date"), birthday) / 365
+    ).cast("int")
+    return c.select(age.alias("age")).groupBy("age").agg(
+        F.count("*").alias("user_ct")
+    )
