@@ -125,3 +125,25 @@ def dim_upsert_writer(
             batch_df.unpersist()
 
     return write
+
+
+def idempotent_batch_writer(base_dir: str) -> BatchSink:
+    """Exactly-once file sink: each micro-batch lands in its own
+    `batch_id=<n>` directory with mode("overwrite").
+
+    This is the Spark EOS recipe for foreachBatch (the analogue of the
+    reference's transactional dynamic-topic producer,
+    RT/utils/MyKafkaUtil.java:38-45): the checkpoint makes the batch id
+    a stable function of the source offsets, and the overwrite makes
+    redelivery idempotent — a batch replayed after a crash/restart
+    rewrites its own directory instead of appending duplicates.
+    At-least-once delivery + idempotent keyed write = exactly-once
+    output.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(base_dir, f"batch_id={batch_id}")
+        )
+
+    return write
