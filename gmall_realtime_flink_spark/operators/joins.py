@@ -72,3 +72,40 @@ def dim_enrich(
     for dim_df, cond in dims:
         out = out.join(F.broadcast(dim_df), cond, how)
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for a hot-keyed big side against a
+    small-but-not-broadcastable side (SCALE.md §Joins: the flash-sale
+    sku case AQE's size-based splitting can miss).
+
+    The big side's shard is a deterministic content hash mod `salt` —
+    not rand(), which breaks on task retry (a re-executed task must
+    re-salt identically or rows are lost/duplicated). The small side
+    is replicated `salt`× via explode(sequence(...)); the join key
+    becomes (key, shard), spreading each hot key over `salt` reducers.
+
+    Result equals the unsalted join exactly (shard is a function of
+    the big row only, and every small row exists in all shards).
+    """
+    big_s = big.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)),
+    )
+    small_s = small.withColumn(
+        "_shard", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("_shard", F.col("_shard").cast("long"))
+    out = big_s.join(
+        small_s,
+        (big_s[big_key] == small_s[small_key])
+        & (big_s["_shard"] == small_s["_shard"]),
+        how,
+    )
+    return out.drop("_shard")

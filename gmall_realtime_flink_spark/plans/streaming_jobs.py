@@ -232,3 +232,26 @@ def streaming_product_stats_enriched(
 )
 def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_visitor_stats(spark, sf_dir)
+
+
+@register(
+    "streaming_stats_sql",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type,
+           count(*) AS pv_ct,
+           count(DISTINCT user_id) AS uv_ct,
+           round(sum(CAST(value AS DECIMAL(28,4))), 2)::DOUBLE AS amount
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="The Flink-SQL-app shape under Structured Streaming (S4+A4/A5, "
+    "W5): watermarked stream -> temp view -> spark.sql TUMBLE with "
+    "collect_set distinct; oracle = batch SQL with exact "
+    "COUNT(DISTINCT).",
+    tags=("streaming", "sql", "window", "distinct"),
+)
+def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_stats_sql(spark, sf_dir)

@@ -359,3 +359,32 @@ def streaming_view_click_join(
         spark,
     )
     return out
+
+
+def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+A4/A5 under streaming: the Flink-SQL-app shape
+    (RT/app/dws/ProvinceStatsSqlApp.java:45-61, KeywordStatsApp.java:56-88)
+    — a watermarked stream registered as a temp view, aggregated by a
+    spark.sql TUMBLE with streaming-safe distinct (size(collect_set);
+    COUNT(DISTINCT) is unsupported on streaming aggs). The 2 s
+    watermark is W5's bounded SQL delay. The SQL text is just another
+    front-end: Catalyst compiles it to the same streaming physical
+    plan as the DataFrame form."""
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path, watermark="2 seconds")
+    events.createOrReplaceTempView("events_stream")
+    agg = spark.sql(
+        """
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+               event_type,
+               count(*) AS pv_ct,
+               size(collect_set(user_id)) AS uv_ct,
+               CAST(round(sum(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE)
+                 AS amount
+        FROM events_stream
+        GROUP BY window(ts, '10 seconds'), event_type
+        """
+    )
+    out = run_bounded(agg, spark)
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF)

@@ -55,3 +55,32 @@ def test_kafka_source_needs_connector(spark):
         assert "kafka" in str(e).lower()
     if has_connector:
         pytest.skip("connector present; builder returned a plan")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.joins import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    plain = l.join(p, l["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "l_partkey", "p_name"
+    )
+    salted = salted_join(l, p, "l_partkey", "p_partkey", salt=4).select(
+        "l_orderkey", "l_partkey", "p_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join parity too (unmatched big rows survive once)
+    plain_l = l.join(p, l["l_partkey"] == p["p_partkey"], "left").select(
+        "l_orderkey", "l_partkey", "p_name"
+    )
+    salted_l = salted_join(l, p, "l_partkey", "p_partkey", salt=4, how="left").select(
+        "l_orderkey", "l_partkey", "p_name"
+    )
+    assert sorted(
+        map(tuple, salted_l.collect()), key=str
+    ) == sorted(map(tuple, plain_l.collect()), key=str)
