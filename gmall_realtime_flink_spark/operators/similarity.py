@@ -129,3 +129,69 @@ def embedding_near_dup_pairs(
         "vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cos_sim")
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: assign every vector to its
+    nearest coarse centroid, probe only the `nprobe` cells nearest the
+    query.
+
+    Centroids here are deterministic seeds (the first `n_cells`
+    vectors) so the index is reproducible and oracle-checkable;
+    production would k-means-train them — the *plan* is identical
+    either way (how the centroid table was produced doesn't change the
+    query shape).
+
+    Scale design (100 TB): the build pass is a broadcast cross of N
+    vectors × K centroids folded by `max_by` — a partial-aggregatable
+    single agg, no window shuffle over N×K rows. `cell` then becomes
+    the table's partition key: the probe scans `nprobe` partitions
+    (partition pruning), recall tuned by nprobe exactly as in FAISS
+    IVF. Candidate scoring reuses the brute-force kernel on the pruned
+    set.
+    """
+    cent = embeddings.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"),
+        F.expr(AS_DOUBLE.format(c="embedding")).alias("cvec"),
+    )
+
+    def centroid_sim(df: DataFrame, vec: str) -> DataFrame:
+        dot = F.expr(DOT.format(a=vec, b="cvec"))
+        na = F.sqrt(F.expr(DOT.format(a=vec, b=vec)))
+        nc = F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
+        return df.withColumn("c_sim", F.round(dot / (na * nc), 6))
+
+    e = embeddings.filter(F.col("vec_id") != query_id).withColumn(
+        "emb", F.expr(AS_DOUBLE.format(c="embedding"))
+    )
+    # build: nearest centroid per vector — max_by over a (sim, -cid)
+    # struct = ORDER BY sim DESC, cid ASC, but partial-aggregatable
+    assigned = (
+        centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cell"),
+            F.first("emb").alias("emb"),
+        )
+    )
+    q = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
+    )
+    qcells = (
+        centroid_sim(q.crossJoin(F.broadcast(cent)), "q_emb")
+        .orderBy(F.col("c_sim").desc(), "cid")
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand = assigned.join(
+        F.broadcast(qcells), assigned["cell"] == qcells["cid"], "left_semi"
+    ).crossJoin(F.broadcast(q))
+    return _ranked_topk(_cosine(cand), k)

@@ -566,3 +566,49 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings WHERE vec_id != 0),
+    assign AS (
+      SELECT vec_id, cid AS cell, emb FROM (
+        SELECT e.vec_id, c.cid, e.emb,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+          FROM embeddings WHERE vec_id = 0),
+    qc AS (
+      SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (
+          ORDER BY round(list_cosine_similarity(q.qe, c.cvec), 6)
+                   DESC, c.cid) AS rn
+        FROM cent c, q) WHERE rn <= 2),
+    scored AS (
+      SELECT a.vec_id, round(list_cosine_similarity(a.emb, q.qe), 6) AS cos_sim
+      FROM assign a, q WHERE a.cell IN (SELECT cid FROM qc))
+    SELECT vec_id, cos_sim, rk FROM (
+      SELECT vec_id, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+    doc="IVF ANN top-k: nearest-centroid cell assignment (deterministic "
+    "seed centroids; k-means-trained in production — same plan), "
+    "nprobe=2 cell probe, brute-force kernel on the pruned candidate "
+    "set (operators/similarity.cosine_topk_ivf). Completes the ANN "
+    "tier pair: sign-bucket (hyperoctant) and IVF (centroid cells).",
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import cosine_topk_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(e, query_id=0, k=10, n_cells=8, nprobe=2)
