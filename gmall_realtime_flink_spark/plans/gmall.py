@@ -1429,3 +1429,90 @@ def user_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(age.alias("age")).groupBy("age").agg(
         F.count("*").alias("user_ct")
     )
+
+
+# ---------------------------------------------------------------------------
+# A8 extensions: session windows & per-group top-N
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    y AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+           count(*)::BIGINT AS event_ct
+    FROM y GROUP BY user_id, sid
+    """,
+    doc="A8 extension: per-user SESSION windows (10-minute inactivity "
+    "gap) via F.session_window — the dynamic-gap window family the "
+    "reference lacks (it has tumble only); streaming-capable as-is "
+    "(session_window works under Structured Streaming with a "
+    "watermark). Oracle = classic gaps-and-islands (lag + running "
+    "sum); break on gap >= duration matches Spark's merge-if-strictly-"
+    "inside semantics. One shuffle on user_id; the window merge is "
+    "per-key local.",
+    tags=("window", "session", "agg"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("event_ct"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_ct",
+        )
+    )
+
+
+@register(
+    "top_products_per_month",
+    oracle="""
+    SELECT ship_month, sku_id, revenue, rk FROM (
+      SELECT ship_month, sku_id, revenue,
+             row_number() OVER (PARTITION BY ship_month
+                                ORDER BY revenue DESC, sku_id) AS rk
+      FROM (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               l_partkey AS sku_id,
+               round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,4))), 2)::DOUBLE AS revenue
+        FROM lineitem GROUP BY 1, 2)
+    ) WHERE rk <= 3
+    """,
+    doc="A8 extension: top-N per group — row_number over a PARTITIONED "
+    "window (vs top_products' global TakeOrderedAndProject). The "
+    "partition key makes this scale-safe: one shuffle on ship_month, "
+    "each partition ranks locally; no single-partition global sort.",
+    tags=("topk", "window", "agg"),
+)
+def top_products_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.col("l_partkey").alias("sku_id"),
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    w = Window.partitionBy("ship_month").orderBy(F.desc("revenue"), "sku_id")
+    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
