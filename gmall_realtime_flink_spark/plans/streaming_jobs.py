@@ -255,3 +255,34 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_stats_sql(spark, sf_dir)
+
+
+@register(
+    "streaming_user_sessions",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    y AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+           count(*)::BIGINT AS event_ct
+    FROM y GROUP BY user_id, sid
+    """,
+    doc="Session windows under Structured Streaming (session_window + "
+    "watermark): dynamic-gap sessionization with state bounded to "
+    "open sessions; equals the batch user_sessions gaps-and-islands "
+    "oracle on bounded input.",
+    tags=("streaming", "window", "session"),
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_user_sessions(spark, sf_dir)

@@ -388,3 +388,30 @@ def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_bounded(agg, spark)
     return out.filter(F.col("stt") < SENTINEL_CUTOFF)
+
+
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under Structured Streaming: per-user 10-minute
+    inactivity-gap sessions via session_window + watermark. Sessions
+    are the dynamic-gap window family tumble can't express; state =
+    open sessions only, closed by watermark passage (the same eviction
+    bound as tumble windows). Equals the batch `user_sessions` query
+    on bounded input."""
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path)
+    agg = (
+        events.groupBy(
+            "user_id", F.session_window("ts", "10 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("event_ct"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_ct",
+        )
+    )
+    out = run_bounded(agg, spark)
+    # sentinel rows (user_id = -1) all land in one far-future session —
+    # the stt cutoff drops exactly that
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF)
