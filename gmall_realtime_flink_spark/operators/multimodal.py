@@ -71,3 +71,45 @@ def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_features(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column."""
     return with_payload.mapInPandas(_features, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off int, frame_md5 string"
+FRAME_W = 16  # frame window (chars of the fake byte stream)
+FRAME_N = 4  # frames sampled per payload
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # evenly-spaced deterministic offsets — the video frame-sampling
+    # access pattern (seek N keyframes) without a real codec
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            text = bytes(payload).decode("utf-8")
+            span = max(len(text) - FRAME_W, 0)
+            for i in range(FRAME_N):
+                off = 1 + (i * span) // (FRAME_N - 1)
+                frame = text[off - 1 : off - 1 + FRAME_W]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_off"].append(off)
+                out["frame_md5"].append(
+                    hashlib.md5(frame.encode("utf-8")).hexdigest()
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_off": pd.Series(out["frame_off"], dtype="int32"),
+                "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+            }
+        )
+
+
+def sample_frames(with_payload: DataFrame) -> DataFrame:
+    """Frame sampling over a media payload: one input row fans out to
+    FRAME_N frame rows (seek-to-keyframe pattern). Real decoding would
+    replace the char-window fake inside `_sample_frames` (the
+    `decode_media` stub); the Spark plumbing — Arrow batching, 1→N row
+    fan-out inside mapInPandas, typed frame schema — is the production
+    shape either way."""
+    return with_payload.mapInPandas(_sample_frames, schema=FRAME_SCHEMA)

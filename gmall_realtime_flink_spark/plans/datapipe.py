@@ -612,3 +612,26 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(e, query_id=0, k=10, n_cells=8, nprobe=2)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT d.doc_id, i::INT AS frame_idx,
+           (1 + (i * greatest(length(d.text) - 16, 0)) // 3)::INT AS frame_off,
+           md5(substr(d.text,
+                      1 + (i * greatest(length(d.text) - 16, 0)) // 3,
+                      16)) AS frame_md5
+    FROM documents d, generate_series(0, 3) AS g(i)
+    """,
+    doc="Multimodal frame sampling: 1->N keyframe fan-out inside an "
+    "Arrow-batched mapInPandas (operators/multimodal.sample_frames) — "
+    "evenly-spaced deterministic offsets stand in for codec keyframe "
+    "seeks; schema/batching/fan-out are the production shape.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import sample_frames
+
+    d = load(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d))
