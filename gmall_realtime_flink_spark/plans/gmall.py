@@ -1516,3 +1516,37 @@ def top_products_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("ship_month").orderBy(F.desc("revenue"), "sku_id")
     return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@register(
+    "revenue_cube",
+    oracle="""
+    SELECT coalesce(o.o_orderstatus, 'ALL') AS order_status,
+           coalesce(strftime(o.o_orderdate, '%Y'), 'ALL') AS order_year,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE
+             AS revenue,
+           count(*)::BIGINT AS order_ct
+    FROM orders o
+    GROUP BY CUBE (o.o_orderstatus, strftime(o.o_orderdate, '%Y'))
+    """,
+    doc="A8 extension: full CUBE (status x year) — all 2^n grouping "
+    "sets in ONE Expand + one shuffle (Catalyst), vs n separate "
+    "groupBy jobs; completes the grouping-sets family next to "
+    "revenue_rollup.",
+    tags=("olap", "cube", "agg"),
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cubed = o.cube(
+        F.col("o_orderstatus").alias("order_status"),
+        F.date_format("o_orderdate", "yyyy").alias("order_year"),
+    ).agg(
+        dec_sum("o_totalprice").alias("revenue"),
+        F.count("*").alias("order_ct"),
+    )
+    return cubed.select(
+        F.coalesce("order_status", F.lit("ALL")).alias("order_status"),
+        F.coalesce("order_year", F.lit("ALL")).alias("order_year"),
+        "revenue",
+        "order_ct",
+    )
