@@ -286,3 +286,18 @@ def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_user_sessions(spark, sf_dir)
+
+
+@register(
+    "streaming_uv_dropdup",
+    oracle="""
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS visit_date
+    FROM events
+    """,
+    doc="ST2 via built-in streaming dropDuplicates (the idiomatic "
+    "alternative to the exact-TTL stateful UDF); emits the distinct "
+    "(user, day) key set.",
+    tags=("streaming", "dedup"),
+)
+def streaming_uv_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_uv_dropdup(spark, sf_dir)

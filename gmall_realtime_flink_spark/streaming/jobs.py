@@ -415,3 +415,23 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel rows (user_id = -1) all land in one far-future session —
     # the stt cutoff drops exactly that
     return out.filter(F.col("stt") < SENTINEL_CUTOFF)
+
+
+def streaming_uv_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 via the built-in streaming dedup operator: dropDuplicates on
+    (user_id, visit_date) — the idiomatic Spark form SURVEY §2.8 names
+    next to the exact-TTL applyInPandasWithState version
+    (`state.uv_dedup_stream`). Output is the distinct key set (which
+    physical row is kept is arrival-order-dependent, so only the keys
+    are emitted — deterministic under any partitioning). State
+    eviction note: built-in dedup state evicts only when the
+    watermarked event-time column is part of the key; the exact-TTL
+    variant is the production path for day-bucketed keys."""
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path)
+    pairs = events.withColumn("visit_date", F.date_format("ts", "yyyy-MM-dd"))
+    dedup = pairs.dropDuplicates(["user_id", "visit_date"]).select(
+        "user_id", "visit_date"
+    )
+    out = run_bounded(dedup, spark)
+    return out.filter(F.col("visit_date") < SENTINEL_CUTOFF)
