@@ -1550,3 +1550,38 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "order_ct",
     )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    SELECT l_partkey AS sku_id, l_suppkey AS supplier_id,
+           round(l_extendedprice, 2) AS price
+    FROM (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_partkey
+               ORDER BY l_extendedprice, l_suppkey) AS rn
+      FROM lineitem)
+    WHERE rn = 1
+    """,
+    doc="TPC-H Q2 shape: argmin-per-group — the cheapest supplying line "
+    "per part via a partitioned row_number (deterministic (price, "
+    "suppkey) tie-break). The window alternative to a correlated "
+    "MIN subquery + join-back: one shuffle on the group key instead "
+    "of two joins; at 100 TB prefer this or min_by.",
+    tags=("window", "argmin", "join"),
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_extendedprice", "l_suppkey")
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("sku_id"),
+            F.col("l_suppkey").alias("supplier_id"),
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
