@@ -140,3 +140,63 @@ def test_interval_join_band_inclusive(spark, lefts, rights):
         if ls - 5 <= rs <= ls + 10
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """The iterative Spark min-label propagation must produce exactly
+    the components a reference union-find computes, on arbitrary
+    graphs (chains, cliques, forests) — not just LSH-shaped ones."""
+    from gmall_realtime_flink_spark.operators.dedup import connected_components
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pdf).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_train_split_deterministic_and_partition_independent(spark, sf_dir):
+    """A document's split must be a pure function of its id: identical
+    across runs and across any repartitioning (the property that keeps
+    train/test stable when the corpus is re-ingested)."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.sampling import train_split
+
+    d = load(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in train_split(d).select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_split(d.repartition(13)).select("doc_id", "split").collect()
+    }
+    assert a == b
+    # fractions near 90/5/5 (md5 uniformity; loose tolerance at sf0.001)
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.80 <= frac_train <= 0.97
