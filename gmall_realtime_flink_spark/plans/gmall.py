@@ -1585,3 +1585,45 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 2).alias("price"),
         )
     )
+
+
+@register(
+    "revenue_pivot",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(CASE WHEN strftime(o.o_orderdate, '%Y') = '1995'
+                 THEN CAST(o.o_totalprice AS DECIMAL(28,4)) END), 2)::DOUBLE AS y1995,
+           round(sum(CASE WHEN strftime(o.o_orderdate, '%Y') = '1996'
+                 THEN CAST(o.o_totalprice AS DECIMAL(28,4)) END), 2)::DOUBLE AS y1996,
+           round(sum(CASE WHEN strftime(o.o_orderdate, '%Y') = '1997'
+                 THEN CAST(o.o_totalprice AS DECIMAL(28,4)) END), 2)::DOUBLE AS y1997
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="A8 extension: PIVOT (long->wide reshaping) with an EXPLICIT "
+    "value list — pivot('year', [values]) skips the extra distinct-"
+    "values discovery job Spark otherwise runs, which at 100 TB is a "
+    "full scan; always enumerate pivot columns at scale.",
+    tags=("olap", "pivot", "agg"),
+)
+def revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    n = load(spark, sf_dir, "nation").alias("n")
+    joined = o.join(
+        F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey")
+    ).join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+    pivoted = (
+        joined.withColumn("yr", F.date_format("o.o_orderdate", "yyyy"))
+        .groupBy(F.col("n.n_name").alias("nation"))
+        .pivot("yr", ["1995", "1996", "1997"])
+        .agg(dec_sum("o.o_totalprice"))
+    )
+    return pivoted.select(
+        "nation",
+        F.col("1995").alias("y1995"),
+        F.col("1996").alias("y1996"),
+        F.col("1997").alias("y1997"),
+    )
