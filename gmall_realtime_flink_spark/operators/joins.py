@@ -93,8 +93,15 @@ def salted_join(
     becomes (key, shard), spreading each hot key over `salt` reducers.
 
     Result equals the unsalted join exactly (shard is a function of
-    the big row only, and every small row exists in all shards).
+    the big row only, and every small row exists in all shards) — for
+    inner/left only: with right/full, an unmatched small-side row was
+    replicated `salt`× and would be emitted `salt` times with nulls.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "unmatched small-side rows are replicated by the salt fan-out"
+        )
     big_s = big.withColumn(
         "_shard",
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)),

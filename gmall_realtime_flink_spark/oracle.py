@@ -60,8 +60,21 @@ def compare_query(
 ) -> CompareResult:
     got = spec.builder(spark, sf_dir).toPandas()
     if spec.oracle is None:
+        # Anti-padding guard, intentionally stricter than "ran without
+        # error": an oracle-less query must produce at least one row so
+        # a no-op plan can't pass the gate silently. A query whose
+        # correct result is legitimately empty should set
+        # spec.expect_empty=True to opt out.
+        if getattr(spec, "expect_empty", False):
+            return CompareResult(
+                spec.name, True, f"rows-only check (expect_empty): {len(got)} rows"
+            )
         ok = len(got) > 0
-        return CompareResult(spec.name, ok, f"rows-only check: {len(got)} rows")
+        return CompareResult(
+            spec.name,
+            ok,
+            f"rows-only anti-padding check (>0 required): {len(got)} rows",
+        )
     with duckdb_connect(sf_dir) as con:
         want = con.execute(spec.oracle).fetchdf()
     if len(got) != len(want):

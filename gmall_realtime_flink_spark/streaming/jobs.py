@@ -227,11 +227,10 @@ def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = events_with_sentinel(spark, sf_dir, gap_ms=0)
     events = stream_events(spark, path)
     out = run_bounded(product_stats_union_core(events), spark)
-    # sentinel rows carry null props -> null sku; their windows are far
-    # future — both filters drop only sentinel output
-    return out.filter(
-        F.col("sku_id").isNotNull() & (F.col("stt") < SENTINEL_CUTOFF)
-    )
+    # sentinel rows land only in far-future windows — the stt cutoff
+    # alone removes them; real NULL-sku groups (props without '$.k')
+    # must survive, matching the oracle's NULL-group semantics
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF)
 
 
 def streaming_product_stats_enriched(
@@ -259,9 +258,8 @@ def streaming_product_stats_enriched(
         "click_ct", "order_ct", "order_amount",
     )
     out = run_bounded(enriched, spark)
-    return out.filter(
-        F.col("sku_id").isNotNull() & (F.col("stt") < SENTINEL_CUTOFF)
-    )
+    # stt cutoff alone: keeps real NULL-sku groups (oracle keeps them too)
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF)
 
 
 def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,7 +72,16 @@ def parquet_upsert(
     rows. The rewrite cost is |dim|, acceptable because dims are small
     by design (broadcastable); big mutable tables belong in Delta/
     Iceberg where MERGE rewrites only matching files.
+
+    Crash safety (the non-Delta fallback): the merged table is written
+    ONCE to a scratch directory, then swapped into place by directory
+    rename — metadata-only, so a crash leaves either the old table or
+    the new one, never a half-deleted dim (an overwrite-in-place of
+    `path` would also hit Spark's read-while-overwrite FAILED_READ_FILE
+    trap, since the merged plan lazily scans `path` itself).
     """
+    import shutil
+
     updates = updates.withColumn("__gen", F.lit(1))
     if os.path.isdir(path):
         existing = spark.read.parquet(path).withColumn("__gen", F.lit(0))
@@ -86,16 +95,14 @@ def parquet_upsert(
         .drop("__rn", "__gen")
     )
     tmp = path.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)  # leaked scratch from a crash
     dedup.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    # tmp cleanup is best-effort; correctness does not depend on it
-    try:
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-    except OSError:
-        pass
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def dim_upsert_writer(

@@ -178,10 +178,14 @@ def make_jump_fn(gap_ms: int):
         )
         if state.exists:
             seq.insert(0, tuple(state.get))
+        # compare at millisecond precision: the batch form
+        # (operators/stateful.py unix_millis diff) and the DuckDB oracle
+        # (date_diff('millisecond')) both truncate to ms before the gap
+        # test — sub-ms components near the boundary must not diverge
         jumps = [
             (eid, user_id, pd.Timestamp(us, unit="us").strftime(TS_FMT))
             for (us, eid), (nxt_us, _) in zip(seq, seq[1:])
-            if nxt_us - us > gap_ms * 1000
+            if (nxt_us // 1000) - (us // 1000) > gap_ms
         ]
         last_us, last_eid = seq[-1]
         state.update((int(last_us), int(last_eid)))
