@@ -52,7 +52,12 @@ def _cosine(df: DataFrame) -> DataFrame:
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
-    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    # ranking runs AFTER .limit(k): the window sees <= k rows, so the
+    # single-partition window is bounded, not a global sort of the
+    # corpus. The constant partition key keeps that explicit in the
+    # plan (vs an empty partition spec, which logs a scary-but-benign
+    # "No Partition Defined" warning).
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos_sim").desc(), "vec_id")
     return top.withColumn("rk", F.row_number().over(w)).select(
         "vec_id", "cos_sim", "rk"
     )

@@ -1326,9 +1326,13 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy().limit() plans TakeOrderedAndProject: each partition keeps
     # its local top-10, the driver merges — no single-partition global
     # sort of |sku| rows (which grows with SF). The row_number window
-    # then runs over exactly 10 rows.
+    # then runs over exactly 10 rows; the constant partition key makes
+    # the bounded single partition explicit (no "No Partition Defined"
+    # warning for a window that is deliberately post-limit).
     top = agg.orderBy(F.col("revenue").desc(), F.col("sku_id")).limit(10)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("sku_id"))
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("revenue").desc(), F.col("sku_id")
+    )
     return top.withColumn("rk", F.row_number().over(w))
 
 
@@ -1565,25 +1569,25 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn = 1
     """,
     doc="TPC-H Q2 shape: argmin-per-group — the cheapest supplying line "
-    "per part via a partitioned row_number (deterministic (price, "
-    "suppkey) tie-break). The window alternative to a correlated "
-    "MIN subquery + join-back: one shuffle on the group key instead "
-    "of two joins; at 100 TB prefer this or min_by.",
-    tags=("window", "argmin", "join"),
+    "per part as a min_by aggregate with a deterministic (price, "
+    "suppkey) tie-break key. Unlike a partitioned row_number (which "
+    "shuffles every lineitem row on l_partkey before ranking), min_by "
+    "partial-aggregates map-side, so the exchange carries |parts| "
+    "rows, not |lineitem| — the 100 TB plan.",
+    tags=("agg", "argmin", "join"),
 )
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     l = load(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_partkey").orderBy("l_extendedprice", "l_suppkey")
-    return (
-        l.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("l_partkey").alias("sku_id"),
-            F.col("l_suppkey").alias("supplier_id"),
-            F.round("l_extendedprice", 2).alias("price"),
-        )
+    best = l.groupBy("l_partkey").agg(
+        F.min_by(
+            F.struct("l_suppkey", "l_extendedprice"),
+            F.struct("l_extendedprice", "l_suppkey"),
+        ).alias("best")
+    )
+    return best.select(
+        F.col("l_partkey").alias("sku_id"),
+        F.col("best.l_suppkey").alias("supplier_id"),
+        F.round("best.l_extendedprice", 2).alias("price"),
     )
 
 

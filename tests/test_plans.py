@@ -121,3 +121,21 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP DATABASE IF EXISTS buck CASCADE")
+
+
+def test_argmin_partial_aggregates_before_exchange(spark, sf_dir):
+    """cheapest_supplier_per_part must plan min_by as a partial-then-
+    final HashAggregate pair (map-side combine: the exchange carries
+    |parts| rows), never a Window ranking over raw lineitem (which
+    would shuffle every lineitem row on l_partkey)."""
+    plan = plan_of(spark, sf_dir, "cheapest_supplier_per_part")
+    assert "Window" not in plan, "argmin regressed to a window rank"
+    # min_by's struct buffer plans as SortAggregate (not hash-
+    # aggregatable) — still a partial/final pair: partial_min_by must
+    # sit BELOW the exchange (map-side combine)
+    assert "partial_min_by" in plan, "min_by is not partially aggregated"
+    exch = plan.index("Exchange")
+    assert "partial_min_by" in plan[exch:], (
+        "partial aggregate is not below the exchange — min_by is not "
+        "map-side combining:\n" + plan
+    )
