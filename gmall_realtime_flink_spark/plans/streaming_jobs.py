@@ -122,6 +122,28 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_payment_wide",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           strftime(l.l_shipdate, '%Y-%m-%d') AS callback_date,
+           round(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4)), 2)::DOUBLE
+             AS payment_amount
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate - INTERVAL 7 DAYS
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAYS
+    """,
+    doc="J2+ST4 streaming: the PaymentWideApp asymmetric-band interval "
+    "join (RT/app/dwm/PaymentWideApp.java:116-131) as a stream-stream "
+    "join with a NEGATIVE lower bound — the right side buffers events "
+    "preceding their match; oracle = the batch payment_wide SQL.",
+    tags=("streaming", "join", "interval"),
+)
+def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_payment_wide(spark, sf_dir)
+
+
+@register(
     "streaming_product_stats",
     oracle="""
     WITH src AS (

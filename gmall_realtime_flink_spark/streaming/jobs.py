@@ -218,6 +218,79 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/ST4 streaming: the PaymentWideApp asymmetric-band interval
+    join (RT/app/dwm/PaymentWideApp.java:116-131, ±30 min there;
+    [-7d, +90d] on the warehouse tables) as a stream-stream join —
+    the streaming form of the batch `payment_wide` query (same
+    oracle). The negative lower bound means the right stream buffers
+    events up to 7 days *before* a matching left event; Spark sizes
+    both sides' join state from the band automatically."""
+    from pyspark.sql import types as T
+
+    orders_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    lineitem_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    )
+    o = (
+        spark.readStream.schema(orders_schema)
+        .parquet(stage_table_dir(sf_dir, "orders"))
+        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_ts", "0 seconds")
+        .alias("o")
+    )
+    l = (
+        spark.readStream.schema(lineitem_schema)
+        .parquet(stage_table_dir(sf_dir, "lineitem"))
+        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_ts", "0 seconds")
+        .alias("l")
+    )
+    joined = interval_join_stream(
+        o,
+        l,
+        on=F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        left_ts=F.col("o_ts"),
+        right_ts=F.col("l_ts"),
+        lower="-7 days",
+        upper="90 days",
+    )
+    from gmall_realtime_flink_spark.functions.compat import dec_round
+
+    return run_bounded(
+        joined.select(
+            "o.o_orderkey",
+            "l.l_linenumber",
+            F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("callback_date"),
+            dec_round(
+                F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")), 2
+            ).alias("payment_amount"),
+        ),
+        spark,
+    )
+
+
 def streaming_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 under Structured Streaming: the full ProductStats union
     pipeline on a watermarked stream, run bounded. Equals the batch
