@@ -796,6 +796,42 @@ def keyword_stats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens.groupBy("keyword").agg(F.count(F.lit(1)).alias("ct"))
 
 
+def _cjk_dict_oracle() -> str:
+    from gmall_realtime_flink_spark.functions.cjk import dict_pattern
+
+    return f"""
+    SELECT keyword, count(*) AS ct
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{dict_pattern()}')) AS keyword
+      FROM documents
+    )
+    GROUP BY keyword
+    """
+
+
+@register(
+    "keyword_stats_cjk_dict",
+    oracle=_cjk_dict_oracle(),
+    doc="F2/X11 dictionary-grade form: forward-maximum-matching CJK "
+    "segmentation (functions/cjk.tokenize_cjk_dict — the IK smart-mode "
+    "semantics of RT/utils/KeywordUtil.java:17-41, compiled to a "
+    "longest-first regex alternation that runs JVM-side) feeding "
+    "keyword frequency. The oracle runs the IDENTICAL pattern in "
+    "DuckDB. Testdata documents are ASCII-only, so multi-char CJK "
+    "output is pinned by the cross-engine segmentation test on real "
+    "Chinese text (tests/test_functions.py::test_cjk_dict_segmentation).",
+    tags=("udtf", "explode", "text", "cjk"),
+)
+def keyword_stats_cjk_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.functions.cjk import tokenize_cjk_dict
+
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(tokenize_cjk_dict(F.col("text"))).alias("keyword")
+    )
+    return tokens.groupBy("keyword").agg(F.count(F.lit(1)).alias("ct"))
+
+
 @register(
     "keyword_product_stats",
     oracle="""

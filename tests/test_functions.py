@@ -84,3 +84,48 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert sorted(
         map(tuple, salted_l.collect()), key=str
     ) == sorted(map(tuple, plain_l.collect()), key=str)
+
+
+def test_cjk_dict_segmentation(spark):
+    """X11 dictionary grade: forward maximum matching on real Chinese
+    text — multi-char dictionary words win over unigrams, OOV CJK
+    degrades to unigrams, ASCII runs survive; Spark (Java regex) and
+    DuckDB (RE2) segment IDENTICALLY, so the oracle is a
+    transliteration."""
+    import duckdb
+
+    from gmall_realtime_flink_spark.functions.cjk import (
+        dict_pattern,
+        tokenize_cjk_dict,
+    )
+
+    texts = [
+        "小米手机和苹果手机的价格",          # longest-first: 小米手机 beats 手机
+        "用户在购物车下单并支付订单",
+        "实时大数据分析平台",
+        "人工智能与机器学习技术",
+        "魑魅魍魉出没",                      # OOV -> unigrams
+        "spark实时计算engine性能",           # mixed ASCII + CJK
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [
+        r[0]
+        for r in df.select(tokenize_cjk_dict(F.col("text")).alias("t"))
+        .collect()
+    ]
+    assert got[0] == ["小米手机", "和", "苹果手机", "的", "价格"]
+    assert got[1] == ["用户", "在", "购物车", "下单", "并", "支付", "订单"]
+    assert got[2] == ["实时", "大数据", "分析", "平台"]
+    assert got[3] == ["人工智能", "与", "机器学习", "技术"]
+    assert got[4] == ["魑", "魅", "魍", "魉", "出", "没"]
+    assert got[5] == ["spark", "实时", "计算", "engine", "性能"]
+
+    con = duckdb.connect()
+    pat = dict_pattern()
+    want = [
+        con.execute(
+            "SELECT regexp_extract_all(lower(?), ?)", [t, pat]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want, "Spark and DuckDB segmentations diverge"
