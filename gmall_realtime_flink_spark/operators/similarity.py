@@ -136,22 +136,93 @@ def embedding_near_dup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def _centroid_sim(df: DataFrame, vec: str) -> DataFrame:
+    dot = F.expr(DOT.format(a=vec, b="cvec"))
+    na = F.sqrt(F.expr(DOT.format(a=vec, b=vec)))
+    nc = F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
+    return df.withColumn("c_sim", F.round(dot / (na * nc), 6))
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_cells: int = 8, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus, as pure
+    DataFrame ops (the iterative-driver pattern of
+    `dedup.connected_components`, but with a fixed iteration count so
+    the whole training is ONE lazy plan — no driver-side convergence
+    loop needed for a coarse quantizer).
+
+    Determinism (bit-identical in Spark and the DuckDB oracle):
+    - seeds = the first `n_cells` vectors (no rand());
+    - assignment = argmax of cosine rounded to 6dp, ties to the lowest
+      centroid id (partial-aggregatable max_by — never an N×K window);
+    - new centroid coordinate = exact DECIMAL(38,12) sum of members
+      (order-independent, the `dec_sum` trick) cast to double, divided
+      by the member count — identical IEEE division in both engines;
+    - a cell that loses all members keeps its previous centroid.
+
+    Scale: each iteration is one broadcast cross (N×K similarity,
+    map-side max_by partial agg) + one posexplode mean whose exchange
+    carries |cells|×|dims| per map partition — both linear in N.
+    """
+    e = embeddings.select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    )
+    cent = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
+    )
+    for _ in range(iters):
+        assigned = (
+            _centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cid",
+                    F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc")),
+                ).alias("cell"),
+                F.first("emb").alias("emb"),
+            )
+        )
+        means = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mvec")
+            )
+        )
+        cent = cent.join(
+            means, cent["cid"] == means["cell"], "left"
+        ).select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
+    return cent
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_id: int = 0,
     k: int = 10,
     n_cells: int = 8,
     nprobe: int = 2,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: assign every vector to its
     nearest coarse centroid, probe only the `nprobe` cells nearest the
     query.
 
-    Centroids here are deterministic seeds (the first `n_cells`
-    vectors) so the index is reproducible and oracle-checkable;
-    production would k-means-train them — the *plan* is identical
-    either way (how the centroid table was produced doesn't change the
-    query shape).
+    Centroids are k-means-trained by `kmeans_centroids` — fixed Lloyd
+    iteration count, deterministic seeds, exact-decimal means, so the
+    index is reproducible and the DuckDB oracle recomputes the SAME
+    iterations (`train_iters=0` degrades to raw seed centroids, the
+    recall baseline the property test compares against).
 
     Scale design (100 TB): the build pass is a broadcast cross of N
     vectors × K centroids folded by `max_by` — a partial-aggregatable
@@ -161,16 +232,10 @@ def cosine_topk_ivf(
     IVF. Candidate scoring reuses the brute-force kernel on the pruned
     set.
     """
-    cent = embeddings.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"),
-        F.expr(AS_DOUBLE.format(c="embedding")).alias("cvec"),
-    )
+    cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
 
     def centroid_sim(df: DataFrame, vec: str) -> DataFrame:
-        dot = F.expr(DOT.format(a=vec, b="cvec"))
-        na = F.sqrt(F.expr(DOT.format(a=vec, b=vec)))
-        nc = F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
-        return df.withColumn("c_sim", F.round(dot / (na * nc), 6))
+        return _centroid_sim(df, vec)
 
     e = embeddings.filter(F.col("vec_id") != query_id).withColumn(
         "emb", F.expr(AS_DOUBLE.format(c="embedding"))

@@ -571,12 +571,52 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_topk_ivf",
     oracle="""
-    WITH cent AS (
-      SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cvec
-      FROM embeddings WHERE vec_id < 8),
-    e AS (
+    WITH eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-      FROM embeddings WHERE vec_id != 0),
+      FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, emb AS cvec FROM eall WHERE vec_id < 8),
+    -- Lloyd iteration 1: argmax-cosine assignment, exact-decimal means
+    a1 AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM eall e, cent0 c) WHERE rn = 1),
+    m1 AS (
+      SELECT cell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT cell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM a1)
+      GROUP BY cell, pos),
+    cent1 AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM cent0 c LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS mvec FROM m1 GROUP BY cell
+      ) m ON c.cid = m.cell),
+    -- Lloyd iteration 2
+    a2 AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM eall e, cent1 c) WHERE rn = 1),
+    m2 AS (
+      SELECT cell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT cell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM a2)
+      GROUP BY cell, pos),
+    cent AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM cent1 c LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS mvec FROM m2 GROUP BY cell
+      ) m ON c.cid = m.cell),
+    -- IVF probe over the trained centroids
+    e AS (SELECT vec_id, emb FROM eall WHERE vec_id != 0),
     assign AS (
       SELECT vec_id, cid AS cell, emb FROM (
         SELECT e.vec_id, c.cid, e.emb,
@@ -584,8 +624,7 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
                           DESC, c.cid) AS rn
         FROM e, cent c) WHERE rn = 1),
-    q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
-          FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT emb AS qe FROM eall WHERE vec_id = 0),
     qc AS (
       SELECT cid FROM (
         SELECT c.cid, row_number() OVER (
@@ -600,12 +639,14 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
       FROM scored) WHERE rk <= 10
     """,
-    doc="IVF ANN top-k: nearest-centroid cell assignment (deterministic "
-    "seed centroids; k-means-trained in production — same plan), "
-    "nprobe=2 cell probe, brute-force kernel on the pruned candidate "
-    "set (operators/similarity.cosine_topk_ivf). Completes the ANN "
-    "tier pair: sign-bucket (hyperoctant) and IVF (centroid cells).",
-    tags=("similarity", "ann", "ivf"),
+    doc="IVF ANN top-k with k-means-TRAINED centroids: 2 deterministic "
+    "Lloyd iterations (seed = first K vectors, exact DECIMAL(38,12) "
+    "member means — order-independent, so the oracle recomputes the "
+    "identical centroids), nprobe=2 cell probe, brute-force kernel on "
+    "the pruned candidate set (operators/similarity.cosine_topk_ivf + "
+    "kmeans_centroids). Completes the ANN tier pair: sign-bucket "
+    "(hyperoctant) and IVF (trained centroid cells).",
+    tags=("similarity", "ann", "ivf", "kmeans"),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime_flink_spark.operators.similarity import cosine_topk_ivf

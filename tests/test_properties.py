@@ -200,3 +200,44 @@ def test_train_split_deterministic_and_partition_independent(spark, sf_dir):
     n = len(a)
     frac_train = sum(1 for v in a.values() if v == "train") / n
     assert 0.80 <= frac_train <= 0.97
+
+
+def test_kmeans_improves_quantizer_objective(spark, sf_dir):
+    """Lloyd training must improve the IVF coarse quantizer: the mean
+    best-centroid cosine of the corpus rises monotonically from the
+    raw seed centroids (on this corpus ~0.19 -> ~0.26 by 2 iters) —
+    the guaranteed k-means property; recall@k is data-dependent and
+    deliberately NOT asserted. Also pins determinism: training is
+    repartition-invariant (no rand(), exact-decimal means)."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        AS_DOUBLE,
+        _centroid_sim,
+        kmeans_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    )
+
+    def objective(cent) -> float:
+        return (
+            _centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
+            .groupBy("vec_id")
+            .agg(F.max("c_sim").alias("best"))
+            .agg(F.avg("best"))
+            .collect()[0][0]
+        )
+
+    objs = [
+        objective(kmeans_centroids(emb, n_cells=8, iters=i)) for i in (0, 1, 2)
+    ]
+    assert objs[0] < objs[1] < objs[2], f"objective not improving: {objs}"
+
+    flat = kmeans_centroids(emb, n_cells=8, iters=2).collect()
+    shuffled = kmeans_centroids(
+        emb.repartition(7, "vec_id"), n_cells=8, iters=2
+    ).collect()
+    as_map = lambda rows: {r.cid: r.cvec for r in rows}  # noqa: E731
+    assert as_map(flat) == as_map(shuffled), "training not repartition-invariant"
