@@ -122,6 +122,46 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_cdc_route",
+    oracle="""
+    WITH cfg(source_table, operate_type, sink_table, sink_columns) AS (
+      VALUES ('view', 'insert', 'dwd_page_log', 'k'),
+             ('click', 'insert', 'dwd_display_log', 'k'),
+             ('signup', 'update', 'dim_user_info', ''),
+             ('purchase', 'insert', 'dwd_order_info', 'k')),
+    src AS (
+      SELECT event_id, event_type,
+             CASE event_type
+               WHEN 'view' THEN 'insert'
+               WHEN 'click' THEN 'bootstrap-insert'
+               WHEN 'signup' THEN 'update'
+               WHEN 'purchase' THEN 'insert'
+               ELSE 'delete' END AS op
+      FROM events
+      WHERE props IS NOT NULL AND length(props) >= 3),
+    n AS (
+      SELECT event_id, event_type,
+             CASE WHEN op = 'bootstrap-insert' THEN 'insert' ELSE op END AS op
+      FROM src)
+    SELECT n.event_id, n.event_type, n.op AS cdc_type, c.sink_table
+    FROM n JOIN cfg c
+      ON n.event_type = c.source_table AND n.op = c.operate_type
+    WHERE c.sink_table LIKE 'dwd%'
+    """,
+    doc="The BaseDBApp DWD topology end-to-end under streaming "
+    "(S8+R2+P6 routing AND the S3/R1 partitioned multi-sink in the "
+    "loop): the oracle checks the fact layer read back from the "
+    "route_writer's one-pass partitioned write, so sink fan-out and "
+    "roundtrip fidelity are driver-gated, not just the routing "
+    "expression. Dim-side upserts are pinned by "
+    "tests/test_streaming.py::test_basedb_streaming_dag_route_sinks_agg.",
+    tags=("streaming", "routing", "sink"),
+)
+def streaming_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_cdc_route(spark, sf_dir)
+
+
+@register(
     "streaming_payment_wide",
     oracle="""
     SELECT o.o_orderkey, l.l_linenumber,

@@ -218,6 +218,66 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+R2+P6 under streaming WITH the S3/R1 sink in the loop
+    (RT/app/dwd/BaseDBApp.java:76-113): CDC stream -> ETL filter ->
+    bootstrap-insert normalize -> broadcast config-table routing ->
+    foreachBatch route_writer (one partitioned write fans out every
+    sink_table, the dynamic-topic analogue). The returned frame is the
+    fact layer READ BACK from disk — the oracle checks the roundtrip
+    through the sink, not just the routing expression."""
+    from gmall_realtime_flink_spark.operators.routing import (
+        etl_filter,
+        normalize_cdc_type,
+        route_with_config,
+    )
+    from gmall_realtime_flink_spark.streaming.sinks import route_writer
+
+    config = spark.createDataFrame(
+        [
+            ("view", "insert", "dwd_page_log", "k"),
+            ("click", "insert", "dwd_display_log", "k"),
+            ("signup", "update", "dim_user_info", ""),
+            ("purchase", "insert", "dwd_order_info", "k"),
+        ],
+        ["source_table", "operate_type", "sink_table", "sink_columns"],
+    )
+    events = stream_events(spark, events_path(sf_dir))
+    src = etl_filter(
+        events, required=["props"], min_len_col="props", min_len=3
+    ).withColumn(
+        "op",
+        F.when(F.col("event_type") == "view", "insert")
+        .when(F.col("event_type") == "click", "bootstrap-insert")
+        .when(F.col("event_type") == "signup", "update")
+        .when(F.col("event_type") == "purchase", "insert")
+        .otherwise("delete"),
+    )
+    routed = route_with_config(
+        normalize_cdc_type(src, type_col="op"),
+        config,
+        source_col="event_type",
+        type_col="op",
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("op").alias("cdc_type"),
+        "sink_table",
+    )
+    fact_dir = os.path.join(tempfile.mkdtemp(prefix="cdc_route_"), "facts")
+    q = (
+        routed.filter(~F.col("sink_table").startswith("dim_"))
+        .writeStream.foreachBatch(route_writer(fact_dir))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(fact_dir).select(
+        "event_id", "event_type", "cdc_type", "sink_table"
+    )
+
+
 def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/ST4 streaming: the PaymentWideApp asymmetric-band interval
     join (RT/app/dwm/PaymentWideApp.java:116-131, ±30 min there;

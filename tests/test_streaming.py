@@ -429,3 +429,159 @@ def test_jump_parity_multibatch(spark, sf_dir, split_events_dir):
     )
     cols = ["event_id", "user_id", "jump_ts"]
     assert rows(got, cols) == rows(want, cols)
+
+
+def test_basedb_streaming_dag_route_sinks_agg(spark, sf_dir, split_events_dir):
+    """The full BaseDBApp topology (RT/app/dwd/BaseDBApp.java:76-113)
+    run as ONE streaming DAG, multi-batch: CDC stream -> ETL filter ->
+    bootstrap-insert normalize -> config-table routing (S8/R2/P6) ->
+    a single foreachBatch that writes fact rows per-sink_table
+    (route_writer, the dynamic-topic S3 analogue) AND dim rows through
+    keyed upserts (dim_upsert_writer, S5) -> a downstream DWS app
+    streams the dwd_page_log fact directory into a windowed aggregate.
+    The end-to-end result must equal the batch composition of the same
+    operators."""
+    import uuid
+
+    from pyspark.sql import types as T
+    from gmall_realtime_flink_spark.operators.routing import (
+        etl_filter,
+        normalize_cdc_type,
+        route_with_config,
+    )
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+    from gmall_realtime_flink_spark.streaming.sinks import (
+        dim_upsert_writer,
+        route_writer,
+    )
+
+    split_dir, cutoff = split_events_dir
+    config = spark.createDataFrame(
+        [
+            ("view", "insert", "dwd_page_log", "k"),
+            ("click", "insert", "dwd_display_log", "k"),
+            ("signup", "update", "dim_user_info", ""),
+            ("purchase", "insert", "dwd_order_info", "k"),
+        ],
+        ["source_table", "operate_type", "sink_table", "sink_columns"],
+    )
+
+    def dwd_route(df):
+        src = etl_filter(
+            df, required=["props"], min_len_col="props", min_len=3
+        ).withColumn(
+            "op",
+            F.when(F.col("event_type") == "view", "insert")
+            .when(F.col("event_type") == "click", "bootstrap-insert")
+            .when(F.col("event_type") == "signup", "update")
+            .when(F.col("event_type") == "purchase", "insert")
+            .otherwise("delete"),
+        )
+        src = normalize_cdc_type(src, type_col="op")
+        r = route_with_config(
+            src, config, source_col="event_type", type_col="op"
+        )
+        return r.select("event_id", "user_id", "ts", "event_type", "sink_table")
+
+    base = tempfile.mkdtemp(prefix="basedb_")
+    fact_dir = os.path.join(base, "facts")
+    dim_dir = os.path.join(base, "dims")
+    write_facts = route_writer(fact_dir)
+    write_dims = dim_upsert_writer(spark, dim_dir, pk=["user_id"])
+
+    def sink(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            write_facts(
+                batch_df.filter(~F.col("sink_table").startswith("dim_")),
+                batch_id,
+            )
+            dims = batch_df.filter(F.col("sink_table").startswith("dim_"))
+            write_dims(dims.select("user_id", "event_id", "sink_table"), batch_id)
+        finally:
+            batch_df.unpersist()
+
+    # stage 1, multi-batch (maxFilesPerTrigger=1 -> 4 micro-batches:
+    # dim upserts must compose across batches)
+    events = stream_events(spark, split_dir, max_files_per_trigger=1)
+    q1 = (
+        dwd_route(events)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    # all three fact routes landed as directories of one partitioned write
+    routes = {
+        d.split("=", 1)[1]
+        for d in os.listdir(fact_dir)
+        if d.startswith("sink_table=")
+    }
+    assert routes == {"dwd_page_log", "dwd_display_log", "dwd_order_info"}
+
+    # dim layer: exactly one row per signup user (keyed upsert wins)
+    batch_events = load(spark, sf_dir, "events")
+    want_users = {
+        r[0]
+        for r in dwd_route(batch_events)
+        .filter(F.col("sink_table") == "dim_user_info")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    dim = spark.read.parquet(os.path.join(dim_dir, "dim_user_info"))
+    got_users = [r[0] for r in dim.select("user_id").collect()]
+    assert sorted(set(got_users)) == sorted(want_users)
+    assert len(got_users) == len(set(got_users)), "dim upsert kept duplicates"
+
+    # stage 2: the dwd_page_log fact dir feeds a downstream DWS
+    # windowed agg as a *stream* (sentinel closes the last window)
+    pl_dir = os.path.join(fact_dir, "sink_table=dwd_page_log")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "ts": pa.array(
+                    [pa.scalar(jobs.SENTINEL_TS_NS // 1000, pa.timestamp("us"))]
+                ),
+                "event_type": pa.array(["view"], pa.string()),
+            }
+        ),
+        os.path.join(pl_dir, "part-sentinel.parquet"),
+    )
+    pl_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    pl_stream = (
+        spark.readStream.schema(pl_schema)
+        .parquet(pl_dir)
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = tumble_agg(
+        pl_stream,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=[],
+        aggs=[F.count(F.lit(1)).alias("pv_ct")],
+    )
+    got = jobs.run_bounded(agg, spark).filter(F.col("stt") < cutoff)
+
+    want = tumble_agg(
+        dwd_route(batch_events).filter(
+            F.col("sink_table") == "dwd_page_log"
+        ),
+        ts_col="ts",
+        duration="10 seconds",
+        keys=[],
+        aggs=[F.count(F.lit(1)).alias("pv_ct")],
+    )
+    cols = ["stt", "edt", "pv_ct"]
+    assert rows(got, cols) == rows(want, cols)
