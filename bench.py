@@ -56,20 +56,32 @@ def main() -> None:
     run_query(REGISTRY["pricing_summary"].builder(spark, sf_dir))
 
     times: dict[str, float] = {}
+    detail: dict[str, dict[str, float]] = {}
     for name, spec in headline.items():
         df = spec.builder(spark, sf_dir)
-        best = float("inf")
+        reps = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             run_query(df)
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        times[name] = round(min(reps), 3)
+        # per-query dispersion so an n-of-2 driver run is comparable
+        # to the min-of-3 BASELINE table: max-min IS the local-mode
+        # GC/scheduling jitter band, not a plan regression
+        detail[name] = {
+            "n": len(reps),
+            "min": round(min(reps), 3),
+            "max": round(max(reps), 3),
+            "spread": round(max(reps) - min(reps), 3),
+        }
 
     out = {
         "metric": "headline_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "reps": REPS,
+        "detail": detail,
         "sf": sf_from_dir(sf_dir),
     }
     print(json.dumps(out))
