@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,6 +71,80 @@ def dim_enrich(
     out = fact
     for dim_df, cond in dims:
         out = out.join(F.broadcast(dim_df), cond, how)
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of (backward, inclusive) join: attach to each left row the
+    latest right row with ``right_ts <= left_ts`` for the same key —
+    the temporal lookup a naive ``ON l.key = r.key AND r.ts <= l.ts``
+    join turns into a per-key cross product (every left row matches
+    ALL earlier right rows before the argmax). DuckDB expresses this
+    natively as ``ASOF JOIN``; Spark has no built-in, so this is the
+    scalable merge formulation:
+
+    tag both sides, union them, and take per key (ONE shuffle, no join
+    multiplicity) the running ``last(right_payload, ignorenulls=True)``
+    over (ts, side) order — right rows sort before left rows at equal
+    ts, which makes the match inclusive. State per key is the sort
+    buffer only; output is |left|.
+
+    Determinism: callers must ensure at most one right row per
+    (key, right_ts) (pre-aggregate with max_by) — ties at the same
+    instant are otherwise engine-arbitrary in any as-of
+    implementation, DuckDB's included.
+
+    `how`: 'left' keeps unmatched left rows (null payload), 'inner'
+    drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload
+            ) + ">"
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{c}:{left.schema[c].dataType.simpleString()}"
+                for c in left.columns
+            ) + ">"
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = merged.withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+    out = matched.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(f"asof_{c}") for c in payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{payload[0]}").isNotNull())
     return out
 
 

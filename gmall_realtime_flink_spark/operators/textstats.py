@@ -57,6 +57,70 @@ def simhash(
     return agg.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_near_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs WITHOUT all-pairs: split each
+    fingerprint into `bands` contiguous bit bands; two fingerprints at
+    hamming distance <= bands-1 must agree on at least one whole band
+    (pigeonhole), so candidates come from a self-equi-join on
+    (band_index, band_value) — one shuffle keyed by band bits, output
+    |colliding pairs| — then the exact hamming filter
+    bit_count(a ^ b) <= max_hamming runs on candidates only (the same
+    band-then-verify shape as MinHash-LSH, ops/dedup.py).
+
+    Requires max_hamming <= bands - 1 for the pigeonhole guarantee.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole needs max_hamming <= bands-1, got "
+            f"{max_hamming} > {bands - 1}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+        "bv",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+        "bv",
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def _score(toks: Column, lang: str) -> Column:
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.array_intersect(F.array_distinct(toks), words))

@@ -676,3 +676,172 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return sample_frames(attach_payload(d))
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label,
+           n_members,
+           round(centroid[1], 6) AS c0,
+           round(centroid[2], 6) AS c1,
+           round(centroid[3], 6) AS c2,
+           round(centroid[4], 6) AS c3
+    FROM (
+      SELECT label, any_value(n) AS n_members,
+             list(m ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos,
+               sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m,
+               count(*) AS n
+        FROM (
+          SELECT label, unnest(list_transform(embedding, x -> x::DOUBLE)) AS v,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings)
+        GROUP BY label, pos)
+      GROUP BY label)
+    """,
+    doc="Per-class embedding centroids (the class-prototype op of a "
+    "labeled training corpus): element-wise mean per label via "
+    "posexplode -> (label, dim) partial-aggregated sums — the exchange "
+    "carries |labels|x|dims| rows, not |vectors|. Means are exact "
+    "DECIMAL(38,12) sums / count (order-independent, cross-engine "
+    "deterministic — the kmeans_centroids mechanism). Output projects "
+    "the first 4 coordinates rounded to 6dp (the hash surface; the "
+    "full vector rides in the plan).",
+    tags=("similarity", "embedding", "agg"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("pos", "v"),
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.any_value("n").alias("n_members"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+    )
+    return cent.select(
+        "label",
+        "n_members",
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        F.round(F.element_at("centroid", 2), 6).alias("c1"),
+        F.round(F.element_at("centroid", 3), 6).alias("c2"),
+        F.round(F.element_at("centroid", 4), 6).alias("c3"),
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6)
+                        DESC, t.term) AS rk
+      FROM tf t JOIN df d USING (term), n)
+    WHERE rk <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (corpus-level text "
+    "featurization): tokenize -> per-(doc,term) tf -> per-term df "
+    "(one GROUP BY over the already-aggregated tf frame, never the "
+    "raw token stream) -> smoothed idf ln((N+1)/(df+1)) -> per-doc "
+    "top-3 via a window PARTITIONED by doc_id (bounded per-group "
+    "sort, no global sort). The doc-count scalar joins in as a "
+    "broadcast 1-row aggregate — no driver-side collect.",
+    tags=("text", "tfidf", "window"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tf")
+        * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+    s AS (
+      SELECT doc_id,
+        {_SIMHASH_SUMS}
+      FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({_SIMHASH_FP})::BIGINT AS simhash FROM s),
+    banded AS (
+      SELECT doc_id, simhash, i AS band,
+             (simhash >> (i * 4)) & 15 AS bv
+      FROM fp, generate_series(0, 3) AS g(i)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    doc="SimHash near-dup pairs by banded pigeonhole (completes the "
+    "dedup family: exact, MinHash-LSH+Jaccard, SimHash+hamming, "
+    "embedding-cosine): hamming <= 3 over 16 bits guarantees a shared "
+    "4-bit band, so candidates are a self-equi-join on (band, value) "
+    "— one shuffle, never all-pairs — then bit_count(a^b) verifies "
+    "exactly (operators/textstats.simhash_near_pairs).",
+    tags=("dedup", "simhash", "lsh"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        simhash_near_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(d))

@@ -1628,6 +1628,100 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "visitor_stats_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(ws + INTERVAL 30 SECONDS, '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type,
+           count(*) AS pv_ct,
+           count(DISTINCT user_id) AS uv_ct
+    FROM (
+      SELECT ts, event_type, user_id,
+             time_bucket(INTERVAL 10 SECONDS, ts) - i * INTERVAL 10 SECONDS AS ws
+      FROM events, generate_series(0, 2) AS g(i))
+    GROUP BY 1, 2, 3
+    """,
+    doc="A1 extension: HOPPING (sliding) windows — window(ts, 30s "
+    "slide 10s), the overlap family the reference's tumble windows "
+    "can't express; every event lands in duration/slide = 3 windows. "
+    "Streaming-capable as-is (same window() operator under a "
+    "watermark). Oracle expands each event to its 3 containing "
+    "windows via generate_series.",
+    tags=("window", "sliding", "agg"),
+)
+def visitor_stats_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = F.window("ts", "30 seconds", "10 seconds")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("user_id").alias("uv_ct"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "pv_ct",
+            "uv_ct",
+        )
+    )
+
+
+@register(
+    "purchase_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (  -- one view per (user, instant): ties at the same ts are
+            -- engine-arbitrary in any as-of join, so pre-argmax them
+      SELECT user_id, ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           v.view_id AS asof_view_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS asof_view_ts
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="AS-OF JOIN (last-touch attribution): each purchase matched to "
+    "the user's most recent prior-or-equal view. DuckDB states this "
+    "natively (ASOF LEFT JOIN — the oracle); Spark lacks the operator, "
+    "so operators/joins.asof_join builds it as a tagged union + one "
+    "per-key running last() — ONE shuffle, |left| output rows, never "
+    "the per-key cross product of the naive r.ts <= l.ts join.",
+    tags=("join", "asof", "window"),
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.joins import asof_join
+
+    events = load(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    joined = asof_join(
+        p, v, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["view_id", "view_ts"], how="left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "asof_view_id",
+        F.date_format("asof_view_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "asof_view_ts"
+        ),
+    )
+
+
+@register(
     "revenue_pivot",
     oracle="""
     SELECT n.n_name AS nation,
@@ -1666,4 +1760,46 @@ def revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("1995").alias("y1995"),
         F.col("1996").alias("y1996"),
         F.col("1997").alias("y1997"),
+    )
+
+
+@register(
+    "price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(q[1], 4) AS p50,
+           round(q[2], 4) AS p90,
+           round(q[3], 4) AS p99,
+           n
+    FROM (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS q,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag)
+    """,
+    doc="Exact linear-interpolation quantiles per group (Spark "
+    "percentile == DuckDB quantile_cont semantics): the distribution "
+    "profile of a measure column. Exact percentile sorts per group — "
+    "at 100 TB swap to approx_percentile (t-digest sketch, partial-"
+    "aggregatable, bounded rank error) whose accuracy contract is "
+    "property-tested in tests/test_functions.py::"
+    "test_sketch_accuracy_vs_exact; the exact form stays as the "
+    "oracle-checkable baseline.",
+    tags=("agg", "quantile", "olap"),
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    q = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("q", 1), 4).alias("p50"),
+            F.round(F.element_at("q", 2), 4).alias("p90"),
+            F.round(F.element_at("q", 3), 4).alias("p99"),
+            "n",
+        )
     )

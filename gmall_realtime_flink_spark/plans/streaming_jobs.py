@@ -320,6 +320,36 @@ def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_keyword_stats",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts),
+                    '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           keyword,
+           count(*) AS ct,
+           'SEARCH' AS source
+    FROM (
+      SELECT e.ts,
+             unnest(regexp_split_to_array(lower(d.text), '[^a-z]+')) AS keyword
+      FROM events e
+      JOIN documents d
+        ON CAST(json_extract_string(e.props, '$.k') AS BIGINT) = d.doc_id
+      WHERE e.event_type = 'view')
+    WHERE length(keyword) >= 2
+    GROUP BY 1, 2, 3
+    """,
+    doc="KeywordStatsApp under streaming: stream-static broadcast join "
+    "to the search text, tokenizer explode inside the micro-batch "
+    "plan, 10 s tumble count (RT/app/dws/KeywordStatsApp.java:56-88); "
+    "oracle = the batch keyword_stats_sql formulation.",
+    tags=("streaming", "udtf", "explode", "window"),
+)
+def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_keyword_stats(spark, sf_dir)
+
+
+@register(
     "streaming_user_sessions",
     oracle="""
     WITH x AS (

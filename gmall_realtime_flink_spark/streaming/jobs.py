@@ -63,15 +63,20 @@ SENTINEL_TYPES = ("view", "click", "signup", "purchase", "error", "sentinel")
 
 
 def write_sentinel_file(path: str, ts_ns: int) -> None:
-    """Write the watermark-advancing sentinel rows (user_id = -1, null
-    props), one per real event type plus a 'sentinel' marker.
+    """Write the watermark-advancing sentinel rows (user_id = -1), one
+    per real event type plus a 'sentinel' marker.
 
-    One row per type matters: a pipeline branch that filters on
-    event_type gets that predicate PUSHED DOWN into the parquet scan,
-    *below* the EventTimeWatermark operator — a single sentinel row of
-    an unmatched type would be skipped by row-group statistics and the
-    branch's watermark would never pass the final open window (found
-    the hard way; see tests/test_streaming.py)."""
+    The sentinel must survive EVERY predicate the query pushes below
+    the EventTimeWatermark operator into the parquet scan, or the
+    watermark never passes the final open window (found the hard way;
+    see tests/test_streaming.py). Two pushdown classes bite:
+    - explicit event-type filters → one sentinel row per type;
+    - join-key null-rejection INFERRED by Catalyst (an inner join on
+      get_json_object(props, '$.k') implies `props IS NOT NULL` at the
+      scan) → props carries a valid JSON object with a key that can
+      never join ({"k": -1}), not NULL.
+    Downstream queries already drop sentinel *output* via the
+    far-future stt cutoff, so the non-null props are inert there."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -83,7 +88,7 @@ def write_sentinel_file(path: str, ts_ns: int) -> None:
             "user_id": pa.array([-1] * n, pa.int64()),
             "event_type": pa.array(list(SENTINEL_TYPES), pa.string()),
             "value": pa.array([0.0] * n, pa.float64()),
-            "props": pa.array([None] * n, pa.string()),
+            "props": pa.array(['{"k": -1}'] * n, pa.string()),
         }
     )
     pq.write_table(sentinel, path)
@@ -519,6 +524,41 @@ def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_bounded(agg, spark)
     return out.filter(F.col("stt") < SENTINEL_CUTOFF)
+
+
+def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeywordStatsApp under streaming (A5+F2 with the UDTF in the
+    stream): view events stream-static-broadcast-joined to the
+    documents text, tokenizer explode ON THE STREAM, then a 10 s
+    tumble count per keyword — the full search-keyword DWS path
+    (RT/app/dws/KeywordStatsApp.java:56-88) with the explode running
+    inside the streaming micro-batch plan."""
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    views = events.filter(F.col("event_type") == "view").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    joined = views.join(F.broadcast(docs), views["k"] == docs["doc_id"])
+    words = joined.select(
+        "ts",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("keyword"),
+    ).filter(F.length("keyword") >= 2)
+    agg = tumble_agg(
+        words,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["keyword"],
+        aggs=[F.count(F.lit(1)).alias("ct")],
+    )
+    out = run_bounded(agg, spark)
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF).select(
+        "stt", "edt", "keyword", "ct", F.lit("SEARCH").alias("source")
+    )
 
 
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -129,3 +129,40 @@ def test_cjk_dict_segmentation(spark):
         for t in texts
     ]
     assert got == want, "Spark and DuckDB segmentations diverge"
+
+
+def test_sketch_accuracy_vs_exact(spark, sf_dir):
+    """The 100 TB substitutes for exact distinct/percentile are
+    sketches; pin their accuracy contracts against the exact answers:
+    approx_count_distinct (HLL++) within its rsd bound, and
+    approx_percentile (accuracy=10000) within ~1% rank error."""
+    from gmall_realtime_flink_spark.catalog import load
+
+    l = load(spark, sf_dir, "lineitem")
+
+    exact_d, approx_d = (
+        l.agg(
+            F.countDistinct("l_partkey").alias("e"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a"),
+        )
+        .collect()[0]
+    )
+    assert abs(approx_d - exact_d) / exact_d < 0.06, (exact_d, approx_d)
+
+    row = l.agg(
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("e"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.9, 10000)"
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    # rank-error bound: the approx p90 must sit between the exact
+    # p89 and p91 values
+    lo, hi = (
+        l.agg(
+            F.percentile("l_extendedprice", F.lit(0.89)).alias("lo"),
+            F.percentile("l_extendedprice", F.lit(0.91)).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert lo <= row.a <= hi, (lo, row.a, hi)
