@@ -121,6 +121,36 @@ def simhash_near_pairs(
     )
 
 
+# PII scrub patterns — portable between Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround
+EMAIL_PAT = r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}"
+PHONE_PAT = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,}"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrub (the redaction pass of a training-data pipeline):
+    replace emails/phone numbers with typed placeholders, emit per-doc
+    match counts and the fingerprint of the redacted text. Pure
+    JVM-side regex — order matters (emails first, so the phone pass
+    can't eat an address digit run).
+    """
+    text = F.lower(F.col(text_col))
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PAT), 0))
+    after_email = F.regexp_replace(text, EMAIL_PAT, "<EMAIL>")
+    n_phones = F.size(
+        F.regexp_extract_all(after_email, F.lit(PHONE_PAT), 0)
+    )
+    redacted = F.regexp_replace(after_email, PHONE_PAT, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
 def _score(toks: Column, lang: str) -> Column:
     words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.array_intersect(F.array_distinct(toks), words))

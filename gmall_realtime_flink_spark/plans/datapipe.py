@@ -845,3 +845,52 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return simhash_near_pairs(simhash(d))
+
+
+@register(
+    "doc_redact_pii",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             lower(text || ' contact user' || doc_id ||
+                   '@example.com or +1-555-' || (1000 + doc_id % 9000))
+               AS t
+      FROM documents),
+    e AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t,
+                 '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z]{2,}')) AS n_emails,
+             regexp_replace(t, '[a-z0-9._%+\\-]+@[a-z0-9.\\-]+\\.[a-z]{2,}',
+                            '<EMAIL>', 'g') AS t
+      FROM aug)
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(t, '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,}'))
+             AS n_phones,
+           md5(regexp_replace(t, '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{3,}',
+                              '<PHONE>', 'g')) AS redacted_md5
+    FROM e
+    """,
+    doc="PII redaction (training-data scrub): email/phone patterns -> "
+    "typed placeholders, per-doc counts + redacted fingerprint "
+    "(operators/textstats.redact_pii, JVM regex). The corpus has no "
+    "real PII, so each doc gets a DETERMINISTIC doc_id-derived contact "
+    "suffix inside the query before scrubbing — the redaction is "
+    "exercised non-vacuously on every row and both engines scrub the "
+    "identical augmented text.",
+    tags=("text", "pii", "redaction"),
+)
+def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import redact_pii
+
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000),
+        ).alias("text"),
+    )
+    return redact_pii(aug)

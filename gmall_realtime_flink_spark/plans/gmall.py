@@ -1803,3 +1803,276 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic shapes (A8 extension): multi-dim join aggs the serving
+# layer runs daily — each a distinct plan family worth pinning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           strftime(l.l_shipdate, '%Y') AS yr,
+           round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(28,4))), 2)::DOUBLE AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+      AND l.l_shipdate >= DATE '1995-01-01'
+      AND l.l_shipdate <  DATE '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping): cross-nation trade revenue "
+    "by (supplier nation, customer nation, year). Plan: the lineitem "
+    "scan keeps the pushed-down shipdate range; supplier/customer/"
+    "nation are broadcast so the fact shuffles ONCE for the orders "
+    "equi-join, then partial-aggregates before the group exchange.",
+    tags=("join", "olap", "tpch"),
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").alias("l").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = load(spark, sf_dir, "supplier").alias("s")
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    ns = load(spark, sf_dir, "nation").alias("ns")
+    nc = load(spark, sf_dir, "nation").alias("nc")
+    j = (
+        l.join(F.broadcast(s), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(ns), F.col("s.s_nationkey") == F.col("ns.n_nationkey"))
+        .join(F.broadcast(nc), F.col("c.c_nationkey") == F.col("nc.n_nationkey"))
+        .filter(F.col("ns.n_name") != F.col("nc.n_name"))
+    )
+    return (
+        j.groupBy(
+            F.col("ns.n_name").alias("supp_nation"),
+            F.col("nc.n_name").alias("cust_nation"),
+            F.date_format("l.l_shipdate", "yyyy").alias("yr"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l.l_extendedprice") * (1 - F.col("l.l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+    SELECT strftime(l.l_shipdate, '%Y') AS yr,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_ct,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_ct
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (late shipments by priority class; the "
+    "testdata has no shipmode/commitdate, so lateness = shipped >60d "
+    "after order): conditional-measure pivot inside one agg over the "
+    "order join, residual date predicate on the join output.",
+    tags=("join", "olap", "tpch"),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").alias("l")
+    o = load(spark, sf_dir, "orders").alias("o")
+    j = l.join(o, F.col("l.l_orderkey") == F.col("o.o_orderkey")).filter(
+        F.col("l.l_shipdate")
+        > F.col("o.o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o.o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(
+        F.date_format("l.l_shipdate", "yyyy").alias("yr")
+    ).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_ct"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_ct"),
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28,4))
+                   ELSE CAST(0 AS DECIMAL(28,4)) END)
+             / sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                   AS DECIMAL(28,4))), 6)::DOUBLE AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="TPC-H Q14 shape (promotion revenue share): conditional / total "
+    "ratio in one pass, both sums exact-decimal so the single-row "
+    "ratio is cross-engine deterministic; part joins broadcast.",
+    tags=("join", "olap", "tpch"),
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").alias("l")
+    p = load(spark, sf_dir, "part").alias("p")
+    j = l.join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+    rev = (F.col("l.l_extendedprice") * (1 - F.col("l.l_discount"))).cast(
+        "decimal(28,4)"
+    )
+    zero = F.lit(0).cast("decimal(28,4)")
+    promo = F.when(F.col("p.p_type") == "PROMO", rev).otherwise(zero)
+    return j.agg(
+        F.round(
+            F.lit(100.0) * F.sum(promo) / F.sum(rev), 6
+        ).cast("double").alias("promo_pct")
+    )
+
+
+@register(
+    "large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o.o_totalprice, 2) AS total_price,
+           q.sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) q
+    JOIN orders o ON q.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): HAVING-filtered "
+    "aggregate joined back to the dims — the aggregate runs FIRST so "
+    "only qualifying order keys (|large| << |orders|) reach the "
+    "joins; customer broadcasts.",
+    tags=("join", "agg", "tpch"),
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    q = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey", F.col("qty").cast("bigint").alias("sum_qty"))
+    )
+    return (
+        q.join(o, q["l_orderkey"] == F.col("o.o_orderkey"))
+        .join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .select(
+            "c.c_name",
+            "o.o_orderkey",
+            F.date_format("o.o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o.o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "segment_running_total",
+    oracle="""
+    SELECT c_mktsegment, month,
+           round(month_rev, 2) AS month_rev,
+           round(cum_rev, 2)::DOUBLE AS cum_rev
+    FROM (
+      SELECT c_mktsegment, month, month_rev,
+             sum(CAST(month_rev AS DECIMAL(28,2)))
+               OVER (PARTITION BY c_mktsegment ORDER BY month
+                     ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM (
+        SELECT c.c_mktsegment,
+               strftime(o.o_orderdate, '%Y-%m') AS month,
+               round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE
+                 AS month_rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2))
+    """,
+    doc="Cumulative (running-total) window family: monthly revenue per "
+    "market segment with a per-segment running sum. The cumulative sum "
+    "runs over the ALREADY-AGGREGATED month frame (|segments|x|months| "
+    "rows), never raw orders; the accumulator is DECIMAL so the "
+    "running values are order-exact in both engines.",
+    tags=("window", "olap"),
+)
+def segment_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").alias("o")
+    c = load(spark, sf_dir, "customer").alias("c")
+    monthly = (
+        o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .groupBy(
+            "c.c_mktsegment",
+            F.date_format("o.o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(dec_sum("o.o_totalprice").alias("month_rev"))
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "c_mktsegment",
+        "month",
+        F.round("month_rev", 2).alias("month_rev"),
+        F.round(F.sum(F.col("month_rev").cast("decimal(28,2)")).over(w), 2)
+        .cast("double")
+        .alias("cum_rev"),
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    oracle="""
+    SELECT strftime(o.o_orderdate, '%Y') AS yr,
+           n.n_name AS nation,
+           GROUPING(strftime(o.o_orderdate, '%Y'))::INT * 2
+             + GROUPING(n.n_name)::INT AS gid,
+           round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE
+             AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((strftime(o.o_orderdate, '%Y'), n.n_name),
+                            (strftime(o.o_orderdate, '%Y')), (n.n_name), ())
+    """,
+    doc="Explicit GROUPING SETS with the grouping-id bit vector "
+    "(completes the grouping family next to rollup/cube): four "
+    "aggregation grains in ONE pass — Spark expands the sets in a "
+    "single Expand+Aggregate, scanning the join output once instead "
+    "of four times.",
+    tags=("olap", "groupingsets", "agg"),
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    j.createOrReplaceTempView("rev_src")
+    return j.sparkSession.sql(
+        """
+        SELECT date_format(o_orderdate, 'yyyy') AS yr,
+               n_name AS nation,
+               CAST(grouping(date_format(o_orderdate, 'yyyy')) AS INT) * 2
+                 + CAST(grouping(n_name) AS INT) AS gid,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM rev_src
+        GROUP BY GROUPING SETS ((date_format(o_orderdate, 'yyyy'), n_name),
+                                (date_format(o_orderdate, 'yyyy')),
+                                (n_name), ())
+        """
+    )
