@@ -532,7 +532,11 @@ def test_basedb_streaming_dag_route_sinks_agg(spark, sf_dir, split_events_dir):
         .collect()
     }
     dim = spark.read.parquet(os.path.join(dim_dir, "dim_user_info"))
-    got_users = [r[0] for r in dim.select("user_id").collect()]
+    # user_id -1 is the watermark sentinel (valid props by design, so
+    # it flows the whole DAG); exclude harness rows from the compare
+    got_users = [
+        r[0] for r in dim.select("user_id").filter("user_id >= 0").collect()
+    ]
     assert sorted(set(got_users)) == sorted(want_users)
     assert len(got_users) == len(set(got_users)), "dim upsert kept duplicates"
 
