@@ -148,6 +148,55 @@ def asof_join(
     return out
 
 
+def range_bin_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    closed: str = "left",
+) -> DataFrame:
+    """Range (band) join without a nested loop: ``fact.value ∈
+    [range.lo, range.hi)`` joins as an EQUI-join on a shared bin.
+
+    Spark plans a raw inequality-only join as BroadcastNestedLoop (or
+    a cartesian) — O(|facts| x |ranges|) comparisons. Binning makes it
+    hash-partitionable: facts get ``bin = floor(value / w)``; each
+    range explodes to every bin it overlaps (ceil(span/w) rows — pick
+    `bin_width` near the typical range span so the fan-out is small);
+    the bin equi-join carries the shuffle and the exact inequality
+    runs as a residual on bin-colliding pairs only. Both sides
+    partition by bin, so skew follows the value distribution, not the
+    range count — the same bucket-the-continuum trick as the
+    sign-bucket ANN cells.
+
+    `closed`: 'left' = [lo, hi), 'both' = [lo, hi].
+    """
+    if closed not in ("left", "both"):
+        raise ValueError(f"closed must be 'left'|'both', got {closed!r}")
+    w = F.lit(bin_width)
+    f = facts.withColumn("__bin", F.floor(F.col(value_col) / w))
+    r = ranges.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    upper = (
+        F.col(value_col) < F.col(hi_col)
+        if closed == "left"
+        else F.col(value_col) <= F.col(hi_col)
+    )
+    return (
+        f.join(r, "__bin")
+        .filter((F.col(value_col) >= F.col(lo_col)) & upper)
+        .drop("__bin")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

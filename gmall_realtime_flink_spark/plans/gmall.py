@@ -2076,3 +2076,132 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (n_name), ())
         """
     )
+
+
+@register(
+    "user_dim_scd2",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+           event_id AS version_event
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD2 dimension history from a CDC-style change stream: each "
+    "per-key change opens a version valid until the next change "
+    "(lead() over the key), open-ended sentinel for the current row — "
+    "the slowly-changing-dimension build every warehouse needs and "
+    "the reference's Phoenix dims overwrite away. One shuffle on the "
+    "key; versioning is a lag/lead family window, no self-join.",
+    tags=("window", "scd2", "cdc"),
+)
+def user_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        F.col("event_id").alias("version_event"),
+    )
+
+
+@register(
+    "session_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      FROM events GROUP BY user_id)
+    SELECT
+      count(*) AS n_users,
+      sum(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS viewed,
+      sum(CASE WHEN v_ts IS NOT NULL AND c_ts > v_ts
+               THEN 1 ELSE 0 END)::BIGINT AS clicked_after_view,
+      sum(CASE WHEN v_ts IS NOT NULL AND c_ts > v_ts AND p_ts > c_ts
+               THEN 1 ELSE 0 END)::BIGINT AS purchased_after_click
+    FROM stages
+    """,
+    doc="Funnel conversion (view -> click -> purchase, strictly "
+    "ordered first-touch): per-user stage timestamps via conditional "
+    "min — ONE pass over events, one shuffle on user_id, the ordered-"
+    "sequence predicate evaluated on the aggregated row (never a "
+    "3-way self-join of the event stream).",
+    tags=("agg", "funnel", "cep"),
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p_ts"),
+    )
+    viewed = F.col("v_ts").isNotNull()
+    clicked = viewed & (F.col("c_ts") > F.col("v_ts"))
+    purchased = clicked & (F.col("p_ts") > F.col("c_ts"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias(
+            "purchased_after_click"
+        ),
+    )
+
+
+@register(
+    "price_tier_stats",
+    oracle="""
+    WITH tiers AS (
+      SELECT i AS tier_id, i * 2500.0 AS lo, (i + 1) * 2500.0 AS hi
+      FROM generate_series(0, 47) AS g(i))
+    SELECT t.tier_id, t.lo, t.hi,
+           count(*) AS n_items,
+           round(sum(CAST(l.l_extendedprice AS DECIMAL(28,4))), 2)::DOUBLE
+             AS revenue
+    FROM lineitem l JOIN tiers t
+      ON l.l_extendedprice >= t.lo AND l.l_extendedprice < t.hi
+    GROUP BY 1, 2, 3
+    """,
+    doc="Range join as a bin equi-join (operators/joins.range_bin_join): "
+    "price-tier histogram where each lineitem lands in its [lo, hi) "
+    "tier. A raw inequality join plans BroadcastNestedLoop — "
+    "O(|facts| x |tiers|); binning on floor(value/width) makes it a "
+    "hash equi-join with the inequality as residual. Plan-pinned "
+    "nested-loop-free in tests/test_plans.py.",
+    tags=("join", "range", "agg"),
+)
+def price_tier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.joins import range_bin_join
+
+    l = load(spark, sf_dir, "lineitem")
+    tiers = spark.range(0, 48).select(
+        F.col("id").cast("int").alias("tier_id"),
+        (F.col("id") * 2500.0).alias("lo"),
+        ((F.col("id") + 1) * 2500.0).alias("hi"),
+    )
+    j = range_bin_join(
+        l, tiers, value_col="l_extendedprice", lo_col="lo", hi_col="hi",
+        bin_width=2500.0, closed="left",
+    )
+    return j.groupBy("tier_id", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum("l_extendedprice").alias("revenue"),
+    )

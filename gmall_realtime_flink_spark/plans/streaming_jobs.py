@@ -320,6 +320,33 @@ def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_visitor_stats_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(ws + INTERVAL 30 SECONDS, '%Y-%m-%d %H:%M:%S') AS edt,
+           event_type,
+           count(*) AS pv_ct,
+           count(DISTINCT user_id) AS uv_ct
+    FROM (
+      SELECT ts, event_type, user_id,
+             time_bucket(INTERVAL 10 SECONDS, ts) - i * INTERVAL 10 SECONDS AS ws
+      FROM events, generate_series(0, 2) AS g(i))
+    GROUP BY 1, 2, 3
+    """,
+    doc="Hopping (sliding) windows under Structured Streaming: "
+    "window(ts, 30s, 10s) + watermark, every event in 3 overlapping "
+    "windows; oracle = the batch visitor_stats_sliding expansion with "
+    "exact COUNT(DISTINCT). Note: sentinel rows appear in 3 far-future "
+    "windows, all dropped by the stt cutoff.",
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_visitor_stats_sliding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return jobs.streaming_visitor_stats_sliding(spark, sf_dir)
+
+
+@register(
     "streaming_keyword_stats",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts),

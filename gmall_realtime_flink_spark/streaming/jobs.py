@@ -427,6 +427,37 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_visitor_stats_sliding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hopping windows under Structured Streaming: window(ts, 30s,
+    slide 10s) keyed by event_type — every event contributes to 3
+    overlapping windows; state = open windows only, closed by
+    watermark passage exactly as tumble windows. Streaming-safe
+    distinct via collect_set."""
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path)
+    agg = (
+        events.groupBy(
+            F.window("ts", "30 seconds", "10 seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.size(F.collect_set("user_id")).alias("uv_ct"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("edt"),
+            "event_type",
+            "pv_ct",
+            "uv_ct",
+        )
+    )
+    out = run_bounded(agg, spark)
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF)
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -139,3 +139,13 @@ def test_argmin_partial_aggregates_before_exchange(spark, sf_dir):
         "partial aggregate is not below the exchange — min_by is not "
         "map-side combining:\n" + plan
     )
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """price_tier_stats must plan the binned range join as a hash
+    equi-join on the bin column — never BroadcastNestedLoop or a
+    cartesian product (what Spark gives a raw inequality join)."""
+    plan = plan_of(spark, sf_dir, "price_tier_stats")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan  # it IS still a join, on the bin key
