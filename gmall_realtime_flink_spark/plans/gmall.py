@@ -412,16 +412,21 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u AS (
       SELECT ts, sku_id, 1 AS click_ct, 0 AS display_ct, 0 AS favor_ct,
-             0 AS order_ct, 0 AS refund_ct, 0.0 AS amount
+             0 AS cart_ct, 0 AS order_ct, 0 AS refund_ct, 0 AS comment_ct,
+             0.0 AS amount
       FROM src WHERE event_type = 'click'
       UNION ALL
-      SELECT ts, sku_id, 0, 1, 0, 0, 0, 0.0 FROM src WHERE event_type = 'view'
+      SELECT ts, sku_id, 0, 1, 0, 0, 0, 0, 0, 0.0 FROM src WHERE event_type = 'view'
       UNION ALL
-      SELECT ts, sku_id, 0, 0, 1, 0, 0, 0.0 FROM src WHERE event_type = 'signup'
+      SELECT ts, sku_id, 0, 0, 1, 0, 0, 0, 0, 0.0 FROM src WHERE event_type = 'signup'
       UNION ALL
-      SELECT ts, sku_id, 0, 0, 0, 1, 0, value FROM src WHERE event_type = 'purchase'
+      SELECT ts, sku_id, 0, 0, 0, 1, 0, 0, 0, 0.0 FROM src WHERE event_type = 'cart'
       UNION ALL
-      SELECT ts, sku_id, 0, 0, 0, 0, 1, 0.0 FROM src WHERE event_type = 'error'
+      SELECT ts, sku_id, 0, 0, 0, 0, 1, 0, 0, value FROM src WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 0, 0, 1, 0, 0.0 FROM src WHERE event_type = 'error'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 0, 0, 0, 1, 0.0 FROM src WHERE event_type = 'comment'
     )
     SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
            strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
@@ -430,15 +435,19 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(click_ct)::BIGINT AS click_ct,
            sum(display_ct)::BIGINT AS display_ct,
            sum(favor_ct)::BIGINT AS favor_ct,
+           sum(cart_ct)::BIGINT AS cart_ct,
            sum(order_ct)::BIGINT AS order_ct,
            sum(refund_ct)::BIGINT AS refund_ct,
+           sum(comment_ct)::BIGINT AS comment_ct,
            round(sum(CAST(amount AS DECIMAL(28,4))), 2)::DOUBLE AS order_amount
     FROM u GROUP BY 1, 2, 3
     """,
-    doc="U1+P8+A1/A2: the ProductStatsApp pipeline — 5 per-type event "
+    doc="U1+P8+A1/A2: the ProductStatsApp pipeline — 7 per-type event "
     "streams projected onto a shared stats skeleton (measure slots seeded "
     "0/1, RT/app/dws/ProductStatsApp.java:143-238), unionByName'd "
     "(:241-248), then one keyed 10 s tumbling window agg (:263-312). "
+    "The 'cart' and 'comment' branches are data-bounded empty (the "
+    "synthetic testdata has 5 event types) — shape real, counts 0. "
     "The union is a zero-shuffle plan node; the single downstream shuffle "
     "is on (window, sku).",
     headline=True,
@@ -467,21 +476,29 @@ def product_stats_union_core(events: DataFrame) -> DataFrame:
             "click_ct": slots.get("click_ct", zero),
             "display_ct": slots.get("display_ct", zero),
             "favor_ct": slots.get("favor_ct", zero),
+            "cart_ct": slots.get("cart_ct", zero),
             "order_ct": slots.get("order_ct", zero),
             "refund_ct": slots.get("refund_ct", zero),
+            "comment_ct": slots.get("comment_ct", zero),
             "amount": slots.get("amount", zerod),
         }
         return project_to_skeleton(
             src.filter(F.col("event_type") == etype), skeleton
         )
 
+    # 7 branches, matching ProductStatsApp.java:241-248 — the 'cart'
+    # and 'comment' event types never occur in the synthetic testdata,
+    # so those two branches are data-bounded empty: the union SHAPE and
+    # their measure slots are real, their counts aggregate to 0
     unioned = union_streams(
         [
             branch("click", click_ct=F.lit(1)),
             branch("view", display_ct=F.lit(1)),
             branch("signup", favor_ct=F.lit(1)),
+            branch("cart", cart_ct=F.lit(1)),
             branch("purchase", order_ct=F.lit(1), amount=F.col("value")),
             branch("error", refund_ct=F.lit(1)),
+            branch("comment", comment_ct=F.lit(1)),
         ]
     )
     out = tumble_agg(
@@ -493,14 +510,16 @@ def product_stats_union_core(events: DataFrame) -> DataFrame:
             F.sum("click_ct").alias("click_ct"),
             F.sum("display_ct").alias("display_ct"),
             F.sum("favor_ct").alias("favor_ct"),
+            F.sum("cart_ct").alias("cart_ct"),
             F.sum("order_ct").alias("order_ct"),
             F.sum("refund_ct").alias("refund_ct"),
+            F.sum("comment_ct").alias("comment_ct"),
             dec_sum("amount").alias("order_amount"),
         ],
     )
     return out.select(
         "stt", "edt", "sku_id", "click_ct", "display_ct", "favor_ct",
-        "order_ct", "refund_ct", "order_amount",
+        "cart_ct", "order_ct", "refund_ct", "comment_ct", "order_amount",
     )
 
 
@@ -2205,3 +2224,58 @@ def price_tier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dec_sum("l_extendedprice").alias("revenue"),
     )
+
+
+@register(
+    "visitor_stats_4d",
+    oracle="""
+    WITH e AS (
+      SELECT ts, value,
+             CAST(event_id % 3 AS BIGINT) AS vc,
+             event_type AS ch,
+             CAST(user_id % 5 AS BIGINT) AS ar,
+             CASE WHEN ts::DATE = min(ts::DATE) OVER (PARTITION BY user_id)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events)
+    SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
+           strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
+                    '%Y-%m-%d %H:%M:%S') AS edt,
+           vc, ch, ar, is_new,
+           count(*) AS pv_ct,
+           round(sum(CAST(value AS DECIMAL(28,4))), 2)::DOUBLE AS dur_sum
+    FROM e GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+    doc="A1 at the reference's REAL key grain: VisitorStats keyed by "
+    "the 4-dim (version, channel, area, is_new) tuple "
+    "(RT/app/dws/VisitorStatsApp.java:156-167 keyBy) — the testdata "
+    "has no vc/ch/ar columns, so they derive deterministically from "
+    "event/user ids and is_new comes from the ST1 first-visit repair "
+    "inline (min-date window per user). One shuffle for the repair "
+    "window, one for the 4-dim keyed tumble.",
+    tags=("window", "agg", "stateful"),
+)
+def visitor_stats_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+
+    e = load(spark, sf_dir, "events")
+    first = F.min(F.to_date("ts")).over(Window.partitionBy("user_id"))
+    keyed = e.select(
+        "ts",
+        "value",
+        (F.col("event_id") % 3).alias("vc"),
+        F.col("event_type").alias("ch"),
+        (F.col("user_id") % 5).alias("ar"),
+        F.when(F.to_date("ts") == first, 1).otherwise(0).alias("is_new"),
+    )
+    return tumble_agg(
+        keyed,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["vc", "ch", "ar", "is_new"],
+        aggs=[
+            F.count(F.lit(1)).alias("pv_ct"),
+            dec_sum("value").alias("dur_sum"),
+        ],
+    ).select("stt", "edt", "vc", "ch", "ar", "is_new", "pv_ct", "dur_sum")

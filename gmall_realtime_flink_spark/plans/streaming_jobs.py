@@ -194,16 +194,21 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     u AS (
       SELECT ts, sku_id, 1 AS click_ct, 0 AS display_ct, 0 AS favor_ct,
-             0 AS order_ct, 0 AS refund_ct, 0.0 AS amount
+             0 AS cart_ct, 0 AS order_ct, 0 AS refund_ct, 0 AS comment_ct,
+             0.0 AS amount
       FROM src WHERE event_type = 'click'
       UNION ALL
-      SELECT ts, sku_id, 0, 1, 0, 0, 0, 0.0 FROM src WHERE event_type = 'view'
+      SELECT ts, sku_id, 0, 1, 0, 0, 0, 0, 0, 0.0 FROM src WHERE event_type = 'view'
       UNION ALL
-      SELECT ts, sku_id, 0, 0, 1, 0, 0, 0.0 FROM src WHERE event_type = 'signup'
+      SELECT ts, sku_id, 0, 0, 1, 0, 0, 0, 0, 0.0 FROM src WHERE event_type = 'signup'
       UNION ALL
-      SELECT ts, sku_id, 0, 0, 0, 1, 0, value FROM src WHERE event_type = 'purchase'
+      SELECT ts, sku_id, 0, 0, 0, 1, 0, 0, 0, 0.0 FROM src WHERE event_type = 'cart'
       UNION ALL
-      SELECT ts, sku_id, 0, 0, 0, 0, 1, 0.0 FROM src WHERE event_type = 'error'
+      SELECT ts, sku_id, 0, 0, 0, 0, 1, 0, 0, value FROM src WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 0, 0, 1, 0, 0.0 FROM src WHERE event_type = 'error'
+      UNION ALL
+      SELECT ts, sku_id, 0, 0, 0, 0, 0, 0, 1, 0.0 FROM src WHERE event_type = 'comment'
     )
     SELECT strftime(time_bucket(INTERVAL 10 SECONDS, ts), '%Y-%m-%d %H:%M:%S') AS stt,
            strftime(time_bucket(INTERVAL 10 SECONDS, ts) + INTERVAL 10 SECONDS,
@@ -212,8 +217,10 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(click_ct)::BIGINT AS click_ct,
            sum(display_ct)::BIGINT AS display_ct,
            sum(favor_ct)::BIGINT AS favor_ct,
+           sum(cart_ct)::BIGINT AS cart_ct,
            sum(order_ct)::BIGINT AS order_ct,
            sum(refund_ct)::BIGINT AS refund_ct,
+           sum(comment_ct)::BIGINT AS comment_ct,
            round(sum(CAST(amount AS DECIMAL(28,4))), 2)::DOUBLE AS order_amount
     FROM u GROUP BY 1, 2, 3
     """,

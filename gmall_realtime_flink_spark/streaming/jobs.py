@@ -59,7 +59,15 @@ def events_path(sf_dir: str) -> str:
     return tmp
 
 
-SENTINEL_TYPES = ("view", "click", "signup", "purchase", "error", "sentinel")
+# one sentinel row per type ANY branch filters on — including the
+# reference-faithful 'cart'/'comment' union branches that are
+# data-bounded empty (their pushed-down scans would otherwise never
+# observe an event time and the min-policy global watermark would
+# stall at zero)
+SENTINEL_TYPES = (
+    "view", "click", "signup", "cart", "purchase", "error", "comment",
+    "sentinel",
+)
 
 
 def write_sentinel_file(path: str, ts_ns: int) -> None:

@@ -54,6 +54,20 @@ def kafka_source(
     return reader.load().select(F.col("value").cast("string").alias("value"))
 
 
+def parse_json_value(
+    raw: DataFrame, schema: T.StructType, ts_col: str, watermark: str
+) -> DataFrame:
+    """The value-side of S4, factored off the connector so the Kafka
+    wire shape (binary `value` among key/topic/partition/offset
+    metadata columns) is testable without a broker: cast → from_json →
+    flatten → watermark. `kafka_json_source` is exactly this applied
+    to a real Kafka stream."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+    return parsed.withWatermark(ts_col, watermark)
+
+
 def kafka_json_source(
     spark: SparkSession,
     brokers: str,
@@ -65,8 +79,21 @@ def kafka_json_source(
     """S4: Kafka DDL source — json parse + event-time watermark
     (ProvinceStatsSqlApp.java:45-50, KeywordStatsApp.java:56-64)."""
     raw = kafka_source(spark, brokers, topic)
-    parsed = raw.select(F.from_json("value", schema).alias("r")).select("r.*")
-    return parsed.withWatermark(ts_col, watermark)
+    return parse_json_value(raw, schema, ts_col, watermark)
+
+
+def kafka_envelope(df: DataFrame, topic_col: str | None = None) -> DataFrame:
+    """The record projection the Kafka sink writes (P3 + S3): every
+    payload column folded into a `to_json(struct(...))` value, plus a
+    per-row `topic` column when routing dynamically. Factored off the
+    connector write so the envelope is testable without a broker
+    (tests/test_functions.py::test_kafka_envelope_roundtrip)."""
+    return df.select(
+        F.to_json(F.struct(*[c for c in df.columns if c != topic_col])).alias(
+            "value"
+        ),
+        *([F.col(topic_col).alias("topic")] if topic_col else []),
+    )
 
 
 def kafka_sink(
@@ -85,12 +112,7 @@ def kafka_sink(
     """
     if topic is None and topic_col is None:
         raise ValueError("either topic or topic_col is required")
-    out = df.select(
-        F.to_json(F.struct(*[c for c in df.columns if c != topic_col])).alias(
-            "value"
-        ),
-        *([F.col(topic_col).alias("topic")] if topic_col else []),
-    )
+    out = kafka_envelope(df, topic_col)
     writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

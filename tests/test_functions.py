@@ -166,3 +166,70 @@ def test_sketch_accuracy_vs_exact(spark, sf_dir):
         .collect()[0]
     )
     assert lo <= row.a <= hi, (lo, row.a, hi)
+
+
+def test_kafka_envelope_roundtrip(spark):
+    """S2/S3/S4 wire shape without a broker: a frame with the real
+    Kafka source schema (binary key/value + topic/partition/offset
+    metadata) parses through parse_json_value, and kafka_envelope
+    re-encodes payload rows to (value, topic) — roundtrip preserves
+    every payload column and routes the per-record topic."""
+    import json
+
+    from pyspark.sql import types as T
+    from gmall_realtime_flink_spark.streaming.kafka import (
+        kafka_envelope,
+        parse_json_value,
+    )
+
+    payload = spark.createDataFrame(
+        [(1, "a", "dwd_page_log"), (2, "b", "dwd_order_info")],
+        ["id", "name", "sink_table"],
+    )
+    env = kafka_envelope(payload, topic_col="sink_table")
+    assert env.columns == ["value", "topic"]
+    rows = {r.topic: json.loads(r.value) for r in env.collect()}
+    assert rows["dwd_page_log"] == {"id": 1, "name": "a"}
+    assert rows["dwd_order_info"] == {"id": 2, "name": "b"}
+
+    # the Kafka SOURCE wire schema, as the connector would deliver it
+    wire_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+        ]
+    )
+    from datetime import datetime
+
+    wire = spark.createDataFrame(
+        [
+            (
+                None,
+                json.dumps({"id": 7, "ts": "2024-01-01 00:00:05"}).encode(),
+                "t",
+                0,
+                42,
+                datetime(2024, 1, 1),
+                0,
+            )
+        ],
+        wire_schema,
+    )
+    parsed = parse_json_value(
+        wire,
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        ),
+        ts_col="ts",
+        watermark="2 seconds",
+    )
+    got = parsed.collect()
+    assert got[0].id == 7 and got[0].ts == datetime(2024, 1, 1, 0, 0, 5)

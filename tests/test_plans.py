@@ -149,3 +149,36 @@ def test_range_join_is_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan  # it IS still a join, on the bin key
+
+
+def test_partition_pruning_on_date_partitioned_layout(spark, sf_dir):
+    """The 100 TB layout: facts written partitionBy(dt). A dt filter
+    must prune at the PartitionFilters level — the scan's file listing
+    excludes non-matching date directories entirely (zero IO), not a
+    post-scan row filter."""
+    out = tempfile.mkdtemp(prefix="dt_part_")
+    events = load(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    events.write.partitionBy("dt").mode("overwrite").parquet(out)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("dt=")
+    )
+    assert len(days) >= 2, "need multiple partitions to prove pruning"
+    q = (
+        spark.read.parquet(out)
+        .filter(F.col("dt") == days[0])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "dt" in pf, f"dt filter not in PartitionFilters: {pf}"
+    # and the pruned count matches the unpruned filter
+    want = (
+        events.filter(F.col("dt") == days[0])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, want.collect()))
