@@ -16,5 +16,6 @@ from gmall_realtime_flink_spark.plans.registry import REGISTRY, QuerySpec, regis
 from gmall_realtime_flink_spark.plans import gmall  # noqa: E402,F401
 from gmall_realtime_flink_spark.plans import datapipe  # noqa: E402,F401
 from gmall_realtime_flink_spark.plans import streaming_jobs  # noqa: E402,F401
+from gmall_realtime_flink_spark.plans import olap  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -182,3 +182,37 @@ def test_partition_pruning_on_date_partitioned_layout(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_disjunctive_brackets_push_to_both_scans(spark, sf_dir):
+    """Q19 shape: Catalyst derives single-side implications of the
+    OR-of-ANDs — the lineitem scan keeps a quantity-range OR, the part
+    scan keeps the brand/size OR — so neither side is scanned full."""
+    plan = plan_of(spark, sf_dir, "bracket_revenue")
+    pushed = [
+        seg.split("]", 1)[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("l_quantity" in p for p in pushed), "no quantity range on lineitem scan"
+    assert any("p_brand" in p for p in pushed), "no brand filter on part scan"
+    assert "SortMergeJoin" not in plan  # part is broadcast
+
+
+def test_scalar_threshold_reuses_fact_exchange(spark, sf_dir):
+    """Q11 shape: the global total must be a re-aggregation of the
+    per-part result, not a second fact scan — after AQE runs, the
+    scalar side shows ReusedExchange on the per-part shuffle."""
+    df = REGISTRY["important_parts"].builder(spark, sf_dir)
+    df.collect()  # AQE reuse materializes at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_waiting_suppliers_semi_anti_no_cartesian(spark, sf_dir):
+    """Q21 shape: the exists/not-exists pair plans as LeftSemi +
+    LeftAnti equi-joins on l_orderkey (suppkey<> as residual only) —
+    never a cartesian product."""
+    plan = plan_of(spark, sf_dir, "waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
