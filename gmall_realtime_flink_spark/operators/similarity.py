@@ -265,3 +265,41 @@ def cosine_topk_ivf(
         F.broadcast(qcells), assigned["cell"] == qcells["cid"], "left_semi"
     ).crossJoin(F.broadcast(q))
     return _ranked_topk(_cosine(cand), k)
+
+
+def knn_self_join(
+    embeddings: DataFrame, k: int = 3, bits: int = 4
+) -> DataFrame:
+    """Every vector's top-k nearest neighbors (the k-NN graph), bucketed
+    by the sign-bit coarse quantizer so candidates are per-cell — one
+    bucketed self-equi-join, never the N² all-pairs cross product.
+
+    At 100 TB the bucket id is the shuffle (and storage-partition) key:
+    each cell's candidate block fits one task, and recall is tuned by
+    `bits` (fewer bits → bigger cells → higher recall, more compute) —
+    the same trade as IVF nlist. Ranking is a per-vector partitioned
+    window (never global): rank on (rounded sim DESC, neighbor id) so
+    ties are deterministic cross-engine.
+    """
+    e = embeddings.select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    ).withColumn("bucket", sign_bucket("emb", bits))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") != F.col("vec_b"))
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
+    nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
+    scored = pairs.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+    w = Window.partitionBy("vec_a").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_a", "vec_b", "cos_sim", "rk")
+    )

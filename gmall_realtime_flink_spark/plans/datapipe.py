@@ -18,6 +18,8 @@ from gmall_realtime_flink_spark.operators.dedup import (
     jaccard_verify,
     lsh_candidates,
     minhash_signatures,
+    shingles,
+    tokenize,
 )
 from gmall_realtime_flink_spark.operators.multimodal import (
     attach_payload,
@@ -27,6 +29,7 @@ from gmall_realtime_flink_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_bucketed,
     embedding_near_dup_pairs,
+    knn_self_join,
 )
 from gmall_realtime_flink_spark.operators.textstats import (
     lang_id,
@@ -993,3 +996,194 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("code", 4).alias("q3"),
         F.round("mse", 6).alias("recon_mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: decontamination, repetition, paragraph dedup, k-NN graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_decontaminate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      FROM d WHERE len(toks) >= 3),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, count(*)::BIGINT AS hit_ct
+    FROM sh s JOIN ev ON s.sh = ev.sh
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY 1
+    """,
+    doc="Benchmark decontamination: train docs sharing any word 3-gram "
+    "with the held-out eval set (doc_id%50==0 stands in for the eval "
+    "corpus), with the count of distinct leaked 3-grams. Plan: the "
+    "eval n-gram set is distinct-ed then BROADCAST (eval corpora are "
+    "KB-MB even when training data is 100 TB), so the train side "
+    "never shuffles — explode, broadcast-hash probe, partial-agg "
+    "count. If the eval set ever outgrew broadcast, the same plan "
+    "degrades to one shuffle on the n-gram hash.",
+    tags=("datapipe", "dedup", "decontamination"),
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    sh = (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("toks", 3))).alias("sh"),
+        )
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("sh").alias("esh"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), F.col("sh") == F.col("esh"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_ct"))
+    )
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents),
+    per_tok AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS ct FROM t GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(ct)::BIGINT AS word_ct,
+           count(*)::BIGINT AS uniq_ct,
+           round(1.0 - count(*)::DOUBLE / sum(ct)::DOUBLE, 6) AS rep_ratio,
+           round(max(ct)::DOUBLE / sum(ct)::DOUBLE, 6) AS top_share
+    FROM per_tok
+    GROUP BY 1
+    """,
+    doc="Repetition quality signal: per-doc duplicate-word ratio and "
+    "top-token share (high values flag boilerplate / degenerate "
+    "generations — a standard pretraining quality filter). Plan: "
+    "explode → two-level agg; the (doc_id, tok) partial agg combines "
+    "map-side so the exchange carries distinct pairs, not raw tokens; "
+    "the second agg re-shuffles only |docs| keys. Ratios are one "
+    "double division of exact counts, rounded — cross-engine "
+    "deterministic.",
+    tags=("datapipe", "text", "quality"),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    per_tok = t.groupBy("doc_id", "tok").agg(F.count("*").alias("ct"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("ct").alias("word_ct"),
+        F.count("*").alias("uniq_ct"),
+        F.round(
+            1.0 - F.count("*").cast("double") / F.sum("ct").cast("double"), 6
+        ).alias("rep_ratio"),
+        F.round(
+            F.max("ct").cast("double") / F.sum("ct").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+@register(
+    "span_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - 7),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                 || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                 || toks[i+6] || ' ' || toks[i+7])) AS span
+      FROM d WHERE len(toks) >= 8)
+    SELECT md5(span) AS span_hash,
+           min(span) AS span,
+           count(DISTINCT doc_id)::BIGINT AS doc_ct,
+           count(*)::BIGINT AS occ_ct
+    FROM s
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="Sub-document verbatim-span dedup: word-8-gram spans repeated "
+    "across documents, with document frequency and total occurrences — "
+    "the unit-level pass that document-level dedup misses (boilerplate, "
+    "licenses, memorized spans; the span-dedup idea from Lee et al. "
+    "2022, at 8 words instead of 50 BPE tokens for the synthetic "
+    "corpus). Plan: explode the span stream, group on the md5 digest "
+    "(fixed-width shuffle key at 100 TB, not the span string; the "
+    "min(span) payload rides the same exchange). count(DISTINCT "
+    "doc_id) expands in-group, bounded by per-span fan-out.",
+    tags=("datapipe", "dedup", "text"),
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    s = toks.filter(F.size("toks") >= 8).select(
+        "doc_id", F.explode(shingles("toks", 8)).alias("span")
+    )
+    return (
+        s.groupBy(F.md5(F.col("span")).alias("span_hash"))
+        .agg(
+            F.min("span").alias("span"),
+            F.countDistinct("doc_id").alias("doc_ct"),
+            F.count("*").alias("occ_ct"),
+        )
+        .filter(F.col("doc_ct") >= 2)
+    )
+
+
+@register(
+    "knn_graph",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings)
+    SELECT vec_a, vec_b, cos_sim, rk FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                        b.vec_id) AS rk
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+    WHERE rk <= 3
+    """,
+    doc="Approximate k-NN graph (every vector's top-3 neighbors): the "
+    "batch-ANN companion to the single-query top-k — what embedding "
+    "dedup clustering and semantic-similarity curation consume. "
+    "Candidates restricted to the sign-bit cell (one bucketed "
+    "self-equi-join, never N² pairs); per-vector partitioned-window "
+    "ranking on (rounded sim, neighbor id) for cross-engine ties "
+    "(operators/similarity.knn_self_join).",
+    tags=("datapipe", "similarity", "ann"),
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return knn_self_join(e, k=3, bits=4)
