@@ -2279,3 +2279,39 @@ def visitor_stats_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value").alias("dur_sum"),
         ],
     ).select("stt", "edt", "vc", "ch", "ar", "is_new", "pv_ct", "dur_sum")
+
+
+@register(
+    "page_flow",
+    oracle="""
+    SELECT from_type, to_type, count(*)::BIGINT AS trans_ct
+    FROM (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events)
+    WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Page-flow transition matrix: per-user lead() pairs each event "
+    "with its successor, then counts (from, to) edges — the user-path "
+    "analysis downstream of the reference's page log (the page_id → "
+    "last_page_id chain BaseLogApp stitches, RT/app/dwd/BaseLogApp.java"
+    ":115-128, aggregated into a flow graph). Plan: ONE shuffle on "
+    "user_id for the lead window (deterministic (ts, event_id) order), "
+    "then the edge agg partial-aggregates map-side; the matrix is "
+    "|types|² tiny.",
+    tags=("window", "agg", "funnel"),
+)
+def page_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return edges.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("trans_ct")
+    )

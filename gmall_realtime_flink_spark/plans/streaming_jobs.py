@@ -427,3 +427,18 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_uv_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_uv_dropdup(spark, sf_dir)
+
+
+@register(
+    "streaming_uv_dropdup_wm",
+    oracle="""
+    SELECT DISTINCT user_id FROM events
+    """,
+    doc="ST2 via dropDuplicatesWithinWatermark: built-in streaming "
+    "dedup with watermark-bounded state for keys that don't embed "
+    "event time — the production-safe form of streaming_uv_dropdup "
+    "(streaming/jobs.py streaming_uv_dropdup_wm).",
+    tags=("streaming", "stateful", "dedup"),
+)
+def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_uv_dropdup_wm(spark, sf_dir)

@@ -645,3 +645,24 @@ def streaming_uv_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_bounded(dedup, spark)
     return out.filter(F.col("visit_date") < SENTINEL_CUTOFF)
+
+
+def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 via dropDuplicatesWithinWatermark (Spark 3.5+): dedup state
+    is bounded by the watermark delay even though the event-time column
+    is NOT part of the key — the missing piece that makes built-in
+    streaming dedup production-safe for unbounded keys (state for a
+    user evicts `delay` after their last event, i.e. the reference's
+    1-day TTL ValueState, RT/app/dwm/UniqueVisitApp.java:60-78,
+    expressed as a built-in operator instead of hand-rolled state).
+    The delay (2 days) exceeds the bounded input's span, so no key
+    re-emits and the output equals batch DISTINCT — on an unbounded
+    stream a key CAN legitimately re-emit after eviction, which is
+    exactly the daily-UV re-count semantics."""
+    path = events_with_sentinel(spark, sf_dir, gap_ms=0)
+    events = stream_events(spark, path, watermark="2 days")
+    dedup = events.dropDuplicatesWithinWatermark(["user_id"]).select(
+        "user_id"
+    )
+    out = run_bounded(dedup, spark)
+    return out.filter(F.col("user_id") >= 0)

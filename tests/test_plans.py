@@ -216,3 +216,19 @@ def test_waiting_suppliers_semi_anti_no_cartesian(spark, sf_dir):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_is_bucketed_not_cartesian(spark, sf_dir):
+    """k-NN graph candidates come from the sign-bucket equi-join —
+    never an all-pairs cartesian/nested-loop product."""
+    plan = plan_of(spark, sf_dir, "knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_dir):
+    """The eval n-gram set must broadcast: the train-side explode is
+    probed by a BroadcastHashJoin, never shuffled for a SortMergeJoin."""
+    plan = plan_of(spark, sf_dir, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
