@@ -1,0 +1,75 @@
+"""Storage-layout maintenance: compaction and sort-clustering.
+
+At 100 TB the table layout is a first-class operator: streaming sinks
+(`streaming/sinks.py`) produce one file per micro-batch per partition,
+and a month of micro-batches turns every downstream scan into a
+small-files metadata storm. The reference outsources this to HBase /
+ClickHouse internals (their own compactions); a lake-format deployment
+(parquet dirs here, Delta/Iceberg in production) schedules these two
+rewrites instead:
+
+- `compact_parquet`: N small files → ceil(bytes / target) right-sized
+  files. Uses `coalesce` when shrinking (no shuffle — each output task
+  concatenates input splits) and falls back to a round-robin
+  `repartition` only when growing the file count.
+- `clustered_write`: range-partition + sort on a clustering key before
+  writing, so every parquet row-group carries a tight min/max band on
+  that key and point/range scans prune files AND row groups via
+  statistics alone (the poor man's Z-order; one key, so a plain range
+  cluster is optimal).
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Rewrite `src_dir` into ceil(total/target) files at `dst_dir`;
+    returns the file count. Deterministic: the count derives from the
+    source byte size, not cluster state."""
+    total = dir_bytes(src_dir)
+    n = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src_dir)
+    shrink = n <= df.rdd.getNumPartitions()
+    out = df.coalesce(n) if shrink else df.repartition(n)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n
+
+
+def clustered_write(
+    df: DataFrame,
+    dst_dir: str,
+    cluster_col: str,
+    n_files: int = 8,
+    rows_per_group: int = 5000,
+) -> None:
+    """Range-partition on `cluster_col` and sort within partitions
+    before writing: each output file (and each row-group inside it)
+    covers a disjoint key band, so min/max statistics prune scans.
+    `rows_per_group` keeps row-groups small enough that intra-file
+    pruning is observable in tests; production uses the 128 MB
+    default."""
+    (
+        df.repartitionByRange(n_files, cluster_col)
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(rows_per_group * 64))
+        .parquet(dst_dir)
+    )

@@ -1,0 +1,66 @@
+"""Storage-layout maintenance: compaction + clustering, verified at
+the filesystem level (file counts, parquet row-group statistics)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from gmall_realtime_flink_spark.catalog import load
+from gmall_realtime_flink_spark.operators.maintenance import (
+    clustered_write,
+    compact_parquet,
+)
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # simulate a streaming sink's small-files output: 64 shards
+    load(spark, sf_dir, "events").repartition(64).write.parquet(src)
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) == 64
+
+    n = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert n == 1 and len(files) == 1
+    assert (
+        spark.read.parquet(dst).count()
+        == load(spark, sf_dir, "events").count()
+    )
+
+
+def test_clustered_write_bounds_rowgroup_ranges(spark, sf_dir, tmp_path):
+    """After clustering on user_id, a point-lookup band intersects few
+    files: every file covers a disjoint user_id range (vs. every file
+    covering the whole range in arrival order)."""
+    dst = str(tmp_path / "clustered")
+    events = load(spark, sf_dir, "events").select("user_id", "event_type")
+    clustered_write(events, dst, "user_id", n_files=8)
+
+    files = sorted(glob.glob(os.path.join(dst, "*.parquet")))
+    assert len(files) >= 4  # range partitioner may merge tiny bands
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    # disjoint bands: each file's max stays below the next file's min
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+
+    # and Spark's scan prunes: a one-user filter reads back correctly
+    # through the pruned layout (correctness of the rewrite)
+    one = spark.read.parquet(dst).filter(F.col("user_id") == 13)
+    want = events.filter(F.col("user_id") == 13)
+    assert one.count() == want.count()
