@@ -2315,3 +2315,55 @@ def page_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("from_type", "to_type").agg(
         F.count("*").alias("trans_ct")
     )
+
+
+@register(
+    "dirty_split",
+    oracle="""
+    SELECT CASE WHEN event_id % 97 = 0 THEN 'dirty' ELSE 'clean' END AS route,
+           count(*)::BIGINT AS ct,
+           sum(CASE WHEN event_id % 97 <> 0
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END)::BIGINT AS k_sum
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Dirty-data side output (RT/app/dwd/BaseLogAPP.java:141-162: "
+    "unparseable log lines go to a dirty side-output topic): JSON "
+    "envelopes are parsed PERMISSIVE with from_json — a malformed "
+    "payload yields a NULL struct, which stamps the row 'dirty' "
+    "instead of killing the job. The testdata's props are all valid, "
+    "so a deterministic 1/97 slice is corrupted in-flight to make the "
+    "split non-vacuous; the ORACLE classifies by the corruption rule "
+    "while Spark classifies by the ACTUAL parse outcome, so the hash "
+    "match proves from_json flags exactly the malformed rows. Plan: "
+    "narrow per-row JVM expressions + one tiny 2-group agg; at scale "
+    "the same route column feeds route_writer's per-sink fan-out.",
+    tags=("routing", "etl"),
+)
+def dirty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 97 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    # PERMISSIVE mode surfaces malformed input in the corrupt-record
+    # column (Spark 4 returns a null-FIELDED struct, never a null
+    # struct, so `isNull` on the result cannot detect dirt)
+    parsed = F.from_json(
+        raw,
+        "k BIGINT, _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    route = F.when(
+        parsed.getField("_corrupt").isNotNull(), "dirty"
+    ).otherwise("clean")
+    return (
+        e.select(
+            route.alias("route"), parsed.getField("k").alias("k")
+        )
+        .groupBy("route")
+        .agg(
+            F.count("*").alias("ct"),
+            F.sum("k").alias("k_sum"),
+        )
+    )

@@ -241,3 +241,35 @@ def test_kmeans_improves_quantizer_objective(spark, sf_dir):
     ).collect()
     as_map = lambda rows: {r.cid: r.cvec for r in rows}  # noqa: E731
     assert as_map(flat) == as_map(shuffled), "training not repartition-invariant"
+
+
+def test_knn_graph_matches_bruteforce_within_bucket(spark, sf_dir):
+    """knn_self_join's rank-1 neighbor equals the numpy brute-force
+    argmax over the same sign-bucket cell (rounded-cosine ties broken
+    by neighbor id, mirroring the operator's ordering)."""
+    import numpy as np
+
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import knn_self_join
+
+    e = load(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_a"]: r["vec_b"]
+        for r in knn_self_join(e, k=1, bits=4).filter("rk = 1").collect()
+    }
+
+    pdf = e.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    bucket = sum(((V[:, i] >= 0).astype(int) << i) for i in range(4))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.round(Vn @ Vn.T, 6)
+
+    for a in range(len(ids)):
+        cell = np.where((bucket == bucket[a]) & (ids != ids[a]))[0]
+        if len(cell) == 0:
+            assert ids[a] not in got
+            continue
+        # max sim, ties to the smallest neighbor id
+        best = cell[np.lexsort((ids[cell], -sims[a, cell]))][0]
+        assert got[ids[a]] == ids[best], f"vec {ids[a]}"
