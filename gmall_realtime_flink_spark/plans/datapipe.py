@@ -1187,3 +1187,45 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return knn_self_join(e, k=3, bits=4)
+
+
+@register(
+    "corpus_stats",
+    oracle="""
+    SELECT coalesce(source, '<all>') AS source,
+           coalesce(lang, '<all>') AS lang,
+           count(*)::BIGINT AS doc_ct,
+           sum(length(text))::BIGINT AS char_sum,
+           sum(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS token_sum
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+    doc="Corpus composition dashboard: doc / char / token totals at "
+    "(source, lang), per-source, and grand-total grain in ONE pass "
+    "(ROLLUP partial-aggregates each grain map-side — never three "
+    "scans). The BPE-ish token count is the same JVM regex as "
+    "doc_token_count, so totals reconcile with the per-doc view. "
+    "NULL grouping slots are labeled '<all>' (no real source/lang is "
+    "NULL in the corpus).",
+    tags=("datapipe", "text", "olap"),
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bpe_pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_pat), 0))
+    return (
+        d.select("source", "lang", F.length("text").alias("nc"),
+                 toks.alias("nt"))
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("doc_ct"),
+            F.sum("nc").alias("char_sum"),
+            F.sum("nt").alias("token_sum"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "doc_ct", "char_sum", "token_sum",
+        )
+    )
