@@ -1,0 +1,45 @@
+"""Python UDTF surface — API parity with the reference's SQL-registered
+table function.
+
+The reference defines `KeywordUDTF` (RT/app/func/KeywordUDTF.java:16-26)
+and registers it for SQL (`tableEnv.createTemporarySystemFunction(
+"ik_analyze", KeywordUDTF.class)`, RT/app/dws/KeywordStatsApp.java:62-66)
+so queries write `LATERAL TABLE(ik_analyze(fullword))`. Spark 4's
+Python UDTF gives the same registration + `LATERAL` SQL surface:
+`register_keyword_udtf(spark)` then
+`SELECT ... FROM docs, LATERAL ik_analyze(text) AS t(keyword)`.
+
+Production note: a Python UDTF is a Python-process operator (Arrow
+batches with `useArrow`, but per-row emit logic). The JVM form —
+`explode(split(...))`, `plans/gmall.keyword_stats` — is the hot-path
+implementation of the SAME semantics; this module exists for the SQL
+API surface and for genuinely imperative tokenizers a regex can't
+express. `keyword_stats_udtf` pins that both forms agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql.functions import udtf
+from pyspark.sql.types import Row
+
+_WORD = re.compile(r"[^a-z]+")
+
+
+@udtf(returnType="keyword: string")
+class KeywordUDTF:
+    """Tokenize one text into keyword rows (≥2 chars, lowercased) —
+    the IK-analyze analogue as a table function."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract method
+        if text is None:
+            return
+        for tok in _WORD.split(text.lower()):
+            if len(tok) >= 2:
+                yield Row(keyword=tok)
+
+
+def register_keyword_udtf(spark, name: str = "ik_analyze") -> None:
+    """SQL registration, mirroring createTemporarySystemFunction."""
+    spark.udtf.register(name, KeywordUDTF)

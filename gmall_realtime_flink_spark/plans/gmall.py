@@ -2367,3 +2367,39 @@ def dirty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_sum"),
         )
     )
+
+
+@register(
+    "keyword_stats_udtf",
+    oracle="""
+    SELECT keyword, count(*) AS ct, 'SEARCH' AS source
+    FROM (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS keyword
+      FROM documents
+    )
+    WHERE length(keyword) >= 2
+    GROUP BY keyword
+    """,
+    doc="F2 via a REGISTERED Python UDTF in SQL — the literal API "
+    "shape of the reference (`createTemporarySystemFunction('ik_analyze'"
+    ", KeywordUDTF.class)` + `LATERAL TABLE(ik_analyze(fullword))`, "
+    "RT/app/dws/KeywordStatsApp.java:62-88): `spark.udtf.register` + "
+    "`LATERAL ik_analyze(text)`. Semantically identical to the JVM "
+    "explode form (`keyword_stats`, same oracle) — that one is the "
+    "hot path; this entry pins the UDTF surface itself. Python "
+    "executes per-row here by design: the imperative-tokenizer "
+    "escape hatch, not the default.",
+    tags=("udtf", "sql", "explode"),
+)
+def keyword_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.functions.udtf import register_keyword_udtf
+
+    register_views(spark, sf_dir)
+    register_keyword_udtf(spark)
+    return spark.sql(
+        """
+        SELECT t.keyword, count(*) AS ct, 'SEARCH' AS source
+        FROM documents, LATERAL ik_analyze(text) AS t
+        GROUP BY t.keyword
+        """
+    )

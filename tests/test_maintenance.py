@@ -64,3 +64,25 @@ def test_clustered_write_bounds_rowgroup_ranges(spark, sf_dir, tmp_path):
     one = spark.read.parquet(dst).filter(F.col("user_id") == 13)
     want = events.filter(F.col("user_id") == 13)
     assert one.count() == want.count()
+
+
+def test_dim_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """A dim table written before a column was added still reads with
+    the evolved schema: mergeSchema unifies old and new parquet
+    footers, old rows surface NULL for the new column — the CDC dim
+    upsert path survives upstream DDL without a rewrite."""
+    dst = str(tmp_path / "dim_user")
+    v1 = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "user_id BIGINT, name STRING"
+    )
+    v1.write.parquet(dst)
+    v2 = spark.createDataFrame(
+        [(3, "carol", "NATION_7")],
+        "user_id BIGINT, name STRING, nation STRING",
+    )
+    v2.write.mode("append").parquet(dst)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(dst)
+    assert set(merged.columns) == {"user_id", "name", "nation"}
+    rows = {r["user_id"]: r["nation"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "NATION_7"}
