@@ -442,3 +442,26 @@ def streaming_uv_dropdup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_uv_dropdup_wm(spark, sf_dir)
+
+
+@register(
+    "streaming_order_wide_left",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_partkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date,
+           round(o.o_totalprice, 2) AS total_amount,
+           round(l.l_extendedprice, 2) AS split_amount
+    FROM orders o LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAYS
+    """,
+    doc="J1 as a stream-stream LEFT OUTER interval join (beyond the "
+    "reference: Flink intervalJoin is inner-only) — unmatched orders "
+    "emit null-padded when the watermark passes their band "
+    "(streaming/jobs.py streaming_order_wide_left).",
+    tags=("streaming", "join", "interval"),
+)
+def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_order_wide_left(spark, sf_dir)

@@ -163,6 +163,26 @@ def stage_table_dir(sf_dir: str, table: str) -> str:
     return tmp
 
 
+def stage_table_with_sentinel(sf_dir: str, table: str, mutate) -> str:
+    """stage_table_dir + one far-future sentinel row (schema-identical
+    to the source file) so outer-join / timer state flushes before the
+    bounded stream stops. `mutate(df)` stamps the sentinel's keys/ts on
+    a one-row pandas copy of the first source row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = stage_table_dir(sf_dir, table)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    t = pq.read_table(src)
+    row = t.slice(0, 1).to_pandas()
+    mutate(row)
+    pq.write_table(
+        pa.Table.from_pandas(row, schema=t.schema, preserve_index=False),
+        os.path.join(tmp, "part-001-sentinel.parquet"),
+    )
+    return tmp
+
+
 def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/ST4 on the real warehouse tables: orders ⋈ lineitem as two
     file streams, equi-key + [0, 30d] event-time band — the streaming
@@ -474,19 +494,25 @@ def interval_join_stream(
     right_ts,
     lower: str,
     upper: str,
+    how: str = "inner",
 ) -> DataFrame:
-    """J1/J2 + ST4: stream-stream inner interval join.
+    """J1/J2 + ST4: stream-stream interval join.
 
     Identical predicate shape to operators.joins.interval_join — the
     equi-key carries the shuffle, the band is a residual predicate.
     Under streaming, both sides must carry watermarks; Spark bounds the
     join state to watermark + band width (the Flink intervalJoin's
     keyed buffering state, OrderWideApp.java:144-152, for free).
+
+    how="left_outer" is a capability Flink's intervalJoin does NOT
+    have (inner-only; the reference would need a coProcess + timer):
+    unmatched left rows emit null-padded once the watermark passes
+    left_ts + upper, i.e. once no in-band match can still arrive.
     """
     band = (right_ts >= left_ts + F.expr(f"INTERVAL {lower}")) & (
         right_ts <= left_ts + F.expr(f"INTERVAL {upper}")
     )
-    return left.join(right, on & band, "inner")
+    return left.join(right, on & band, how)
 
 
 def streaming_view_click_join(
@@ -666,3 +692,90 @@ def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_bounded(dedup, spark)
     return out.filter(F.col("user_id") >= 0)
+
+
+def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as a stream-stream LEFT OUTER interval join — beyond the
+    reference: Flink's intervalJoin is inner-only (OrderWideApp would
+    need a CoProcessFunction + timer to emit unmatched orders); Spark
+    emits the null-padded left rows natively once the watermark passes
+    `o_ts + upper`, bounding state the same way. A far-future sentinel
+    row per stream pushes the final watermark past every real order so
+    the last unmatched rows flush on bounded input (the outer-join
+    analogue of the ST3 timer sentinel)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    orders_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    lineitem_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),
+        ]
+    )
+    far = pd.Timestamp("2030-01-01")
+
+    def _mut_o(row):
+        row["o_orderkey"] = -1
+        row["o_orderdate"] = far
+
+    def _mut_l(row):
+        row["l_orderkey"] = -2
+        row["l_shipdate"] = far
+
+    o = (
+        spark.readStream.schema(orders_schema)
+        .parquet(stage_table_with_sentinel(sf_dir, "orders", _mut_o))
+        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_ts", "0 seconds")
+        .alias("o")
+    )
+    l = (
+        spark.readStream.schema(lineitem_schema)
+        .parquet(stage_table_with_sentinel(sf_dir, "lineitem", _mut_l))
+        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_ts", "0 seconds")
+        .alias("l")
+    )
+    joined = interval_join_stream(
+        o,
+        l,
+        on=F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        left_ts=F.col("o_ts"),
+        right_ts=F.col("l_ts"),
+        lower="0 seconds",
+        upper="30 days",
+        how="left_outer",
+    )
+    out = run_bounded(
+        joined.select(
+            "o.o_orderkey",
+            "l.l_linenumber",
+            "l.l_partkey",
+            F.date_format("o.o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.round("o.o_totalprice", 2).alias("total_amount"),
+            F.round("l.l_extendedprice", 2).alias("split_amount"),
+        ),
+        spark,
+    )
+    return out.filter(F.col("o_orderkey") >= 0)
