@@ -1229,3 +1229,144 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_ct", "char_sum", "token_sum",
         )
     )
+
+
+@register(
+    "doc_curation_funnel",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    q AS (
+      SELECT doc_id, length(text) AS nc,
+             round(0.4 * round(len(list_filter(toks, t -> list_contains(
+                     ['the','and','of','to','in','is','that','it','for','was'],
+                     t)))::DOUBLE / len(toks), 6)
+                   + 0.3 * (least(len(toks), 100) / 100.0)
+                   + 0.3 * (1.0 - round(length(regexp_replace(
+                       text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                       / length(text), 6)), 6) AS qs
+      FROM d),
+    r AS (
+      SELECT doc_id,
+             round(1.0 - count(DISTINCT tok)::DOUBLE / count(*), 6) AS rep
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      FROM d WHERE len(toks) >= 3),
+    contam AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0) ev
+        ON s.sh = ev.sh
+      WHERE s.doc_id % 50 <> 0),
+    f AS (
+      SELECT q.doc_id,
+             (q.nc >= 150) AS s1,
+             (q.nc >= 150 AND q.qs >= 0.45) AS s2,
+             (q.nc >= 150 AND q.qs >= 0.45 AND r.rep <= 0.6) AS s3,
+             (q.nc >= 150 AND q.qs >= 0.45 AND r.rep <= 0.6
+              AND q.doc_id % 50 <> 0
+              AND q.doc_id NOT IN (SELECT doc_id FROM contam)) AS s4
+      FROM q LEFT JOIN r ON q.doc_id = r.doc_id),
+    agg AS (
+      SELECT count(*)::BIGINT AS n0,
+             sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+             sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n4
+      FROM f)
+    SELECT 'length'          AS stage, n0 AS in_ct, n1 AS out_ct, n0 - n1 AS dropped_ct FROM agg
+    UNION ALL
+    SELECT 'quality',         n1, n2, n1 - n2 FROM agg
+    UNION ALL
+    SELECT 'repetition',      n2, n3, n2 - n3 FROM agg
+    UNION ALL
+    SELECT 'decontamination', n3, n4, n3 - n4 FROM agg
+    """,
+    doc="End-to-end curation funnel — the composed training-data "
+    "pipeline: length floor → composite quality floor → repetition "
+    "ceiling → eval-holdout decontamination, with per-stage "
+    "in/out/dropped counts (each stage sees only survivors of the "
+    "previous ones). Plan: ONE doc scan feeds the quality flags; the "
+    "repetition and contamination flags join back at |docs| grain "
+    "(explode happens under partial aggs, never at the join); the "
+    "funnel itself is one 1-row agg unpivoted with stack — no "
+    "per-stage rescans.",
+    tags=("datapipe", "quality", "pipeline"),
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    q = quality_score(d).select("doc_id", "n_chars", "quality_score")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    rep = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("ct"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                1.0 - F.count("*").cast("double") / F.sum("ct").cast("double"),
+                6,
+            ).alias("rep")
+        )
+    )
+    sh = toks.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("toks", 3))).alias("sh"),
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("sh").alias("esh"))
+        .distinct()
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(ev), F.col("sh") == F.col("esh"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    f = (
+        q.join(rep, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            (F.col("n_chars") >= 150).alias("s1"),
+            (
+                (F.col("n_chars") >= 150)
+                & (F.col("quality_score") >= 0.45)
+            ).alias("s2"),
+            (
+                (F.col("n_chars") >= 150)
+                & (F.col("quality_score") >= 0.45)
+                & (F.col("rep") <= 0.6)
+            ).alias("s3"),
+            (
+                (F.col("n_chars") >= 150)
+                & (F.col("quality_score") >= 0.45)
+                & (F.col("rep") <= 0.6)
+                & (F.col("doc_id") % 50 != 0)
+                & F.coalesce(F.col("is_contam"), F.lit(False)).__invert__()
+            ).alias("s4"),
+        )
+    )
+    one = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
+    agg = f.agg(
+        F.count("*").alias("n0"),
+        one("s1").alias("n1"),
+        one("s2").alias("n2"),
+        one("s3").alias("n3"),
+        one("s4").alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "'length', n0, n1, n0 - n1, "
+        "'quality', n1, n2, n1 - n2, "
+        "'repetition', n2, n3, n2 - n3, "
+        "'decontamination', n3, n4, n3 - n4"
+        ") AS (stage, in_ct, out_ct, dropped_ct)"
+    )
