@@ -86,3 +86,36 @@ def test_dim_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"user_id", "name", "nation"}
     rows = {r["user_id"]: r["nation"] for r in merged.collect()}
     assert rows == {1: None, 2: None, 3: "NATION_7"}
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Backfill idempotency: with dynamic partitionOverwriteMode, a
+    re-run of one day's job overwrites ONLY that day's partition —
+    other days' data survives (static mode would truncate the table)."""
+    dst = str(tmp_path / "facts")
+    events = load(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    days = [r["dt"] for r in events.select("dt").distinct().limit(2).collect()]
+    if len(days) < 2:
+        return  # single-day testdata can't exercise cross-day survival
+    d1, d2 = sorted(days)
+    events.filter(F.col("dt").isin(d1, d2)).write.partitionBy("dt").parquet(dst)
+    before_d2 = spark.read.parquet(dst).filter(F.col("dt") == d2).count()
+
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill day 1 with half its rows (simulates a corrected re-run)
+        redo = events.filter(
+            (F.col("dt") == d1) & (F.col("event_id") % 2 == 0)
+        )
+        redo_ct = redo.count()
+        redo.write.mode("overwrite").partitionBy("dt").parquet(dst)
+    finally:
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    after = spark.read.parquet(dst)
+    assert after.filter(F.col("dt") == d1).count() == redo_ct
+    assert after.filter(F.col("dt") == d2).count() == before_d2
