@@ -440,3 +440,50 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s.s_name").alias("s_name"))
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(28,4))) AS supp_qty
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (
+      SELECT l_partkey, sum(supp_qty) AS total_qty
+      FROM ps GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name,
+           count(*)::BIGINT AS dominated_parts
+    FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE ps.supp_qty * 2 > tot.total_qty
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q20 shape (excess-concentration suppliers; no partsupp "
+    "in testdata, so 'excess stock' becomes 'ships >50% of a part's "
+    "total volume'): two-level aggregate — per-(part,supplier) then "
+    "per-part totals re-aggregated from the FIRST aggregate (the fact "
+    "is scanned once; tot is |parts| rows re-grouped from ps) — with "
+    "the share threshold as an exact-decimal cross-multiplication "
+    "(supp_qty*2 > total, no float division decides membership), then "
+    "the supplier dim broadcast onto |dominant pairs|.",
+    tags=("agg", "join", "olap", "tpch"),
+)
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").alias("s")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(MONEY)).alias("supp_qty")
+    )
+    tot = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    dom = ps.join(tot, "l_partkey").filter(
+        F.col("supp_qty") * 2 > F.col("total_qty")
+    )
+    return (
+        dom.join(F.broadcast(s), F.col("l_suppkey") == F.col("s.s_suppkey"))
+        .groupBy(
+            F.col("s.s_suppkey").alias("s_suppkey"),
+            F.col("s.s_name").alias("s_name"),
+        )
+        .agg(F.count("*").alias("dominated_parts"))
+    )
