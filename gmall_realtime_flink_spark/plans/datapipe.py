@@ -1292,11 +1292,14 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline: length floor → composite quality floor → repetition "
     "ceiling → eval-holdout decontamination, with per-stage "
     "in/out/dropped counts (each stage sees only survivors of the "
-    "previous ones). Plan: ONE doc scan feeds the quality flags; the "
-    "repetition and contamination flags join back at |docs| grain "
-    "(explode happens under partial aggs, never at the join); the "
-    "funnel itself is one 1-row agg unpivoted with stack — no "
-    "per-stage rescans.",
+    "previous ones). Plan: each metric branch (quality / repetition / "
+    "contamination) runs its own pruned (doc_id, text) scan with "
+    "explode only under partial aggs, then joins back at |docs| grain; "
+    "the funnel itself is one 1-row agg unpivoted with stack. At "
+    "100 TB you'd stage the tokenized corpus (or the per-doc metric "
+    "table) once and derive every flag from it — here the branches "
+    "re-scan because a registry query must stay side-effect-free; the "
+    "scans are narrow and embarrassingly parallel either way.",
     tags=("datapipe", "quality", "pipeline"),
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -461,9 +461,10 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q20 shape (excess-concentration suppliers; no partsupp "
     "in testdata, so 'excess stock' becomes 'ships >50% of a part's "
-    "total volume'): two-level aggregate — per-(part,supplier) then "
-    "per-part totals re-aggregated from the FIRST aggregate (the fact "
-    "is scanned once; tot is |parts| rows re-grouped from ps) — with "
+    "total volume'): per-(part,supplier) aggregate, then the per-part "
+    "total as a window over that aggregate (ONE fact scan — a "
+    "ps-join-total formulation would replan ps per consumer and scan "
+    "twice; the window input is already |part,supplier| small) — with "
     "the share threshold as an exact-decimal cross-multiplication "
     "(supp_qty*2 > total, no float division decides membership), then "
     "the supplier dim broadcast onto |dominant pairs|.",
@@ -472,11 +473,18 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier").alias("s")
+    # the per-part total is a WINDOW over the (part, supplier) agg, not
+    # a self-join back onto it: a ps⋈tot formulation replans the ps
+    # subtree per consumer (their pruned schemas differ, so exchange
+    # reuse can't fire) and scans the fact twice — the window keeps it
+    # to ONE fact scan with an exchange on l_partkey
+    from pyspark.sql import Window
+
     ps = l.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast(MONEY)).alias("supp_qty")
     )
-    tot = ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
-    dom = ps.join(tot, "l_partkey").filter(
+    w = Window.partitionBy("l_partkey")
+    dom = ps.withColumn("total_qty", F.sum("supp_qty").over(w)).filter(
         F.col("supp_qty") * 2 > F.col("total_qty")
     )
     return (
