@@ -1373,3 +1373,60 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'decontamination', n3, n4, n3 - n4"
         ") AS (stage, in_ct, out_ct, dropped_ct)"
     )
+
+
+@register(
+    "similarity_topk_filtered",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = 3)
+    SELECT vec_id, label, cos_sim, rk FROM (
+      SELECT vec_id, label, cos_sim,
+             row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    doc="Filtered vector search: top-k cosine neighbors restricted to "
+    "a metadata predicate (label = 3) — the pre-filter form every "
+    "vector store needs (post-filtering top-k can return < k rows). "
+    "Plan: the label predicate is PUSHED TO THE SCAN (parquet "
+    "row-group pruning on the label column at scale) so distances are "
+    "computed only for the filtered slice; then the same broadcast-"
+    "query / JVM-fold / TakeOrderedAndProject machinery as "
+    "similarity_topk.",
+    tags=("datapipe", "similarity", "ann"),
+)
+def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall_realtime_flink_spark.operators.similarity import (
+        AS_DOUBLE,
+        DOT,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
+    )
+    cand = (
+        e.filter((F.col("vec_id") != 0) & (F.col("label") == 3))
+        .withColumn("emb", F.expr(AS_DOUBLE.format(c="embedding")))
+        .crossJoin(F.broadcast(q))
+    )
+    dot = F.expr(DOT.format(a="emb", b="q_emb"))
+    na = F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
+    nb = F.sqrt(F.expr(DOT.format(a="q_emb", b="q_emb")))
+    scored = cand.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+    top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("cos_sim").desc(), "vec_id"
+    )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id", "label", "cos_sim", "rk"
+    )

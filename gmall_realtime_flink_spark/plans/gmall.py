@@ -2403,3 +2403,81 @@ def keyword_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.keyword
         """
     )
+
+
+@register(
+    "integrity_checks",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+             AS violation_ct
+    UNION ALL
+    SELECT 'orphan_orders',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+    UNION ALL
+    SELECT 'negative_price',
+           (SELECT count(*) FROM lineitem
+            WHERE l_extendedprice < 0 OR l_quantity <= 0)::BIGINT
+    UNION ALL
+    SELECT 'discount_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)::BIGINT
+    UNION ALL
+    SELECT 'dup_event_ids',
+           (SELECT count(*) FROM
+             (SELECT event_id FROM events
+              GROUP BY 1 HAVING count(*) > 1))::BIGINT
+    """,
+    doc="Referential / domain integrity suite (dbt-test-style): orphan "
+    "facts via LEFT ANTI joins, domain-range violations via pushed "
+    "predicates, duplicate-key detection via a having-count — one row "
+    "per check with its violation count (all 0 on the generator's "
+    "testdata; the SHAPE is the product: each check is the plan you "
+    "run at 100 TB, anti-joins shuffling on the key with partial "
+    "counts). Expected-zero rows are still hash-gated, so a check "
+    "that silently breaks fails the driver.",
+    tags=("etl", "quality"),
+)
+def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+
+    orphan_l = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("violation_ct"))
+        .select(F.lit("orphan_lineitems").alias("check_name"), "violation_ct")
+    )
+    orphan_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("violation_ct"))
+        .select(F.lit("orphan_orders").alias("check_name"), "violation_ct")
+    )
+    neg_price = (
+        l.filter((F.col("l_extendedprice") < 0) | (F.col("l_quantity") <= 0))
+        .agg(F.count("*").alias("violation_ct"))
+        .select(F.lit("negative_price").alias("check_name"), "violation_ct")
+    )
+    disc_range = (
+        l.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .agg(F.count("*").alias("violation_ct"))
+        .select(F.lit("discount_range").alias("check_name"), "violation_ct")
+    )
+    dup_events = (
+        e.groupBy("event_id")
+        .agg(F.count("*").alias("ct"))
+        .filter(F.col("ct") > 1)
+        .agg(F.count("*").alias("violation_ct"))
+        .select(F.lit("dup_event_ids").alias("check_name"), "violation_ct")
+    )
+    return (
+        orphan_l.unionByName(orphan_o)
+        .unionByName(neg_price)
+        .unionByName(disc_range)
+        .unionByName(dup_events)
+    )
