@@ -495,3 +495,129 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("dominated_parts"))
     )
+
+
+@register(
+    "returned_revenue_customers",
+    oracle="""
+    WITH agg AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(28,4))), 2)::DOUBLE AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate <  DATE '1995-07-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3)
+    SELECT c_custkey, c_name, n_name, revenue, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+      FROM agg)
+    WHERE rk <= 20
+    """,
+    doc="TPC-H Q10 shape (returned-item revenue report): top-20 "
+    "customers by returned revenue in a half-year window. Plan: the "
+    "returnflag + date predicates push to the two fact scans, the "
+    "orderkey join is the only fact shuffle, customer/nation "
+    "broadcast AFTER the per-customer aggregate, and the top-20 is "
+    "TakeOrderedAndProject on (rounded revenue, custkey) — "
+    "deterministic ties, never a global sort.",
+    tags=("join", "olap", "tpch"),
+)
+def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer").alias("c")
+    n = load(spark, sf_dir, "nation").alias("n")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-07-01")
+        )
+        .alias("o")
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .alias("l")
+    )
+    per_cust = (
+        o.join(l, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
+        .groupBy(F.col("o.o_custkey").alias("cust"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+    )
+    named = per_cust.join(
+        F.broadcast(c), F.col("cust") == F.col("c.c_custkey")
+    ).join(F.broadcast(n), F.col("c.c_nationkey") == F.col("n.n_nationkey"))
+    top = named.orderBy(
+        F.col("revenue").desc(), F.col("c.c_custkey")
+    ).limit(20)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("revenue").desc(), F.col("c.c_custkey")
+    )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        F.col("c.c_custkey").alias("c_custkey"),
+        F.col("c.c_name").alias("c_name"),
+        F.col("n.n_name").alias("n_name"),
+        "revenue",
+        "rk",
+    )
+
+
+@register(
+    "parts_supplier_relationship",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#12'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship; testdata has no "
+    "partsupp — lineitem is the part↔supplier relation — and no "
+    "comment column, so 'complaint' suppliers = negative acctbal): "
+    "negated dim predicates + IN-list, a NOT IN anti-join against the "
+    "excluded-supplier set, then count(DISTINCT supplier) per part "
+    "group. Plan: part predicates prune the broadcast build side, the "
+    "exclusion set broadcasts as LEFT ANTI (acctbal has no NULLs, so "
+    "NOT IN == anti-join), and the distinct-count expands in-group "
+    "after ONE shuffle on the group key.",
+    tags=("join", "agg", "olap", "tpch"),
+)
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").alias("l")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#12")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+        .alias("p")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    j = (
+        l.join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l.l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+    )
+    return j.groupBy(
+        F.col("p.p_brand").alias("p_brand"),
+        F.col("p.p_type").alias("p_type"),
+        F.col("p.p_size").alias("p_size"),
+    ).agg(F.countDistinct("l.l_suppkey").alias("supplier_cnt"))
