@@ -29,9 +29,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def dir_bytes(path: str) -> int:
+    """Recursive byte count — partitioned layouts keep their files in
+    `key=value/` subdirectories, so a top-level-only glob would read 0
+    and mis-size the compaction."""
     return sum(
         os.path.getsize(p)
-        for p in glob.glob(os.path.join(path, "*.parquet"))
+        for p in glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
     )
 
 
@@ -40,16 +45,23 @@ def compact_parquet(
     src_dir: str,
     dst_dir: str,
     target_bytes: int = 128 << 20,
+    partition_cols: tuple[str, ...] = (),
 ) -> int:
     """Rewrite `src_dir` into ceil(total/target) files at `dst_dir`;
     returns the file count. Deterministic: the count derives from the
-    source byte size, not cluster state."""
+    source byte size, not cluster state. For a hive-partitioned source
+    pass `partition_cols` so the layout is PRESERVED on rewrite (the
+    count then bounds files per partition); omitting it on a
+    partitioned dir flattens the layout into plain files."""
     total = dir_bytes(src_dir)
     n = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src_dir)
     shrink = n <= df.rdd.getNumPartitions()
     out = df.coalesce(n) if shrink else df.repartition(n)
-    out.write.mode("overwrite").parquet(dst_dir)
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(dst_dir)
     return n
 
 

@@ -32,15 +32,20 @@ DOT = (
 AS_DOUBLE = "transform({c}, x -> cast(x as double))"
 
 
-def _with_query(embeddings: DataFrame, query_id: int) -> DataFrame:
+def _with_query(
+    embeddings: DataFrame, query_id: int, where=None
+) -> DataFrame:
     q = embeddings.filter(F.col("vec_id") == query_id).select(
         F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
     )
-    return (
-        embeddings.filter(F.col("vec_id") != query_id)
-        .withColumn("emb", F.expr(AS_DOUBLE.format(c="embedding")))
-        .crossJoin(F.broadcast(q))
-    )
+    cand = embeddings.filter(F.col("vec_id") != query_id)
+    if where is not None:
+        # metadata PRE-filter: pushed to the candidate scan BEFORE any
+        # distance compute (post-filtering a top-k under-fills k)
+        cand = cand.filter(where)
+    return cand.withColumn(
+        "emb", F.expr(AS_DOUBLE.format(c="embedding"))
+    ).crossJoin(F.broadcast(q))
 
 
 def _cosine(df: DataFrame) -> DataFrame:
@@ -50,7 +55,9 @@ def _cosine(df: DataFrame) -> DataFrame:
     return df.withColumn("cos_sim", F.round(dot / (na * nb), 6))
 
 
-def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+def _ranked_topk(
+    scored: DataFrame, k: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
     # ranking runs AFTER .limit(k): the window sees <= k rows, so the
     # single-partition window is bounded, not a global sort of the
@@ -59,13 +66,25 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     # "No Partition Defined" warning).
     w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos_sim").desc(), "vec_id")
     return top.withColumn("rk", F.row_number().over(w)).select(
-        "vec_id", "cos_sim", "rk"
+        "vec_id", *extra_cols, "cos_sim", "rk"
     )
 
 
-def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
-    """Exact brute-force cosine top-k against the query vector."""
-    return _ranked_topk(_cosine(_with_query(embeddings, query_id)), k)
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    where=None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact brute-force cosine top-k against the query vector; `where`
+    is the metadata pre-filter (filtered vector search), `extra_cols`
+    carries metadata columns into the ranked output."""
+    return _ranked_topk(
+        _cosine(_with_query(embeddings, query_id, where=where)),
+        k,
+        extra_cols,
+    )
 
 
 def sign_bucket(col_name: str, bits: int = 4) -> F.Column:
@@ -281,20 +300,33 @@ def knn_self_join(
     window (never global): rank on (rounded sim DESC, neighbor id) so
     ties are deterministic cross-engine.
     """
-    e = embeddings.select(
-        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
-    ).withColumn("bucket", sign_bucket("emb", bits))
+    # norms are per-VECTOR, computed once before the join — inside the
+    # pairs relation each norm fold would re-run m-1 times per cell
+    # (O(m²·dim) redundant work at scale instead of O(m·dim))
+    e = (
+        embeddings.select(
+            "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+        )
+        .withColumn("bucket", sign_bucket("emb", bits))
+        .withColumn("nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb"))))
+    )
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), "bucket"
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_a") != F.col("vec_b"))
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
-    na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
-    nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
-    scored = pairs.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+    scored = pairs.withColumn(
+        "cos_sim", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("cos_sim").desc(), F.col("vec_b")
     )

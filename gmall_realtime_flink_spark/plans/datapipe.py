@@ -1003,6 +1003,42 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+# shared builders for the decontamination / repetition family — the
+# curation funnel composes the SAME definitions, so a rule change
+# (shingle width, eval split, tokenizer) can't silently de-sync the
+# funnel's stage counts from the standalone queries
+EVAL_SPLIT_MOD = 50  # doc_id % 50 == 0 -> held-out eval slice
+
+
+def _doc_tokens(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+
+
+def _distinct_shingle_rows(toks: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows, de-duplicated within each doc."""
+    return toks.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("toks", n))).alias("sh"),
+    )
+
+
+def _eval_shingle_set(sh: DataFrame) -> DataFrame:
+    return (
+        sh.filter(F.col("doc_id") % EVAL_SPLIT_MOD == 0)
+        .select(F.col("sh").alias("esh"))
+        .distinct()
+    )
+
+
+def _per_token_counts(toks: DataFrame) -> DataFrame:
+    return (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("ct"))
+    )
+
+
 @register(
     "doc_decontaminate",
     oracle="""
@@ -1034,22 +1070,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "decontamination"),
 )
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    sh = (
-        toks.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles("toks", 3))).alias("sh"),
-        )
-    )
-    ev = (
-        sh.filter(F.col("doc_id") % 50 == 0)
-        .select(F.col("sh").alias("esh"))
-        .distinct()
-    )
+    sh = _distinct_shingle_rows(_doc_tokens(load(spark, sf_dir, "documents")))
+    ev = _eval_shingle_set(sh)
     return (
-        sh.filter(F.col("doc_id") % 50 != 0)
+        sh.filter(F.col("doc_id") % EVAL_SPLIT_MOD != 0)
         .join(F.broadcast(ev), F.col("sh") == F.col("esh"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("hit_ct"))
@@ -1085,11 +1109,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "text", "quality"),
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
-    )
-    per_tok = t.groupBy("doc_id", "tok").agg(F.count("*").alias("ct"))
+    per_tok = _per_token_counts(_doc_tokens(load(spark, sf_dir, "documents")))
     return per_tok.groupBy("doc_id").agg(
         F.sum("ct").alias("word_ct"),
         F.count("*").alias("uniq_ct"),
@@ -1138,8 +1158,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "text"),
 )
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    toks = _doc_tokens(load(spark, sf_dir, "documents"))
     s = toks.filter(F.size("toks") >= 8).select(
         "doc_id", F.explode(shingles("toks", 8)).alias("span")
     )
@@ -1305,30 +1324,17 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     q = quality_score(d).select("doc_id", "n_chars", "quality_score")
-    toks = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
-    rep = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("ct"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                1.0 - F.count("*").cast("double") / F.sum("ct").cast("double"),
-                6,
-            ).alias("rep")
-        )
+    toks = _doc_tokens(d)
+    rep = _per_token_counts(toks).groupBy("doc_id").agg(
+        F.round(
+            1.0 - F.count("*").cast("double") / F.sum("ct").cast("double"),
+            6,
+        ).alias("rep")
     )
-    sh = toks.filter(F.size("toks") >= 3).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles("toks", 3))).alias("sh"),
-    )
-    ev = (
-        sh.filter(F.col("doc_id") % 50 == 0)
-        .select(F.col("sh").alias("esh"))
-        .distinct()
-    )
+    sh = _distinct_shingle_rows(toks)
+    ev = _eval_shingle_set(sh)
     contam = (
-        sh.filter(F.col("doc_id") % 50 != 0)
+        sh.filter(F.col("doc_id") % EVAL_SPLIT_MOD != 0)
         .join(F.broadcast(ev), F.col("sh") == F.col("esh"), "left_semi")
         .select("doc_id")
         .distinct()
@@ -1352,7 +1358,7 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_chars") >= 150)
                 & (F.col("quality_score") >= 0.45)
                 & (F.col("rep") <= 0.6)
-                & (F.col("doc_id") % 50 != 0)
+                & (F.col("doc_id") % EVAL_SPLIT_MOD != 0)
                 & F.coalesce(F.col("is_contam"), F.lit(False)).__invert__()
             ).alias("s4"),
         )
@@ -1403,30 +1409,11 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "similarity", "ann"),
 )
 def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from gmall_realtime_flink_spark.operators.similarity import (
-        AS_DOUBLE,
-        DOT,
-    )
-
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
-    )
-    cand = (
-        e.filter((F.col("vec_id") != 0) & (F.col("label") == 3))
-        .withColumn("emb", F.expr(AS_DOUBLE.format(c="embedding")))
-        .crossJoin(F.broadcast(q))
-    )
-    dot = F.expr(DOT.format(a="emb", b="q_emb"))
-    na = F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
-    nb = F.sqrt(F.expr(DOT.format(a="q_emb", b="q_emb")))
-    scored = cand.withColumn("cos_sim", F.round(dot / (na * nb), 6))
-    top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(10)
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("cos_sim").desc(), "vec_id"
-    )
-    return top.withColumn("rk", F.row_number().over(w)).select(
-        "vec_id", "label", "cos_sim", "rk"
+    return cosine_topk(
+        e,
+        query_id=0,
+        k=10,
+        where=F.col("label") == 3,
+        extra_cols=("label",),
     )

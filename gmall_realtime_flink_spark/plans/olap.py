@@ -135,13 +135,13 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit = (
         F.col("l.l_extendedprice") * (1 - F.col("l.l_discount"))
         - F.col("p.p_retailprice") * F.col("l.l_quantity")
-    ).cast(MONEY)
+    )
     return (
         j.groupBy(
             F.col("n.n_name").alias("nation"),
             F.date_format("l.l_shipdate", "yyyy").alias("yr"),
         )
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .agg(dec_sum(profit).alias("profit"))
     )
 
 
@@ -547,7 +547,7 @@ def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         o.join(l, F.col("o.o_orderkey") == F.col("l.l_orderkey"))
         .groupBy(F.col("o.o_custkey").alias("cust"))
-        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
+        .agg(dec_sum(_rev()).alias("revenue"))
     )
     named = per_cust.join(
         F.broadcast(c), F.col("cust") == F.col("c.c_custkey")

@@ -23,6 +23,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gmall_realtime_flink_spark.streaming.source import stream_events
 from gmall_realtime_flink_spark.streaming.state import (
@@ -153,6 +154,36 @@ def streaming_user_jump(
     return out.filter(F.col("user_id") >= 0)
 
 
+# explicit readStream schemas for the warehouse fact streams (the file
+# source requires one); single definition — the dim-schema-evolution
+# test is the reminder of what a drifted copy would silently null-fill
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampNTZType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+LINEITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_suppkey", T.LongType()),
+        T.StructField("l_linenumber", T.IntegerType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("l_extendedprice", T.DoubleType()),
+        T.StructField("l_discount", T.DoubleType()),
+        T.StructField("l_tax", T.DoubleType()),
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("l_linestatus", T.StringType()),
+        T.StructField("l_shipdate", T.TimestampNTZType()),
+    ]
+)
+
+
 def stage_table_dir(sf_dir: str, table: str) -> str:
     """Symlink one parquet table into a fresh streaming input dir."""
     tmp = tempfile.mkdtemp(prefix=f"{table}_stream_")
@@ -173,11 +204,14 @@ def stage_table_with_sentinel(sf_dir: str, table: str, mutate) -> str:
 
     tmp = stage_table_dir(sf_dir, table)
     src = os.path.join(sf_dir, f"{table}.parquet")
-    t = pq.read_table(src)
-    row = t.slice(0, 1).to_pandas()
+    # read ONE row group, not the table — the sentinel needs a single
+    # schema-true row, and lineitem at real SFs is GBs of Arrow
+    pf = pq.ParquetFile(src)
+    first = pf.read_row_group(0).slice(0, 1)
+    row = first.to_pandas()
     mutate(row)
     pq.write_table(
-        pa.Table.from_pandas(row, schema=t.schema, preserve_index=False),
+        pa.Table.from_pandas(row, schema=pf.schema_arrow, preserve_index=False),
         os.path.join(tmp, "part-001-sentinel.parquet"),
     )
     return tmp
@@ -187,33 +221,8 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/ST4 on the real warehouse tables: orders ⋈ lineitem as two
     file streams, equi-key + [0, 30d] event-time band — the streaming
     form of the batch `order_wide` query (same oracle)."""
-    from pyspark.sql import types as T
-
-    orders_schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType()),
-            T.StructField("o_custkey", T.LongType()),
-            T.StructField("o_orderstatus", T.StringType()),
-            T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampNTZType()),
-            T.StructField("o_orderpriority", T.StringType()),
-        ]
-    )
-    lineitem_schema = T.StructType(
-        [
-            T.StructField("l_orderkey", T.LongType()),
-            T.StructField("l_partkey", T.LongType()),
-            T.StructField("l_suppkey", T.LongType()),
-            T.StructField("l_linenumber", T.IntegerType()),
-            T.StructField("l_quantity", T.DoubleType()),
-            T.StructField("l_extendedprice", T.DoubleType()),
-            T.StructField("l_discount", T.DoubleType()),
-            T.StructField("l_tax", T.DoubleType()),
-            T.StructField("l_returnflag", T.StringType()),
-            T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampNTZType()),
-        ]
-    )
+    orders_schema = ORDERS_SCHEMA
+    lineitem_schema = LINEITEM_SCHEMA
     o = (
         spark.readStream.schema(orders_schema)
         .parquet(stage_table_dir(sf_dir, "orders"))
@@ -319,33 +328,8 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). The negative lower bound means the right stream buffers
     events up to 7 days *before* a matching left event; Spark sizes
     both sides' join state from the band automatically."""
-    from pyspark.sql import types as T
-
-    orders_schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType()),
-            T.StructField("o_custkey", T.LongType()),
-            T.StructField("o_orderstatus", T.StringType()),
-            T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampNTZType()),
-            T.StructField("o_orderpriority", T.StringType()),
-        ]
-    )
-    lineitem_schema = T.StructType(
-        [
-            T.StructField("l_orderkey", T.LongType()),
-            T.StructField("l_partkey", T.LongType()),
-            T.StructField("l_suppkey", T.LongType()),
-            T.StructField("l_linenumber", T.IntegerType()),
-            T.StructField("l_quantity", T.DoubleType()),
-            T.StructField("l_extendedprice", T.DoubleType()),
-            T.StructField("l_discount", T.DoubleType()),
-            T.StructField("l_tax", T.DoubleType()),
-            T.StructField("l_returnflag", T.StringType()),
-            T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampNTZType()),
-        ]
-    )
+    orders_schema = ORDERS_SCHEMA
+    lineitem_schema = LINEITEM_SCHEMA
     o = (
         spark.readStream.schema(orders_schema)
         .parquet(stage_table_dir(sf_dir, "orders"))
@@ -705,33 +689,8 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of the ST3 timer sentinel)."""
     import pandas as pd
 
-    from pyspark.sql import types as T
-
-    orders_schema = T.StructType(
-        [
-            T.StructField("o_orderkey", T.LongType()),
-            T.StructField("o_custkey", T.LongType()),
-            T.StructField("o_orderstatus", T.StringType()),
-            T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampNTZType()),
-            T.StructField("o_orderpriority", T.StringType()),
-        ]
-    )
-    lineitem_schema = T.StructType(
-        [
-            T.StructField("l_orderkey", T.LongType()),
-            T.StructField("l_partkey", T.LongType()),
-            T.StructField("l_suppkey", T.LongType()),
-            T.StructField("l_linenumber", T.IntegerType()),
-            T.StructField("l_quantity", T.DoubleType()),
-            T.StructField("l_extendedprice", T.DoubleType()),
-            T.StructField("l_discount", T.DoubleType()),
-            T.StructField("l_tax", T.DoubleType()),
-            T.StructField("l_returnflag", T.StringType()),
-            T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampNTZType()),
-        ]
-    )
+    orders_schema = ORDERS_SCHEMA
+    lineitem_schema = LINEITEM_SCHEMA
     far = pd.Timestamp("2030-01-01")
 
     def _mut_o(row):

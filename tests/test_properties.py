@@ -263,7 +263,10 @@ def test_knn_graph_matches_bruteforce_within_bucket(spark, sf_dir):
     ids = pdf.vec_id.to_numpy()
     bucket = sum(((V[:, i] >= 0).astype(int) << i) for i in range(4))
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    sims = np.round(Vn @ Vn.T, 6)
+    raw = Vn @ Vn.T
+    # HALF_UP away from zero, matching Spark F.round (np.round is
+    # half-even: 0.1234565 would round differently and flip rank ties)
+    sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
 
     for a in range(len(ids)):
         cell = np.where((bucket == bucket[a]) & (ids != ids[a]))[0]
