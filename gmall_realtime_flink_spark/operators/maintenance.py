@@ -85,3 +85,26 @@ def clustered_write(
         .option("parquet.block.size", str(rows_per_group * 64))
         .parquet(dst_dir)
     )
+
+
+def retention_purge(
+    base_dir: str, keep: int, partition_prefix: str = "dt="
+) -> list[str]:
+    """Drop date partitions beyond the newest `keep` (retention policy
+    for the date-partitioned fact layout `partition_pruning` tests):
+    returns the purged partition names. Pure directory surgery — the
+    hive layout makes retention an O(|partitions|) metadata operation,
+    never a data rewrite; readers see partition-level atomicity (a
+    partition is either listed or gone)."""
+    import shutil
+
+    parts = sorted(
+        d
+        for d in os.listdir(base_dir)
+        if d.startswith(partition_prefix)
+        and os.path.isdir(os.path.join(base_dir, d))
+    )
+    purged = parts[:-keep] if keep > 0 else parts
+    for d in purged:
+        shutil.rmtree(os.path.join(base_dir, d))
+    return purged

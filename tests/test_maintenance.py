@@ -121,3 +121,26 @@ def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
     after = spark.read.parquet(dst)
     assert after.filter(F.col("dt") == d1).count() == redo_ct
     assert after.filter(F.col("dt") == d2).count() == before_d2
+
+
+def test_retention_purge_drops_oldest_partitions(spark, sf_dir, tmp_path):
+    from gmall_realtime_flink_spark.operators.maintenance import (
+        retention_purge,
+    )
+
+    dst = str(tmp_path / "facts")
+    events = load(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    events.write.partitionBy("dt").parquet(dst)
+    days = sorted(
+        d for d in __import__("os").listdir(dst) if d.startswith("dt=")
+    )
+    if len(days) < 2:
+        import pytest
+
+        pytest.skip("single-day testdata")
+    purged = retention_purge(dst, keep=1)
+    assert purged == days[:-1]
+    left = spark.read.parquet(dst).select("dt").distinct().collect()
+    assert {r["dt"] for r in left} == {days[-1].split("=", 1)[1]}
