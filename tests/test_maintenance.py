@@ -143,4 +143,5 @@ def test_retention_purge_drops_oldest_partitions(spark, sf_dir, tmp_path):
     purged = retention_purge(dst, keep=1)
     assert purged == days[:-1]
     left = spark.read.parquet(dst).select("dt").distinct().collect()
-    assert {r["dt"] for r in left} == {days[-1].split("=", 1)[1]}
+    # partition discovery infers dt as DATE — compare stringified
+    assert {str(r["dt"]) for r in left} == {days[-1].split("=", 1)[1]}
