@@ -1417,3 +1417,106 @@ def similarity_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         where=F.col("label") == 3,
         extra_cols=("label",),
     )
+
+
+def _pq_sql_dist(sub: int, cid: int) -> str:
+    """DuckDB squared-L2 of subvector `sub` vs centroid `cid`, via the
+    dot-product identity |a-b|^2 = aa - 2ab + bb (the same three
+    sequential folds the Spark side runs, so the double is
+    bit-identical before rounding)."""
+    a = f"v[{8 * sub + 1}:{8 * sub + 8}]"
+    b = f"c{cid}[{8 * sub + 1}:{8 * sub + 8}]"
+    return (
+        f"round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6)"
+    )
+
+
+def _pq_sql_code(sub: int) -> str:
+    d = [f"d{sub}_{i}" for i in range(4)]
+    return (
+        f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+        f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH c AS (
+      SELECT
+        {", ".join(f"max(CASE WHEN vec_id = {i} THEN list_transform(embedding, x -> x::DOUBLE) END) AS c{i}" for i in range(4))}
+      FROM embeddings WHERE vec_id < 4),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    d AS (
+      SELECT vec_id,
+        {", ".join(f"{_pq_sql_dist(j, i)} AS d{j}_{i}" for j in range(8) for i in range(4))}
+      FROM e, c)
+    SELECT vec_id,
+      {" || ".join(f"({_pq_sql_code(j)})::VARCHAR" for j in range(8))} AS codes,
+      round(({" + ".join(f"least(d{j}_0, d{j}_1, d{j}_2, d{j}_3)" for j in range(8))}) / 64, 6) AS mse
+    FROM d
+    """,
+    doc="Product quantization: the 64-dim embedding split into 8 "
+    "subvectors, each coded as its nearest of 4 codebook entries "
+    "(codebook = the first 4 corpus vectors — deterministic seeds, the "
+    "k-means-trainable slot like IVF) — 64 floats become 8 2-bit codes "
+    "(16 bits/vector, the storage path under int8 affine), plus the "
+    "reconstruction MSE. Argmin on 6dp-rounded squared-L2 via the "
+    "dot-product identity with fixed-order folds and lowest-id ties, "
+    "so both engines pick identical codes. Plan: a single-row codebook "
+    "(no collect) broadcast-crossed into one narrow JVM projection — "
+    "zero shuffles.",
+    tags=("datapipe", "similarity", "quantization"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    cent = e.filter(F.col("vec_id") < 4).groupBy().agg(
+        *[
+            F.max(F.when(F.col("vec_id") == i, F.col("v"))).alias(f"c{i}")
+            for i in range(4)
+        ]
+    )
+    df = e.crossJoin(F.broadcast(cent))
+
+    def sdot(a: str, b: str, start: int) -> str:
+        return (
+            f"aggregate(zip_with(slice({a}, {start}, 8), slice({b}, {start}, 8), "
+            f"(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+
+    for j in range(8):
+        st = 8 * j + 1
+        for i in range(4):
+            d2 = (
+                F.expr(sdot("v", "v", st))
+                - 2 * F.expr(sdot("v", f"c{i}", st))
+                + F.expr(sdot(f"c{i}", f"c{i}", st))
+            )
+            df = df.withColumn(f"d{j}_{i}", F.round(d2, 6))
+    codes = []
+    chosen = []
+    for j in range(8):
+        d = [F.col(f"d{j}_{i}") for i in range(4)]
+        code = (
+            F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), 0)
+            .when((d[1] <= d[2]) & (d[1] <= d[3]), 1)
+            .when(d[2] <= d[3], 2)
+            .otherwise(3)
+        )
+        codes.append(code.cast("string"))
+        chosen.append(F.least(*d))
+    total = chosen[0]
+    for c in chosen[1:]:
+        total = total + c
+    return df.select(
+        "vec_id",
+        F.concat(*codes).alias("codes"),
+        F.round(total / 64, 6).alias("mse"),
+    )
