@@ -1457,7 +1457,7 @@ def _pq_sql_code(sub: int) -> str:
       FROM e, c)
     SELECT vec_id,
       {" || ".join(f"({_pq_sql_code(j)})::VARCHAR" for j in range(8))} AS codes,
-      round(({" + ".join(f"least(d{j}_0, d{j}_1, d{j}_2, d{j}_3)" for j in range(8))}) / 64, 6) AS mse
+      ({" + ".join(f"round(least(d{j}_0, d{j}_1, d{j}_2, d{j}_3) * 1000000)::BIGINT" for j in range(8))})::DOUBLE / 64 / 1000000 AS mse
     FROM d
     """,
     doc="Product quantization: the 64-dim embedding split into 8 "
@@ -1512,11 +1512,15 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         codes.append(code.cast("string"))
         chosen.append(F.least(*d))
-    total = chosen[0]
+    # each rounded d2 becomes exact integer millionths before the sum:
+    # a final round(sum/64, 6) can land on a half-boundary where the
+    # engines' double-rounding implementations disagree in the last
+    # digit; integer arithmetic + power-of-two division is bit-exact
+    total = F.round(chosen[0] * 1_000_000).cast("long")
     for c in chosen[1:]:
-        total = total + c
+        total = total + F.round(c * 1_000_000).cast("long")
     return df.select(
         "vec_id",
         F.concat(*codes).alias("codes"),
-        F.round(total / 64, 6).alias("mse"),
+        (total.cast("double") / 64 / 1_000_000).alias("mse"),
     )
