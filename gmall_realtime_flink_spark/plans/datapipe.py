@@ -1524,3 +1524,56 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(*codes).alias("codes"),
         (total.cast("double") / 64 / 1_000_000).alias("mse"),
     )
+
+
+@register(
+    "dedup_semantic_verify",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    ev AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings)
+    SELECT c.doc_a, c.doc_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+           (round(list_cosine_similarity(a.v, b.v), 6) >= 0.2) AS is_dup
+    FROM cand c
+    JOIN ev a ON c.doc_a = a.vec_id
+    JOIN ev b ON c.doc_b = b.vec_id
+    """,
+    doc="Cross-modal dedup verification: lexical MinHash-LSH proposes "
+    "candidate pairs, the embedding space verifies them — the "
+    "candidates ⋈ embeddings ⋈ embeddings composition (doc_id = "
+    "vec_id) with a cosine verdict. The standard two-modality pipeline "
+    "shape: cheap lexical recall, semantic precision, each modality "
+    "catching dups the other misses. Plan: candidate pairs are tiny "
+    "relative to the corpus, so both embedding joins shuffle only "
+    "|candidates| rows against the (bucketable) embedding table; "
+    "cosine is the same JVM fold as the ANN path.",
+    tags=("datapipe", "dedup", "similarity"),
+)
+def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        AS_DOUBLE,
+        DOT,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(d))
+    ev = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("v")
+    )
+    a = ev.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = ev.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    j = cand.join(a, cand["doc_a"] == a["a_id"]).join(
+        b, cand["doc_b"] == b["b_id"]
+    )
+    dot = F.expr(DOT.format(a="va", b="vb"))
+    na = F.sqrt(F.expr(DOT.format(a="va", b="va")))
+    nb = F.sqrt(F.expr(DOT.format(a="vb", b="vb")))
+    cos = F.round(dot / (na * nb), 6)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        cos.alias("cos_sim"),
+        (cos >= 0.2).alias("is_dup"),
+    )
