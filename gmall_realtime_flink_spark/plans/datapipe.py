@@ -1577,3 +1577,50 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos.alias("cos_sim"),
         (cos >= 0.2).alias("is_dup"),
     )
+
+
+@register(
+    "split_leakage_check",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_HEXVAL} < 12 THEN 'test'
+                  WHEN {_HEXVAL} < 24 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents)
+    SELECT a.split AS split_a, b.split AS split_b,
+           count(*)::BIGINT AS pair_ct
+    FROM cand c
+    JOIN sp a ON c.doc_a = a.doc_id
+    JOIN sp b ON c.doc_b = b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Split-leakage audit: MinHash-LSH near-dup pairs bucketed by "
+    "which (train/val/test) splits their two sides land in — any "
+    "off-diagonal mass (a train⋈test pair) is evaluation leakage the "
+    "random split can't see, the reason dedup must run BEFORE "
+    "splitting. Composes doc_split's content-stable md5 buckets with "
+    "lsh_candidates; plan: the split stamp is a narrow per-row "
+    "expression joined onto |candidates| rows only, and the verdict "
+    "matrix is at most 3×3.",
+    tags=("datapipe", "dedup", "sampling"),
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.sampling import train_split
+
+    d = load(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(d))
+    sp = train_split(d.select("doc_id")).select("doc_id", "split")
+    a = sp.select(
+        F.col("doc_id").alias("a_id"), F.col("split").alias("split_a")
+    )
+    b = sp.select(
+        F.col("doc_id").alias("b_id"), F.col("split").alias("split_b")
+    )
+    return (
+        cand.join(a, cand["doc_a"] == a["a_id"])
+        .join(b, cand["doc_b"] == b["b_id"])
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("pair_ct"))
+    )
