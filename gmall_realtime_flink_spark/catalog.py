@@ -17,6 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -35,22 +36,47 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-local TIMESTAMP.
+
+    The testdata parquet stores timestamps with isAdjustedToUTC=false,
+    which Spark 4 surfaces as TIMESTAMP_NTZ when
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is on (the default —
+    and the driver's session may enable it even when ours doesn't).
+    Under the engine's UTC-pinned session the cast is value-identical
+    (NTZ wall time re-labelled as UTC instant), and it restores the full
+    TIMESTAMP function surface (``unix_millis`` et al. reject NTZ).
+    Doing it once at the load boundary keeps every downstream plan
+    type-stable regardless of reader configuration.
+    """
+    ntz = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy scan, schema from footer).
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects by default; `get_spark` sets the legacy nanos-as-long conf,
-    so we read it as long here and truncate ns → µs, matching DuckDB's
-    TIMESTAMP_NS → TIMESTAMP semantics so both engines see identical
-    microsecond values.
+    `events.ts` has been observed in two physical layouts across driver
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark 4
+    rejects unless read as a nanosecond long — `get_spark` sets the
+    legacy nanos-as-long conf; we truncate ns → µs to match DuckDB's
+    TIMESTAMP_NS → TIMESTAMP semantics) and plain TIMESTAMP(MICROS)
+    with isAdjustedToUTC=false (TIMESTAMP_NTZ under Spark 4 inference —
+    normalized below). Both normalize to the same UTC microsecond
+    instants either way.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+        return normalize_timestamps(df)
+    return normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

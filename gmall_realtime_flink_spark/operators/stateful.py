@@ -72,7 +72,10 @@ def session_entry(
     """
     w = Window.partitionBy(key).orderBy(ts_col, *order_cols)
     with_prev = df.withColumn("__prev", F.lag(ts_col).over(w))
-    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.col("__prev"))
+    # cast: unix_millis rejects TIMESTAMP_NTZ; the diff cancels any tz
+    gap = F.unix_millis(F.col(ts_col).cast("timestamp")) - F.unix_millis(
+        F.col("__prev").cast("timestamp")
+    )
     return with_prev.filter(
         F.col("__prev").isNull() | (gap > gap_ms)
     ).drop("__prev")
@@ -95,7 +98,10 @@ def jump_detect(
     """
     w = Window.partitionBy(key).orderBy(ts_col, *order_cols)
     with_next = df.withColumn("next_ts", F.lead(ts_col).over(w))
-    gap = F.unix_millis(F.col("next_ts")) - F.unix_millis(F.col(ts_col))
+    # cast: unix_millis rejects TIMESTAMP_NTZ; the diff cancels any tz
+    gap = F.unix_millis(F.col("next_ts").cast("timestamp")) - F.unix_millis(
+        F.col(ts_col).cast("timestamp")
+    )
     return with_next.filter(F.col("next_ts").isNull() | (gap > gap_ms)).drop(
         "next_ts"
     )

@@ -71,7 +71,7 @@ SENTINEL_TYPES = (
 )
 
 
-def write_sentinel_file(path: str, ts_ns: int) -> None:
+def write_sentinel_file(path: str, ts_ns: int, ts_type=None) -> None:
     """Write the watermark-advancing sentinel rows (user_id = -1), one
     per real event type plus a 'sentinel' marker.
 
@@ -85,15 +85,25 @@ def write_sentinel_file(path: str, ts_ns: int) -> None:
       scan) → props carries a valid JSON object with a key that can
       never join ({"k": -1}), not NULL.
     Downstream queries already drop sentinel *output* via the
-    far-future stt cutoff, so the non-null props are inert there."""
+    far-future stt cutoff, so the non-null props are inert there.
+
+    `ts_type`: the SOURCE file's physical ts type (pyarrow) — the
+    sentinel must match it exactly (int64 nanos for the legacy
+    TIMESTAMP(NANOS) layout, timestamp[us] for the current one) or the
+    file stream's single fixed schema rejects one of the two files."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     n = len(SENTINEL_TYPES)
+    if ts_type is not None and pa.types.is_timestamp(ts_type):
+        unit_div = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[ts_type.unit]
+        ts_arr = pa.array([ts_ns // unit_div] * n, ts_type)
+    else:
+        ts_arr = pa.array([ts_ns] * n, pa.int64())
     sentinel = pa.table(
         {
             "event_id": pa.array([-(i + 1) for i in range(n)], pa.int64()),
-            "ts": pa.array([ts_ns] * n, pa.int64()),
+            "ts": ts_arr,
             "user_id": pa.array([-1] * n, pa.int64()),
             "event_type": pa.array(list(SENTINEL_TYPES), pa.string()),
             "value": pa.array([0.0] * n, pa.float64()),
@@ -116,16 +126,24 @@ def events_with_sentinel(
     far past the max event time, so every real ST3 timer fires and
     every real window closes.
     """
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "events.parquet")
-    max_ns = pq.read_table(src, columns=["ts"])["ts"].cast("int64")
-    max_ns = max(max_ns.to_pylist())
+    ts_col = pq.read_table(src, columns=["ts"])["ts"]
+    ts_type = ts_col.type
+    raw_max = max(ts_col.cast("int64").to_pylist())
+    if pa.types.is_timestamp(ts_type):
+        unit_mul = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[ts_type.unit]
+        max_ns = raw_max * unit_mul
+    else:
+        max_ns = raw_max  # legacy layout: already nanos
     tmp = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(src, os.path.join(tmp, "part-000.parquet"))
     write_sentinel_file(
         os.path.join(tmp, "part-001-sentinel.parquet"),
         max(max_ns + 2 * gap_ms * 1_000_000, SENTINEL_TS_NS),
+        ts_type=ts_type,
     )
     return tmp
 

@@ -10,11 +10,14 @@ Streaming analogue of a replayed topic: files arrive in listing order,
 event-time watermark governs state eviction exactly as it would on
 Kafka.
 
-`events.parquet` is written as parquet TIMESTAMP(NANOS); under
-`spark.sql.legacy.parquet.nanosAsLong` (set by session.get_spark and
-defensively by catalog.load) it surfaces as a nanosecond long, which we
-truncate to a microsecond timestamp — identical to the batch path in
-catalog.load.
+`events.parquet` has two observed physical layouts across driver
+testdata generations: TIMESTAMP(NANOS) — surfaced as a nanosecond long
+under `spark.sql.legacy.parquet.nanosAsLong` and truncated to µs — and
+TIMESTAMP(MICROS) with isAdjustedToUTC=false (TIMESTAMP_NTZ under
+Spark 4 inference). The file stream needs an explicit schema, so we
+probe the footer with a one-off batch read (metadata only, no data
+scan) and normalize `ts` to a session-UTC TIMESTAMP either way —
+identical to the batch path in catalog.load.
 """
 
 from __future__ import annotations
@@ -22,18 +25,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-# events schema as the file stream sees it (ts = raw nanos long)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 
 def stream_events(
@@ -46,9 +37,14 @@ def stream_events(
     watermark (W1-W5: the reference uses 0-3 s bounded delays).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema).format("parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(path)
-    df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.withWatermark("ts", watermark)
