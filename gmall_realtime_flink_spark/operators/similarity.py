@@ -59,14 +59,24 @@ def _ranked_topk(
     scored: DataFrame, k: int, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     top = scored.orderBy(F.col("cos_sim").desc(), "vec_id").limit(k)
-    # ranking runs AFTER .limit(k): the window sees <= k rows, so the
-    # single-partition window is bounded, not a global sort of the
-    # corpus. The constant partition key keeps that explicit in the
-    # plan (vs an empty partition spec, which logs a scary-but-benign
-    # "No Partition Defined" warning).
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos_sim").desc(), "vec_id")
-    return top.withColumn("rk", F.row_number().over(w)).select(
-        "vec_id", *extra_cols, "cos_sim", "rk"
+    # rank WITHOUT a window function: the <= k rows surviving the
+    # TakeOrderedAndProject fold into one sort_array'd struct array
+    # (single-group partial agg), then posexplode re-emits them with
+    # rk = position + 1. Bounded at k rows regardless of corpus size,
+    # and no WindowExec in the plan — a constant partition key gets
+    # constant-folded to an empty partition spec, which logs the
+    # "No Partition Defined" warning even though the input is tiny.
+    s = F.struct(
+        (-F.col("cos_sim")).alias("neg_sim"),
+        F.col("vec_id").alias("vec_id"),
+        *[F.col(c).alias(c) for c in extra_cols],
+    )
+    arr = top.agg(F.sort_array(F.collect_list(s)).alias("a"))
+    return arr.select(F.posexplode("a").alias("pos", "s")).select(
+        F.col("s.vec_id").alias("vec_id"),
+        *[F.col(f"s.{c}").alias(c) for c in extra_cols],
+        (-F.col("s.neg_sim")).alias("cos_sim"),
+        (F.col("pos") + 1).alias("rk"),
     )
 
 
