@@ -1624,3 +1624,103 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("pair_ct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking / shuffling / packing (training-batch construction)
+# ---------------------------------------------------------------------------
+
+_WS_TOKS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+    " x -> length(x) > 0)"
+)
+
+
+@register(
+    "doc_chunk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_WS_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 17, 0), 48))
+               AS start
+      FROM d WHERE len(toks) > 0)
+    SELECT doc_id,
+           start // 48 AS chunk_id,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+           len(toks[start + 1 : start + 64])::INT AS n_tokens
+    FROM c
+    """,
+    doc="Sliding-window token chunking (64-token chunks, 16-token "
+    "overlap) for context-length-bounded training samples "
+    "(operators/packing.chunk_documents). Narrow per-row explode — "
+    "tokens never leave the row, zero shuffles at any scale.",
+    tags=("datapipe", "packing", "chunk"),
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.packing import chunk_documents
+
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_shuffle",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             md5('42|' || doc_id::VARCHAR) AS sort_key,
+             (((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) % 8)::INT
+               AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)::INT AS pos,
+           sort_key
+    FROM s
+    """,
+    doc="Deterministic corpus shuffle as (shard, position): "
+    "content-stable md5 sort key, shard = hash bucket mod 8, rank "
+    "within shard (operators/packing.corpus_shuffle). One shuffle on "
+    "the shard key, per-shard sort — never a global ORDER BY; the "
+    "same permutation on every run, engine, and partitioning.",
+    tags=("datapipe", "packing", "shuffle"),
+)
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.packing import corpus_shuffle
+
+    return corpus_shuffle(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_pack",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR) AS sort_key,
+             (({_HEXVAL.replace('doc_id', 'doc_id')}) % 32)::INT AS bucket,
+             len({_WS_TOKS})::INT AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY sort_key, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b)
+    SELECT doc_id, bucket, n_tokens,
+           ((cum - n_tokens) // 256)::BIGINT AS pack_id
+    FROM c
+    """,
+    doc="Greedy sequence packing to a 256-token budget: docs are "
+    "hash-bucketed (32 buckets), ordered by content-stable hash within "
+    "the bucket, and cut into packs where the running token count "
+    "crosses the budget (operators/packing.pack_documents). The "
+    "data-parallel packing compromise: a global first-fit is "
+    "sequential, so packs are bucket-local — one shuffle on the "
+    "bucket key, partitioned-window running sum, O(1 doc) efficiency "
+    "loss per bucket boundary.",
+    tags=("datapipe", "packing"),
+)
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.packing import pack_documents
+
+    return pack_documents(load(spark, sf_dir, "documents"))

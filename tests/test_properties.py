@@ -276,3 +276,80 @@ def test_knn_graph_matches_bruteforce_within_bucket(spark, sf_dir):
         # max sim, ties to the smallest neighbor id
         best = cell[np.lexsort((ids[cell], -sims[a, cell]))][0]
         assert got[ids[a]] == ids[best], f"vec {ids[a]}"
+
+
+def test_chunk_documents_covers_all_tokens(spark, sf_dir):
+    """Every source token position appears in >= 1 chunk; consecutive
+    chunks of one doc overlap by exactly `overlap` tokens while both
+    are full; chunk_ids are dense from 0."""
+    from gmall_realtime_flink_spark.operators.packing import chunk_documents
+
+    from gmall_realtime_flink_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).toPandas()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.trim("text"), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("n"),
+        ).collect()
+    }
+    stride = 64 - 16
+    for doc_id, grp in chunks.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        assert list(grp["chunk_id"]) == list(range(len(grp)))
+        # coverage: last chunk must reach the final token
+        last_start = int(grp["chunk_id"].iloc[-1]) * stride
+        assert last_start + int(grp["n_tokens"].iloc[-1]) == n_toks[doc_id]
+        # no fully-contained tail chunk: the last chunk must extend
+        # past the previous chunk's end
+        if len(grp) > 1:
+            prev_end = int(grp["chunk_id"].iloc[-2]) * stride + 64
+            assert last_start + int(grp["n_tokens"].iloc[-1]) > prev_end
+
+
+def test_corpus_shuffle_is_partition_independent_permutation(spark, sf_dir):
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.packing import corpus_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    a = corpus_shuffle(docs).toPandas()
+    b = corpus_shuffle(docs.repartition(7)).toPandas()
+    # permutation: every doc exactly once, positions dense per shard
+    assert sorted(a["doc_id"]) == sorted(
+        r[0] for r in docs.select("doc_id").collect()
+    )
+    for _, grp in a.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # repartition-invariant (content-stable ordering, no rand())
+    key = ["doc_id", "shard", "pos"]
+    assert a[key].sort_values("doc_id").values.tolist() == (
+        b[key].sort_values("doc_id").values.tolist()
+    )
+
+
+def test_pack_documents_respects_budget(spark, sf_dir):
+    """No pack exceeds the token budget unless it holds a single
+    over-budget document; pack_ids are dense within a bucket."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.packing import pack_documents
+
+    budget = 256
+    packed = pack_documents(
+        load(spark, sf_dir, "documents"), budget_tokens=budget
+    ).toPandas()
+    for (_, pack_id), grp in packed.groupby(["bucket", "pack_id"]):
+        total = int(grp["n_tokens"].sum())
+        # greedy cumulative cut: a pack may be pushed over the budget
+        # only by its LAST member (the doc that crossed the boundary)
+        if len(grp) > 1:
+            assert total - int(grp["n_tokens"].max()) < budget
+    for _, grp in packed.groupby("bucket"):
+        ids = sorted(grp["pack_id"].unique())
+        assert ids == list(range(len(ids)))
