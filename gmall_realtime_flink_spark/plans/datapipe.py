@@ -1724,3 +1724,39 @@ def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime_flink_spark.operators.packing import pack_documents
 
     return pack_documents(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+    SELECT n.doc_id, n.fingerprint
+    FROM fp n
+    WHERE n.source = 'src0'
+      AND NOT EXISTS (
+        SELECT 1 FROM fp c
+        WHERE c.source <> 'src0' AND c.fingerprint = n.fingerprint)
+    """,
+    doc="Incremental dedup: admit a NEW ingest batch (source = src0) "
+    "only where its content fingerprint is absent from the existing "
+    "corpus (every other source) — a LEFT ANTI join on the normalized "
+    "md5. The daily-ingest shape of dedup_exact: at 100 TB the corpus "
+    "side is a fingerprint-only column scan (16 bytes/doc), the anti "
+    "join shuffles on a uniform 128-bit key (skew-free), and AQE "
+    "broadcasts the new batch when it is the small side.",
+    tags=("datapipe", "dedup"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fp = d.select(
+        "doc_id", "source", F.md5(normalized).alias("fingerprint")
+    )
+    new = fp.filter(F.col("source") == "src0")
+    corpus = fp.filter(F.col("source") != "src0").select("fingerprint")
+    return new.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )

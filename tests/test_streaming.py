@@ -41,6 +41,22 @@ def rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
+def _events_sorted_native(sf_dir):
+    """events table sorted by ts in its NATIVE physical layout (the
+    driver has generated both nanos-long and timestamp[us] files),
+    plus (ns-per-unit multiplier, max event time in ns, ts arrow type).
+    Fixtures must write derived files in the native type — a fixed
+    int64 cast silently re-labels microseconds as nanoseconds."""
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("ts")
+    ts_type = t["ts"].type
+    if pa.types.is_timestamp(ts_type):
+        mul = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[ts_type.unit]
+    else:
+        mul = 1
+    max_ns = max(t["ts"].cast("int64").to_pylist()) * mul
+    return t, mul, max_ns, ts_type
+
+
 @pytest.fixture(scope="module")
 def split_events_dir(sf_dir):
     """(dir, cutoff): events table sorted by ts, split into 3
@@ -51,19 +67,15 @@ def split_events_dir(sf_dir):
     separating real windows from sentinel windows."""
     import pandas as pd
 
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    t = t.set_column(
-        t.schema.get_field_index("ts"), "ts", t["ts"].cast("int64")
-    )
-    t = t.sort_by("ts")
+    t, _mul, max_ns, ts_type = _events_sorted_native(sf_dir)
     tmp = tempfile.mkdtemp(prefix="events_split_")
     n = t.num_rows
     for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
         pq.write_table(t.slice(lo, hi - lo), os.path.join(tmp, f"part-{i:03d}.parquet"))
-    max_ns = max(t["ts"].to_pylist())
     jobs.write_sentinel_file(
         os.path.join(tmp, "part-999-sentinel.parquet"),
         max_ns + 2 * 86_400_000_000_000,  # +2 days
+        ts_type=ts_type,
     )
     cutoff = pd.Timestamp(max_ns + 3_600_000_000_000, unit="ns").strftime(
         "%Y-%m-%d %H:%M:%S"
@@ -341,11 +353,7 @@ def test_late_data_dropped_by_watermark(spark, sf_dir):
     import pandas as pd
     import uuid
 
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    t = t.set_column(
-        t.schema.get_field_index("ts"), "ts", t["ts"].cast("int64")
-    )
-    t = t.sort_by("ts")
+    t, mul, _max_ns, ts_type = _events_sorted_native(sf_dir)
     n = t.num_rows
     f1, f3, f2 = (
         t.slice(0, n // 3),
@@ -353,7 +361,7 @@ def test_late_data_dropped_by_watermark(spark, sf_dir):
         t.slice((2 * n) // 3),
     )
     tmp = tempfile.mkdtemp(prefix="events_late_")
-    max2_ns = max(f2["ts"].to_pylist())
+    max2_ns = max(f2["ts"].cast("int64").to_pylist()) * mul
     s1 = os.path.join(tmp, "part-002-sentinel1.parquet")
     s2 = os.path.join(tmp, "part-004-sentinel2.parquet")
     parts = [
@@ -366,7 +374,9 @@ def test_late_data_dropped_by_watermark(spark, sf_dir):
     for i, (p, part) in enumerate(parts):
         if part is None:
             jobs.write_sentinel_file(
-                p, max2_ns + (1 + parts.index((p, None))) * 3_600_000_000_000
+                p,
+                max2_ns + (1 + parts.index((p, None))) * 3_600_000_000_000,
+                ts_type=ts_type,
             )
         else:
             pq.write_table(part, p)
@@ -407,8 +417,8 @@ def test_late_data_dropped_by_watermark(spark, sf_dir):
     assert dropped >= f3.num_rows - 1
 
     exp = {}
-    for ts_ns in pa.concat_tables([f1, f2])["ts"].to_pylist():
-        stt = pd.Timestamp(ts_ns, unit="ns").floor("10s").strftime(
+    for ts_raw in pa.concat_tables([f1, f2])["ts"].cast("int64").to_pylist():
+        stt = pd.Timestamp(ts_raw * mul, unit="ns").floor("10s").strftime(
             "%Y-%m-%d %H:%M:%S"
         )
         exp[stt] = exp.get(stt, 0) + 1
