@@ -465,3 +465,25 @@ def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_order_wide_left(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS dup_ct
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup under Structured Streaming — incremental-ingest "
+    "dedup: documents arrive as a file stream, a streaming groupBy on "
+    "md5(text) maintains (min doc_id, count) state across "
+    "micro-batches (min, not dropDuplicates, so the representative is "
+    "arrival-order-independent). Same oracle as the batch dedup_exact: "
+    "streaming == batch on bounded input "
+    "(streaming/jobs.py streaming_dedup_exact).",
+    tags=("streaming", "datapipe", "dedup"),
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_dedup_exact(spark, sf_dir)

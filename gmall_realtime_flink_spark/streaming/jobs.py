@@ -33,14 +33,20 @@ from gmall_realtime_flink_spark.streaming.state import (
 )
 
 
-def run_bounded(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Run a streaming DataFrame to completion into a memory sink."""
+def run_bounded(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink.
+
+    `output_mode="complete"` is for unwatermarked streaming aggregates
+    (e.g. the incremental dedup state), where the final emission IS the
+    full result."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -756,3 +762,30 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
     )
     return out.filter(F.col("o_orderkey") >= 0)
+
+
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under Structured Streaming — the incremental-ingest
+    form of the batch `dedup_exact`: documents arrive as a file stream
+    and a streaming groupBy on the content hash maintains
+    (keep_doc_id = min, dup_ct = count) state across micro-batches.
+    min() rather than dropDuplicates keeps the representative
+    deterministic regardless of arrival/partition order, so the
+    bounded result is bit-identical to the batch query. State is the
+    distinct-hash set — at 100 TB this runs keyed on a uniform
+    128-bit hash (skew-free) with RocksDB state off-heap.
+    """
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_table_dir(sf_dir, "documents"))
+    )
+    agg = stream.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_ct"),
+    )
+    return run_bounded(agg, spark, output_mode="complete")
