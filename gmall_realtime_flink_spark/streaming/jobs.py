@@ -178,34 +178,25 @@ def streaming_user_jump(
     return out.filter(F.col("user_id") >= 0)
 
 
-# explicit readStream schemas for the warehouse fact streams (the file
-# source requires one); single definition — the dim-schema-evolution
-# test is the reminder of what a drifted copy would silently null-fill
-ORDERS_SCHEMA = T.StructType(
-    [
-        T.StructField("o_orderkey", T.LongType()),
-        T.StructField("o_custkey", T.LongType()),
-        T.StructField("o_orderstatus", T.StringType()),
-        T.StructField("o_totalprice", T.DoubleType()),
-        T.StructField("o_orderdate", T.TimestampNTZType()),
-        T.StructField("o_orderpriority", T.StringType()),
-    ]
-)
-LINEITEM_SCHEMA = T.StructType(
-    [
-        T.StructField("l_orderkey", T.LongType()),
-        T.StructField("l_partkey", T.LongType()),
-        T.StructField("l_suppkey", T.LongType()),
-        T.StructField("l_linenumber", T.IntegerType()),
-        T.StructField("l_quantity", T.DoubleType()),
-        T.StructField("l_extendedprice", T.DoubleType()),
-        T.StructField("l_discount", T.DoubleType()),
-        T.StructField("l_tax", T.DoubleType()),
-        T.StructField("l_returnflag", T.StringType()),
-        T.StructField("l_linestatus", T.StringType()),
-        T.StructField("l_shipdate", T.TimestampNTZType()),
-    ]
-)
+def warehouse_stream_schema(
+    spark: SparkSession, sf_dir: str, table: str
+) -> T.StructType:
+    """readStream needs an explicit schema; probe the real footer
+    (metadata-only batch read) instead of hardcoding one, so whichever
+    physical timestamp layout the testdata generation used is the one
+    declared — a hardcoded TimestampNTZ schema breaks the day the
+    generator flips back to nanos or adjusted-UTC micros (exactly how
+    the events source broke in round 4)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).schema
+
+
+def ts_as_timestamp(raw_schema: T.StructType, name: str):
+    """Session-UTC TIMESTAMP expression for a probed ts-ish column:
+    nanos long → truncate to µs; NTZ / DATE / TIMESTAMP → plain cast
+    (identical to the batch normalization in catalog.load)."""
+    if isinstance(raw_schema[name].dataType, T.LongType):
+        return F.timestamp_micros(F.expr(f"{name} div 1000"))
+    return F.col(name).cast("timestamp")
 
 
 def stage_table_dir(sf_dir: str, table: str) -> str:
@@ -245,19 +236,19 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/ST4 on the real warehouse tables: orders ⋈ lineitem as two
     file streams, equi-key + [0, 30d] event-time band — the streaming
     form of the batch `order_wide` query (same oracle)."""
-    orders_schema = ORDERS_SCHEMA
-    lineitem_schema = LINEITEM_SCHEMA
+    orders_schema = warehouse_stream_schema(spark, sf_dir, "orders")
+    lineitem_schema = warehouse_stream_schema(spark, sf_dir, "lineitem")
     o = (
         spark.readStream.schema(orders_schema)
         .parquet(stage_table_dir(sf_dir, "orders"))
-        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withColumn("o_ts", ts_as_timestamp(orders_schema, "o_orderdate"))
         .withWatermark("o_ts", "0 seconds")
         .alias("o")
     )
     l = (
         spark.readStream.schema(lineitem_schema)
         .parquet(stage_table_dir(sf_dir, "lineitem"))
-        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withColumn("l_ts", ts_as_timestamp(lineitem_schema, "l_shipdate"))
         .withWatermark("l_ts", "0 seconds")
         .alias("l")
     )
@@ -352,19 +343,19 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). The negative lower bound means the right stream buffers
     events up to 7 days *before* a matching left event; Spark sizes
     both sides' join state from the band automatically."""
-    orders_schema = ORDERS_SCHEMA
-    lineitem_schema = LINEITEM_SCHEMA
+    orders_schema = warehouse_stream_schema(spark, sf_dir, "orders")
+    lineitem_schema = warehouse_stream_schema(spark, sf_dir, "lineitem")
     o = (
         spark.readStream.schema(orders_schema)
         .parquet(stage_table_dir(sf_dir, "orders"))
-        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withColumn("o_ts", ts_as_timestamp(orders_schema, "o_orderdate"))
         .withWatermark("o_ts", "0 seconds")
         .alias("o")
     )
     l = (
         spark.readStream.schema(lineitem_schema)
         .parquet(stage_table_dir(sf_dir, "lineitem"))
-        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withColumn("l_ts", ts_as_timestamp(lineitem_schema, "l_shipdate"))
         .withWatermark("l_ts", "0 seconds")
         .alias("l")
     )
@@ -713,8 +704,8 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue of the ST3 timer sentinel)."""
     import pandas as pd
 
-    orders_schema = ORDERS_SCHEMA
-    lineitem_schema = LINEITEM_SCHEMA
+    orders_schema = warehouse_stream_schema(spark, sf_dir, "orders")
+    lineitem_schema = warehouse_stream_schema(spark, sf_dir, "lineitem")
     far = pd.Timestamp("2030-01-01")
 
     def _mut_o(row):
@@ -728,14 +719,14 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         spark.readStream.schema(orders_schema)
         .parquet(stage_table_with_sentinel(sf_dir, "orders", _mut_o))
-        .withColumn("o_ts", F.col("o_orderdate").cast("timestamp"))
+        .withColumn("o_ts", ts_as_timestamp(orders_schema, "o_orderdate"))
         .withWatermark("o_ts", "0 seconds")
         .alias("o")
     )
     l = (
         spark.readStream.schema(lineitem_schema)
         .parquet(stage_table_with_sentinel(sf_dir, "lineitem", _mut_l))
-        .withColumn("l_ts", F.col("l_shipdate").cast("timestamp"))
+        .withColumn("l_ts", ts_as_timestamp(lineitem_schema, "l_shipdate"))
         .withWatermark("l_ts", "0 seconds")
         .alias("l")
     )
