@@ -1760,3 +1760,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(corpus, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+@register(
+    "doc_common_token_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> length(x) > 0)) AS tok
+      FROM documents),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    per_doc AS (
+      SELECT t.doc_id, sum(d.df)::BIGINT AS df_sum,
+             count(*)::BIGINT AS n_toks
+      FROM toks t JOIN df d ON t.tok = d.tok
+      GROUP BY t.doc_id)
+    SELECT p.doc_id, p.n_toks,
+           round(p.df_sum::DOUBLE / (p.n_toks * n.n_docs), 6)
+             AS common_token_score
+    FROM per_doc p, n
+    """,
+    doc="Corpus-relative commonness score — the deterministic stand-in "
+    "for LM-perplexity quality filtering (CCNet-style): the mean "
+    "document frequency of a doc's tokens, scaled by corpus size. "
+    "High = ordinary prose, low = gibberish/jargon. Integer-exact by "
+    "construction (one integer df sum per doc, a single final "
+    "division, round 6) — a log-prob variant would hang bit-parity on "
+    "ln() ulps, the recurring cross-engine failure mode. Plan: explode "
+    "→ distinct → df agg → tok-keyed join back → doc agg; every "
+    "shuffle keys on uniform tokens/doc_ids, the df table is "
+    "|vocab|-sized (joinable or broadcastable at any corpus scale). "
+    "Token-less docs have no rows to score and are absent, as in the "
+    "oracle.",
+    tags=("datapipe", "text", "quality"),
+)
+def doc_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    # distinct (tok, doc_id) pairs first, then a plain count per tok —
+    # one dedup pass instead of dedup + count-distinct
+    df_tab = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        toks.join(df_tab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("df").alias("df_sum"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "n_toks",
+        F.round(
+            F.col("df_sum").cast("double")
+            / (F.col("n_toks") * F.col("n_docs")),
+            6,
+        ).alias("common_token_score"),
+    )
