@@ -780,3 +780,51 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("dup_ct"),
     )
     return run_bounded(agg, spark, output_mode="complete")
+
+
+def streaming_route_config_reload(
+    spark: SparkSession,
+    events_dir: str,
+    config_path: str,
+    out_dir: str,
+    after_batch=None,
+) -> None:
+    """S8's *dynamic* half — Flink's BroadcastProcessFunction keeps the
+    routing config as broadcast state that an operator can update
+    mid-stream (the reference polls MySQL table_process every 5 s,
+    RT/app/func/TableProcessFunction.java:43-64). Spark analogue: the
+    config table is re-read INSIDE foreachBatch, so each micro-batch
+    joins the config as of its own processing time — update the config
+    parquet between batches and later events route by the new rules.
+    `maxFilesPerTrigger=1` makes file := micro-batch, and
+    `after_batch(batch_id)` (called once a batch's write commits) is
+    where a test swaps the config — the next batch then observes it,
+    exactly like Flink's broadcast-state update between elements.
+    """
+    from gmall_realtime_flink_spark.operators.routing import (
+        route_with_config,
+    )
+
+    events = stream_events(spark, events_dir, max_files_per_trigger=1)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        config = spark.read.parquet(config_path)
+        routed = route_with_config(
+            batch_df.withColumn("op", F.lit("insert")),
+            config,
+            source_col="event_type",
+            type_col="op",
+        ).select("event_id", "event_type", "sink_table")
+        routed.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+        if after_batch is not None:
+            after_batch(batch_id)
+
+    q = (
+        events.writeStream.foreachBatch(write)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

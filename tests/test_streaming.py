@@ -599,3 +599,57 @@ def test_basedb_streaming_dag_route_sinks_agg(spark, sf_dir, split_events_dir):
     )
     cols = ["stt", "edt", "pv_ct"]
     assert rows(got, cols) == rows(want, cols)
+
+
+def test_route_config_reload_between_batches(spark, sf_dir):
+    """S8 dynamic half (Flink BroadcastProcessFunction semantics): the
+    routing config changes between micro-batches and the NEXT batch
+    routes by the new rules — config v1 routes 'view' events only;
+    after batch 0 the config swaps to v2 ('view' retargeted + 'click'
+    newly routable); batch 1's events must follow v2."""
+    import pandas as pd
+
+    t, _mul, _max_ns, _ts_type = _events_sorted_native(sf_dir)
+    n = t.num_rows
+    events_dir = tempfile.mkdtemp(prefix="events_cfgreload_")
+    pq.write_table(t.slice(0, n // 2), os.path.join(events_dir, "part-000.parquet"))
+    pq.write_table(t.slice(n // 2), os.path.join(events_dir, "part-001.parquet"))
+
+    cfg_dir = tempfile.mkdtemp(prefix="route_cfg_")
+    cfg_path = os.path.join(cfg_dir, "config")
+    v1 = pd.DataFrame(
+        [("view", "insert", "dwd_page_log_v1", "k")],
+        columns=["source_table", "operate_type", "sink_table", "sink_columns"],
+    )
+    v2 = pd.DataFrame(
+        [
+            ("view", "insert", "dwd_page_log_v2", "k"),
+            ("click", "insert", "dwd_click_log", "k"),
+        ],
+        columns=["source_table", "operate_type", "sink_table", "sink_columns"],
+    )
+    spark.createDataFrame(v1).write.mode("overwrite").parquet(cfg_path)
+
+    def after_batch(batch_id: int) -> None:
+        if batch_id == 0:
+            spark.createDataFrame(v2).write.mode("overwrite").parquet(cfg_path)
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="route_out_"), "routed")
+    jobs.streaming_route_config_reload(
+        spark, events_dir, cfg_path, out_dir, after_batch=after_batch
+    )
+
+    got = spark.read.parquet(out_dir).toPandas()
+    b0 = got[got["batch_id"] == 0]
+    b1 = got[got["batch_id"] == 1]
+    # batch 0: v1 rules — only views, routed to v1 sink
+    assert set(b0["sink_table"]) == {"dwd_page_log_v1"}
+    assert set(b0["event_type"]) == {"view"}
+    # batch 1: v2 rules — views retargeted AND clicks now routable
+    assert set(b1["sink_table"]) == {"dwd_page_log_v2", "dwd_click_log"}
+    assert set(b1[b1["event_type"] == "click"]["sink_table"]) == {"dwd_click_log"}
+    # row-count cross-check against the raw halves
+    half1 = t.slice(0, n // 2).to_pandas()
+    half2 = t.slice(n // 2).to_pandas()
+    assert len(b0) == (half1["event_type"] == "view").sum()
+    assert len(b1) == half2["event_type"].isin(["view", "click"]).sum()
