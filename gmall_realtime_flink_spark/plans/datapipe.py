@@ -1822,3 +1822,58 @@ def doc_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("common_token_score"),
     )
+
+
+@register(
+    "dedup_pagerank",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+              UNION ALL SELECT doc_b, doc_a FROM cand),
+    deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+    r0 AS (SELECT s AS id, 1000000000000::BIGINT AS r FROM deg),
+    i1 AS (SELECT e.d AS id,
+                  (150000000000 + (85 * sum(r0.r // g.deg)) // 100)::BIGINT AS r
+           FROM edges e JOIN r0 ON e.s = r0.id JOIN deg g ON e.s = g.s
+           GROUP BY e.d),
+    i2 AS (SELECT e.d AS id,
+                  (150000000000 + (85 * sum(i1.r // g.deg)) // 100)::BIGINT AS r
+           FROM edges e JOIN i1 ON e.s = i1.id JOIN deg g ON e.s = g.s
+           GROUP BY e.d),
+    i3 AS (SELECT e.d AS id,
+                  (150000000000 + (85 * sum(i2.r // g.deg)) // 100)::BIGINT AS r
+           FROM edges e JOIN i2 ON e.s = i2.id JOIN deg g ON e.s = g.s
+           GROUP BY e.d)
+    SELECT id AS doc_id, r AS pagerank_e12 FROM i3
+    """,
+    doc="PageRank (3 fixed iterations, damping 0.85) over the "
+    "MinHash-LSH near-dup graph — centrality-based canonical-document "
+    "selection: inside a dup cluster, keep the doc most linked to the "
+    "rest. All arithmetic is INTEGER (ranks scaled by 1e12, floor "
+    "divisions) so both engines agree bit-for-bit; a float PageRank "
+    "would diverge in summation order. Plan: per iteration one join "
+    "of edges→ranks (shuffle on node id, |edges| rows) + one "
+    "aggregation — the standard distributed PageRank step; fixed "
+    "iteration count keeps the driver loop bounded and "
+    "resume-deterministic.",
+    tags=("datapipe", "dedup", "graph", "iterative"),
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(d))
+    edges = cand.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "s")
+    rank = deg.select(F.col("s").alias("id"), F.lit(10**12).alias("r"))
+    for _ in range(3):
+        contrib = edges_deg.join(rank, edges_deg["s"] == rank["id"]).select(
+            F.col("d").alias("id"), F.expr("r div deg").alias("c")
+        )
+        rank = contrib.groupBy("id").agg(
+            F.expr("CAST(150000000000 + (85 * sum(c)) div 100 AS BIGINT)").alias("r")
+        )
+    return rank.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank_e12"))

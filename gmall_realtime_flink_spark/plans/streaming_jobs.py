@@ -487,3 +487,23 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_dedup_exact(spark, sf_dir)
+
+
+@register(
+    "streaming_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::INT AS n_bytes,
+           unicode(text)::INT AS first_cp,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="Multimodal plumbing under streaming: binary payload + "
+    "Arrow-batched mapInPandas feature extraction inside the "
+    "micro-batch plan — the continuous-ingest media pipeline, sharing "
+    "the batch transform body and oracle "
+    "(streaming/jobs.py streaming_multimodal_features).",
+    tags=("streaming", "multimodal", "pandas-udf"),
+)
+def streaming_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_multimodal_features(spark, sf_dir)

@@ -828,3 +828,30 @@ def streaming_route_config_reload(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_multimodal_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multimodal feature extraction under Structured Streaming: the
+    documents arrive as a file stream, the binary payload is attached
+    and features are extracted by the SAME Arrow-batched mapInPandas
+    as the batch `multimodal_features` (one transform body, two
+    engines) — the continuous-ingest form of the media pipeline. The
+    stateless mapInPandas runs inside each micro-batch plan; no state,
+    no watermark needed."""
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_table_dir(sf_dir, "documents"))
+    )
+    return run_bounded(extract_features(attach_payload(stream)), spark)
