@@ -8,7 +8,7 @@ Each query = a Spark DataFrame plan + an equivalent DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime_flink_spark.catalog import load, register_views
@@ -2480,4 +2480,86 @@ def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(neg_price)
         .unionByName(disc_range)
         .unionByName(dup_events)
+    )
+
+
+@register(
+    "order_customer_salted",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment,
+           round(o.o_totalprice, 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Skew-mitigating salted equi-join surfaced through the "
+    "correctness gate: orders (big, potentially hot-keyed) joined to "
+    "customer over (key, shard) with the small side replicated "
+    "salt x 8 (operators/joins.salted_join). The oracle is the PLAIN "
+    "join — salting must be result-invariant, which is the entire "
+    "contract (deterministic content-hash shard, never rand(), so a "
+    "retried task re-salts identically). The skew path AQE's "
+    "size-threshold splitting can miss: one flash-sale key inside an "
+    "otherwise balanced partition.",
+    tags=("join", "skew", "salted"),
+)
+def order_customer_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.joins import salted_join
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return salted_join(o, c, "o_custkey", "c_custkey", salt=8).select(
+        "o_orderkey",
+        "c_custkey",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@register(
+    "user_sessions_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('millisecond', lag(ts) OVER w, ts) > 600000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+      FROM marked)
+    SELECT user_id, session_no,
+           count(*) AS event_ct,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    doc="Sessionization via Spark's NATIVE session_window operator "
+    "(dynamic-gap merging windows — the streaming-capable form; the "
+    "lag-based islands variant is `user_sessions`). The oracle states "
+    "the same semantics declaratively as gap-islands SQL, and the "
+    "session ordinal is recovered by ranking session starts so both "
+    "engines label sessions identically. Plan: one shuffle on "
+    "user_id; session merging is the window operator's own state, "
+    "exactly what it does under a stream with a watermark.",
+    tags=("window", "session", "agg"),
+)
+def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    sess = events.groupBy(
+        "user_id", F.session_window("ts", "10 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("event_ct"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sw.start"))
+    return sess.withColumn(
+        "session_no", F.row_number().over(w).cast("bigint")
+    ).select(
+        "user_id", "session_no", "event_ct", "session_start", "session_end"
     )
