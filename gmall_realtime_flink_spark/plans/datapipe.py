@@ -1877,3 +1877,59 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(150000000000 + (85 * sum(c)) div 100 AS BIGINT)").alias("r")
         )
     return rank.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank_e12"))
+
+
+@register(
+    "doc_chunk_pack",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_WS_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 17, 0), 48))
+               AS start
+      FROM d WHERE len(toks) > 0),
+    chunks AS (
+      SELECT doc_id || '|' || (start // 48) AS chunk_key,
+             len(toks[start + 1 : start + 64])::INT AS n_tokens
+      FROM c),
+    b AS (
+      SELECT chunk_key, n_tokens,
+             md5(chunk_key) AS sort_key,
+             (((strpos('0123456789abcdef', substr(md5(chunk_key), 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(chunk_key), 2, 1)) - 1) % 32)::INT
+               AS bucket
+      FROM chunks),
+    cum AS (
+      SELECT chunk_key, bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY sort_key, chunk_key
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b)
+    SELECT chunk_key, bucket, n_tokens,
+           ((cum - n_tokens) // 256)::BIGINT AS pack_id
+    FROM cum
+    """,
+    doc="The composed context-window construction pipeline: documents "
+    "→ 64/16-overlap chunks (chunk_documents) → 256-token greedy packs "
+    "(pack_documents keyed on the composite doc|chunk id). The two "
+    "operators compose as plain DataFrames — the chunk explode stays "
+    "narrow, the pack adds its single bucket-key exchange, nothing "
+    "else; the end-to-end plan is scan → explode → exchange → "
+    "running-sum, which is the minimum any distributed chunk-then-pack "
+    "can do.",
+    tags=("datapipe", "packing", "pipeline"),
+)
+def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.packing import (
+        chunk_documents,
+        pack_documents,
+    )
+
+    chunks = chunk_documents(load(spark, sf_dir, "documents")).select(
+        F.concat_ws("|", "doc_id", "chunk_id").alias("chunk_key"),
+        "chunk_text",
+    )
+    return pack_documents(
+        chunks, budget_tokens=256, n_buckets=32,
+        id_col="chunk_key", text_col="chunk_text",
+    )
