@@ -120,11 +120,18 @@ def pack_documents(
     packs for training-batch construction.
 
     Docs are hash-bucketed (deterministic, content-stable), ordered
-    within the bucket by the same hash, and cut into packs wherever
-    the running token count crosses `budget_tokens`. A pack is local
-    to a bucket: pack identity is (bucket, pack_id). Documents longer
-    than the budget get a pack of their own (never split here —
-    chunk first with `chunk_documents` if splitting is wanted).
+    within the bucket by the same hash, and assigned
+    ``pack_id = floor(cum_before / budget)`` from the bucket-local
+    running token count — the cumulative-cut formulation (the one a
+    partitioned window can compute in a single pass). A pack is local
+    to a bucket: pack identity is (bucket, pack_id). Consequences of
+    the cumulative cut, by design: a doc whose tokens straddle a
+    budget boundary belongs to the pack its STARTING offset falls in
+    (so that pack's total can exceed the budget by at most one doc's
+    tail), and a doc spanning >= 2 budgets makes the following
+    pack_id skip integers. Docs are never split — chunk first with
+    `chunk_documents` (or the composed `doc_chunk_pack` query) to
+    bound every piece below the budget.
     """
     sort_key = F.md5(F.col(id_col).cast("string"))
     base = docs.select(

@@ -66,16 +66,26 @@ def _ranked_topk(
     # and no WindowExec in the plan — a constant partition key gets
     # constant-folded to an empty partition spec, which logs the
     # "No Partition Defined" warning even though the input is tiny.
+    # The ascending sort key mirrors ORDER BY cos_sim DESC exactly,
+    # including the edge order both engines give a DESC sort: NaN
+    # first (→ -inf), NULL last (→ +inf); a bare negation would flip
+    # both (-NaN is still NaN and sorts LAST ascending).
+    neg_sim = (
+        F.when(F.col("cos_sim").isNull(), F.lit(float("inf")))
+        .when(F.isnan("cos_sim"), F.lit(float("-inf")))
+        .otherwise(-F.col("cos_sim"))
+    )
     s = F.struct(
-        (-F.col("cos_sim")).alias("neg_sim"),
+        neg_sim.alias("neg_sim"),
         F.col("vec_id").alias("vec_id"),
+        F.col("cos_sim").alias("cos_sim"),
         *[F.col(c).alias(c) for c in extra_cols],
     )
     arr = top.agg(F.sort_array(F.collect_list(s)).alias("a"))
     return arr.select(F.posexplode("a").alias("pos", "s")).select(
         F.col("s.vec_id").alias("vec_id"),
         *[F.col(f"s.{c}").alias(c) for c in extra_cols],
-        (-F.col("s.neg_sim")).alias("cos_sim"),
+        F.col("s.cos_sim").alias("cos_sim"),
         (F.col("pos") + 1).alias("rk"),
     )
 

@@ -1873,8 +1873,15 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = edges_deg.join(rank, edges_deg["s"] == rank["id"]).select(
             F.col("d").alias("id"), F.expr("r div deg").alias("c")
         )
+        # sum in DECIMAL(38,0): a hub with in-degree ~1e5 would push
+        # 85 * sum(c) past int64 (DuckDB's HUGEINT sum is exact, so a
+        # bigint overflow here breaks parity exactly where the graph
+        # is most interesting); FLOOR == floor-div for nonnegatives
         rank = contrib.groupBy("id").agg(
-            F.expr("CAST(150000000000 + (85 * sum(c)) div 100 AS BIGINT)").alias("r")
+            F.expr(
+                "CAST(150000000000 + FLOOR((85 * sum(CAST(c AS DECIMAL(38,0))))"
+                " / 100) AS BIGINT)"
+            ).alias("r")
         )
     return rank.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank_e12"))
 

@@ -1501,7 +1501,7 @@ def user_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -1521,9 +1521,11 @@ def user_age(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference lacks (it has tumble only); streaming-capable as-is "
     "(session_window works under Structured Streaming with a "
     "watermark). Oracle = classic gaps-and-islands (lag + running "
-    "sum); break on gap >= duration matches Spark's merge-if-strictly-"
-    "inside semantics. One shuffle on user_id; the window merge is "
-    "per-key local.",
+    "sum); break on gap STRICTLY greater than the duration — "
+    "session_window merges an event landing exactly at the previous "
+    "window's end (verified empirically, "
+    "tests/test_functions.py::test_session_window_exact_gap_merges). "
+    "One shuffle on user_id; the window merge is per-key local.",
     tags=("window", "session", "agg"),
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2520,7 +2522,7 @@ def order_customer_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions_native",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR date_diff('millisecond', lag(ts) OVER w, ts) > 600000
                   THEN 1 ELSE 0 END AS is_start
@@ -2528,7 +2530,7 @@ def order_customer_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, ts,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
       FROM marked)
     SELECT user_id, session_no,
@@ -2538,14 +2540,17 @@ def order_customer_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sess
     GROUP BY user_id, session_no
     """,
-    doc="Sessionization via Spark's NATIVE session_window operator "
-    "(dynamic-gap merging windows — the streaming-capable form; the "
-    "lag-based islands variant is `user_sessions`). The oracle states "
-    "the same semantics declaratively as gap-islands SQL, and the "
-    "session ordinal is recovered by ranking session starts so both "
-    "engines label sessions identically. Plan: one shuffle on "
-    "user_id; session merging is the window operator's own state, "
-    "exactly what it does under a stream with a watermark.",
+    doc="Per-user session ORDINALS via Spark's native session_window "
+    "operator (`user_sessions` shares the operator but emits stt/edt "
+    "window bounds; this entry numbers each user's sessions and spans "
+    "first-to-last event). Oracle: gap-islands SQL with break on gap "
+    "STRICTLY greater than the duration (session_window merges an "
+    "event landing exactly at the previous window's end — verified "
+    "empirically, same convention as user_sessions) and a full "
+    "(ts, event_id) ordering so same-timestamp boundary events group "
+    "deterministically. Plan: one shuffle on user_id; session merging "
+    "is the window operator's own state, exactly what it does under "
+    "a stream with a watermark.",
     tags=("window", "session", "agg"),
 )
 def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:

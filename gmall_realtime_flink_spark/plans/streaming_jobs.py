@@ -389,7 +389,7 @@ def streaming_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

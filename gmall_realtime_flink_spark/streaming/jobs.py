@@ -266,8 +266,8 @@ def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o.o_orderkey",
             "l.l_linenumber",
             "l.l_partkey",
-            F.date_format("o.o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.date_format("o_ts", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("l_ts", "yyyy-MM-dd").alias("ship_date"),
             F.round("o.o_totalprice", 2).alias("total_amount"),
             F.round("l.l_extendedprice", 2).alias("split_amount"),
         ),
@@ -374,7 +374,7 @@ def streaming_payment_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select(
             "o.o_orderkey",
             "l.l_linenumber",
-            F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("callback_date"),
+            F.date_format("l_ts", "yyyy-MM-dd").alias("callback_date"),
             dec_round(
                 F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")), 2
             ).alias("payment_amount"),
@@ -708,13 +708,20 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem_schema = warehouse_stream_schema(spark, sf_dir, "lineitem")
     far = pd.Timestamp("2030-01-01")
 
+    def _far_for(schema, name):
+        # match the SOURCE's physical type: the legacy nanos layout
+        # stores the ts column as int64 ns, so the sentinel must too
+        if isinstance(schema[name].dataType, T.LongType):
+            return int(far.value)
+        return far
+
     def _mut_o(row):
         row["o_orderkey"] = -1
-        row["o_orderdate"] = far
+        row["o_orderdate"] = _far_for(orders_schema, "o_orderdate")
 
     def _mut_l(row):
         row["l_orderkey"] = -2
-        row["l_shipdate"] = far
+        row["l_shipdate"] = _far_for(lineitem_schema, "l_shipdate")
 
     o = (
         spark.readStream.schema(orders_schema)
@@ -745,8 +752,8 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o.o_orderkey",
             "l.l_linenumber",
             "l.l_partkey",
-            F.date_format("o.o_orderdate", "yyyy-MM-dd").alias("order_date"),
-            F.date_format("l.l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.date_format("o_ts", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("l_ts", "yyyy-MM-dd").alias("ship_date"),
             F.round("o.o_totalprice", 2).alias("total_amount"),
             F.round("l.l_extendedprice", 2).alias("split_amount"),
         ),

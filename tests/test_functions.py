@@ -233,3 +233,42 @@ def test_kafka_envelope_roundtrip(spark):
     )
     got = parsed.collect()
     assert got[0].id == 7 and got[0].ts == datetime(2024, 1, 1, 0, 0, 5)
+
+
+def test_ranked_topk_nan_null_order_matches_desc_sort(spark):
+    """Review regression: the sort_array rank must mirror ORDER BY
+    cos_sim DESC edge order — NaN first, NULL last — not the flipped
+    order a bare negation gives (-NaN is NaN and sorts last asc)."""
+    from gmall_realtime_flink_spark.operators.similarity import _ranked_topk
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, float("nan")), (3, 0.5), (4, None)],
+        ["vec_id", "cos_sim"],
+    )
+    got = {r["vec_id"]: r["rk"] for r in _ranked_topk(scored, 4).collect()}
+    assert got == {2: 1, 1: 2, 3: 3, 4: 4}
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Boundary-semantics pin for the sessionization oracles: an event
+    landing EXACTLY gap-duration after the previous one MERGES into
+    the same session_window (and one microsecond later does not), so
+    the gap-islands oracle must break on gap STRICTLY greater than
+    the duration."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def n_sessions(delta_us):
+        df = spark.createDataFrame(
+            [(1, t0), (1, t0 + dt.timedelta(microseconds=delta_us))],
+            ["user_id", "ts"],
+        )
+        return (
+            df.groupBy("user_id", F.session_window("ts", "10 minutes"))
+            .count()
+            .count()
+        )
+
+    assert n_sessions(600_000_000) == 1
+    assert n_sessions(600_000_001) == 2
