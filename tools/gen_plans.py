@@ -36,6 +36,12 @@ EXTRA = [
     "doc_chunk",
     "corpus_shuffle",
     "doc_pack",
+    "doc_chunk_pack",
+    "dedup_pagerank",
+    "dedup_incremental",
+    "doc_common_token_score",
+    "order_customer_salted",
+    "user_sessions_native",
 ]
 
 
