@@ -1940,3 +1940,67 @@ def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks, budget_tokens=256, n_buckets=32,
         id_col="chunk_key", text_col="chunk_text",
     )
+
+
+@register(
+    "similarity_recall_at_k",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
+      FROM embeddings WHERE vec_id = 0),
+    scored_e AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id != 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM scored_e) WHERE rk <= 10),
+    bkt AS (
+      SELECT e.vec_id,
+             list_transform(e.embedding, x -> x::DOUBLE) AS de, q.qe,
+             (CASE WHEN e.embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN e.embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN e.embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN e.embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket,
+             (CASE WHEN q.qe[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN q.qe[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN q.qe[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN q.qe[4] >= 0 THEN 8 ELSE 0 END) AS q_bucket
+      FROM embeddings e, q WHERE e.vec_id != 0),
+    scored_b AS (
+      SELECT vec_id, round(list_cosine_similarity(de, qe), 6) AS cos_sim
+      FROM bkt WHERE bucket = q_bucket),
+    ann AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+        FROM scored_b) WHERE rk <= 10)
+    SELECT 10 AS k,
+           count(*)::BIGINT AS hits,
+           round(count(*) / 10.0, 6) AS recall_at_k
+    FROM exact JOIN ann USING (vec_id)
+    """,
+    doc="ANN quality audit through the correctness gate: recall@10 of "
+    "the sign-bucket ANN against the exact brute-force top-k — the "
+    "number an ANN deployment is judged by, computed as a query (the "
+    "property-test analogues live in tests/test_properties.py). Both "
+    "top-k sides are k-row frames, the semi join is trivial; at 100 TB "
+    "you run this on a sampled query set to tune bits/nprobe before "
+    "trusting the index.",
+    tags=("datapipe", "similarity", "ann", "diagnostics"),
+)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    exact = cosine_topk(e, query_id=0, k=10).select("vec_id")
+    ann = cosine_topk_bucketed(e, query_id=0, k=10, bits=4).select("vec_id")
+    hits = exact.join(ann, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return hits.select(
+        F.lit(10).alias("k"),
+        F.col("hits"),
+        F.round(F.col("hits") / 10.0, 6).alias("recall_at_k"),
+    )

@@ -2568,3 +2568,49 @@ def user_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "session_no", "event_ct", "session_start", "session_end"
     )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, count(*) AS cnt
+      FROM orders GROUP BY o_custkey),
+    t AS (SELECT sum(cnt) AS total, avg(cnt) AS avg_cnt FROM k)
+    SELECT k.key, k.cnt,
+           round(k.cnt / t.total, 6) AS share,
+           round(k.cnt / t.avg_cnt, 6) AS x_avg
+    FROM k, t
+    ORDER BY k.cnt DESC, k.key
+    LIMIT 10
+    """,
+    doc="Join-key skew audit — the operational pre-check for choosing "
+    "a skew mitigation (AQE skew-join vs salted_join vs broadcast): "
+    "top-10 heaviest orders.o_custkey values with their absolute "
+    "count, share of table, and multiple-of-average. Plan: one "
+    "partial-aggregated shuffle on the key (|keys| rows), the totals "
+    "as a broadcast single-row cross join (the scalar-subquery shape "
+    "that reuses the aggregated exchange), TakeOrderedAndProject for "
+    "the top-10 — at 100 TB this is the cheap thing you run BEFORE "
+    "the expensive join.",
+    tags=("olap", "skew", "diagnostics"),
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = k.agg(
+        F.sum("cnt").alias("total"), F.avg("cnt").alias("avg_cnt")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("avg_cnt"), 6).alias("x_avg"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(10)
+    )
