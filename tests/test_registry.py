@@ -52,3 +52,49 @@ def test_every_entry_is_well_formed():
         assert isinstance(spec, QuerySpec)
         assert callable(spec.builder), name
         assert spec.doc, name
+
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+PARTITION_INVARIANCE_SAMPLE = [
+    "visitor_stats",          # windowed agg + decimal sums
+    "product_stats",          # two-phase agg + broadcast join
+    "dedup_minhash_lsh",      # banded self-join
+    "similarity_topk",        # top-k rank
+    "dedup_cluster",          # iterative propagation
+    "corpus_shuffle",         # partitioned rank
+    "doc_pack",               # partitioned running sum
+    "user_sessions_native",   # session windows + ordinal
+]
+
+
+@pytest.mark.parametrize("name", PARTITION_INVARIANCE_SAMPLE)
+def test_result_is_partition_invariant(spark, sf_dir, name):
+    """The determinism contract behind every oracle: results must not
+    depend on the shuffle-partition count (float-sum ordering, rand(),
+    first()-style nondeterminism would all break this). One family
+    representative per plan shape runs at 3 partitions vs the session
+    default and must produce identical sorted rows."""
+    from gmall_realtime_flink_spark.plans import REGISTRY
+
+    base = [
+        tuple(str(v) for v in r)
+        for r in REGISTRY[name].builder(spark, sf_dir).collect()
+    ]
+    alt_spark = (
+        SparkSession.builder.config("spark.sql.shuffle.partitions", "3")
+        .getOrCreate()
+    )
+    try:
+        alt = [
+            tuple(str(v) for v in r)
+            for r in REGISTRY[name].builder(alt_spark, sf_dir).collect()
+        ]
+    finally:
+        alt_spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        )
+    assert sorted(base) == sorted(alt)
