@@ -2004,3 +2004,99 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hits"),
         F.round(F.col("hits") / 10.0, 6).alias("recall_at_k"),
     )
+
+
+@register(
+    "doc_sample_per_group",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk
+      FROM documents)
+    WHERE rk <= 20
+    """,
+    doc="Balanced per-group subsample: exactly min(20, |group|) docs "
+    "per language, chosen by content-stable md5 order — the "
+    "deterministic reservoir (a real reservoir sample is RNG- and "
+    "order-dependent; hash order gives the same sample on every run, "
+    "engine, and partitioning). Complements the rate-based "
+    "doc_sample_stratified with an exact-count guarantee. Plan: one "
+    "shuffle on the group key, per-group rank, filter — the window "
+    "never sees more than a group's rows.",
+    tags=("datapipe", "sampling", "stratified"),
+)
+def doc_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(38,8))) AS sv,
+             sum(CAST(value AS DECIMAL(38,8)) * CAST(value AS DECIMAL(38,8)))
+               AS svv
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, n,
+             sv::DOUBLE / n AS mean,
+             sqrt((svv::DOUBLE - sv::DOUBLE * sv::DOUBLE / n) / n) AS std
+      FROM s)
+    SELECT e.event_id, e.event_type,
+           round((e.value - m.mean) / m.std, 6) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE m.std > 0
+      AND abs((e.value - m.mean) / m.std) > 3
+    """,
+    doc="Value-anomaly flagging: per-event-type z-score, emitting "
+    "events beyond 3 sigma (outlier quarantine before a measure "
+    "enters training data). Deterministic across engines because the "
+    "moments are DECIMAL-exact sums (float accumulation order never "
+    "matters) that are cast to DOUBLE BEFORE any division — decimal "
+    "division scale rules differ between engines (found at sf0.1: a "
+    "1-ulp mean shift flipped a 6dp rounding), while double IEEE ops "
+    "on identical operands in identical order are bit-equal, and "
+    "sqrt is exactly rounded — unlike ln/exp, whose last-ulp "
+    "differences are the recurring cross-engine failure mode. Plan: one partial-agg "
+    "shuffle for the |event_type|-row moments table, broadcast back "
+    "onto the scan — the fact side never shuffles.",
+    tags=("datapipe", "quality", "diagnostics"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(38,8)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
+    )
+    sv_d = F.col("sv").cast("double")
+    svv_d = F.col("svv").cast("double")
+    n_d = F.col("n").cast("double")
+    m = s.select(
+        "event_type",
+        (sv_d / n_d).alias("mean"),
+        F.sqrt((svv_d - sv_d * sv_d / n_d) / n_d).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .filter((F.col("std") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id", "event_type", F.round(z, 6).alias("z")
+        )
+    )
