@@ -653,3 +653,80 @@ def test_route_config_reload_between_batches(spark, sf_dir):
     half2 = t.slice(n // 2).to_pandas()
     assert len(b0) == (half1["event_type"] == "view").sum()
     assert len(b1) == half2["event_type"].isin(["view", "click"]).sum()
+
+
+def test_pack_stream_first_fit_across_batches(spark, sf_dir):
+    """Streaming sequence packing: per-bucket state (open pack ordinal
+    + fill) must survive micro-batches. The expected assignment is
+    recomputed exactly in pandas from the known arrival order (file
+    order, content-stable sort within each batch) and compared
+    row-for-row; budget bound asserted independently."""
+    import pandas as pd
+    import hashlib
+
+    from gmall_realtime_flink_spark.streaming.state import pack_stream
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    half = len(docs) // 2
+    tmp = tempfile.mkdtemp(prefix="docs_pack_stream_")
+    import pyarrow as pa_
+
+    for i, part in enumerate((docs.iloc[:half], docs.iloc[half:])):
+        p = os.path.join(tmp, f"part-{i:03d}.parquet")
+        pq.write_table(pa_.Table.from_pandas(part, preserve_index=False), p)
+        # pin arrival order (the expected-assignment replay assumes it)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    budget, n_buckets = 256, 8
+    got = jobs.run_bounded(
+        pack_stream(stream, budget_tokens=budget, n_buckets=n_buckets),
+        spark,
+    ).toPandas()
+
+    # expected: exact first-fit per bucket over (batch, sort_key, doc_id)
+    def md5(s):
+        return hashlib.md5(str(s).encode()).hexdigest()
+
+    exp_rows = {}
+    state = {}
+    for batch_idx, part in enumerate((docs.iloc[:half], docs.iloc[half:])):
+        p = part.copy()
+        p["bucket"] = [int(md5(i)[:2], 16) % n_buckets for i in p["doc_id"]]
+        p["sort_key"] = [md5(i) for i in p["doc_id"]]
+        p["n_tokens"] = [len(str(t).split()) for t in p["text"]]
+        p = p.sort_values(["bucket", "sort_key", "doc_id"])
+        for b, grp in p.groupby("bucket"):
+            pack, used = state.get(b, (0, 0))
+            for _, r in grp.iterrows():
+                n = int(r["n_tokens"])
+                if used > 0 and used + n > budget:
+                    pack += 1
+                    used = 0
+                exp_rows[int(r["doc_id"])] = (b, pack)
+                used += n
+            state[b] = (pack, used)
+
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        assert exp_rows[int(r["doc_id"])] == (
+            int(r["bucket"]),
+            int(r["pack_id"]),
+        )
+    # budget bound + dense ids (true first-fit never skips)
+    for (_, _), grp in got.groupby(["bucket", "pack_id"]):
+        if len(grp) > 1:
+            assert int(grp["n_tokens"].sum()) <= budget
+    for _, grp in got.groupby("bucket"):
+        ids = sorted(grp["pack_id"].unique())
+        assert ids == list(range(len(ids)))
