@@ -154,3 +154,93 @@ def idempotent_batch_writer(base_dir: str) -> BatchSink:
         )
 
     return write
+
+
+def scd2_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    pk: Sequence[str],
+    ts_col: str,
+) -> None:
+    """S5 extension: slowly-changing-dimension TYPE 2 upsert — instead
+    of overwriting a changed dim row (parquet_upsert's type-1
+    semantics), the current version is CLOSED (`__end` stamped with the
+    new version's event time, `__current` = false) and the new version
+    appended open-ended. The full history of every dim row stays
+    queryable (the batch `user_dim_scd2` query derives the same shape
+    from order history).
+
+    Update rows = the dim's natural columns + `ts_col` (event time of
+    the change). Last-writer-wins per pk WITHIN the batch; a version
+    equal to the current one still appends (change detection is the
+    caller's concern — CDC feeds emit on change). Same atomic
+    tmp-write + directory-swap crash posture as parquet_upsert.
+    """
+    import shutil
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*pk).orderBy(F.col(ts_col).desc())
+    latest = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    new_rows = (
+        latest.withColumn("__start", F.col(ts_col))
+        .withColumn("__end", F.lit(None).cast("timestamp"))
+        .withColumn("__current", F.lit(True))
+        .drop(ts_col)
+    )
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path)
+        closer = latest.select(
+            *[F.col(c).alias(f"__new_{c}") for c in pk],
+            F.col(ts_col).alias("__new_start"),
+        )
+        cond = F.lit(True)
+        for c in pk:
+            cond = cond & (F.col(c) == F.col(f"__new_{c}"))
+        closed = (
+            existing.join(F.broadcast(closer), on=cond, how="left")
+            .withColumn(
+                "__end",
+                F.when(
+                    F.col("__current") & F.col("__new_start").isNotNull(),
+                    F.col("__new_start"),
+                ).otherwise(F.col("__end")),
+            )
+            .withColumn(
+                "__current",
+                F.when(F.col("__new_start").isNotNull(), F.lit(False))
+                .otherwise(F.col("__current")),
+            )
+            .drop("__new_start", *[f"__new_{c}" for c in pk])
+        )
+        merged = closed.unionByName(new_rows)
+    else:
+        merged = new_rows
+    tmp = path.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def scd2_upsert_writer(
+    spark: SparkSession, path: str, pk: Sequence[str], ts_col: str
+) -> BatchSink:
+    """foreachBatch wrapper: each micro-batch of CDC rows lands as a
+    new dim version generation."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_upsert(spark, path, batch_df, pk, ts_col)
+
+    return write

@@ -192,3 +192,78 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
     )
     writer(spark.createDataFrame(replay_pdf), some_batch)
     assert spark.read.parquet(sink).count() == n
+
+
+def test_scd2_upsert_writer_keeps_history(spark, tmp_path):
+    """S5 type-2 extension: each micro-batch closes the changed pks'
+    current versions (end-stamped with the new version's event time)
+    and appends the new version open-ended; unchanged pks keep their
+    open version. Three chained micro-batches -> full version chain."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.streaming.sinks import scd2_upsert_writer
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    batches = [
+        [(1, "alice", "bronze", t(1)), (2, "bob", "bronze", t(1))],
+        [(1, "alice", "silver", t(5))],
+        [(1, "alice", "gold", t(9))],
+    ]
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"part-{i:03d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "name": pa.array([r[1] for r in rows], pa.string()),
+                    "tier": pa.array([r[2] for r in rows], pa.string()),
+                    "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (1_700_000_000 + i * 10,) * 2)
+
+    dim = str(tmp_path / "dim_user")
+    stream = (
+        spark.readStream.schema("user_id long, name string, tier string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            scd2_upsert_writer(spark, dim, pk=["user_id"], ts_col="ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dim)
+        .select(
+            "user_id",
+            "tier",
+            F.date_format("__start", "yyyy-MM-dd").alias("s"),
+            F.date_format("__end", "yyyy-MM-dd").alias("e"),
+            "__current",
+        )
+        .collect()
+    )
+    assert got == sorted(
+        [
+            (1, "bronze", "2024-01-01", "2024-01-05", False),
+            (1, "silver", "2024-01-05", "2024-01-09", False),
+            (1, "gold", "2024-01-09", None, True),
+            (2, "bronze", "2024-01-01", None, True),
+        ]
+    )
