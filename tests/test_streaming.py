@@ -730,3 +730,57 @@ def test_pack_stream_first_fit_across_batches(spark, sf_dir):
     for _, grp in got.groupby("bucket"):
         ids = sorted(grp["pack_id"].unique())
         assert ids == list(range(len(ids)))
+
+
+def test_stateful_checkpoint_recovery_across_restarts(spark, sf_dir):
+    """State survives a QUERY RESTART, not just micro-batch boundaries:
+    run the ST2 dedup stream to completion on half the data, stop,
+    add the second half, and resume from the SAME checkpoint. A lost
+    state store would re-emit first-visits already claimed in run 1;
+    the union of both runs' outputs must equal the single-pass batch
+    answer exactly."""
+    from gmall_realtime_flink_spark.streaming.state import uv_dedup_stream
+
+    t, _mul, _max_ns, _ts_type = _events_sorted_native(sf_dir)
+    n = t.num_rows
+    src = tempfile.mkdtemp(prefix="events_restart_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_restart_")
+    # memory sink can't recover from a checkpoint; the parquet sink's
+    # commit log makes the restart exactly-once end-to-end
+    out_dir = tempfile.mkdtemp(prefix="uv_restart_out_")
+
+    def run():
+        events = stream_events(spark, src, max_files_per_trigger=1)
+        q = (
+            uv_dedup_stream(events, key="user_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    p0 = os.path.join(src, "part-000.parquet")
+    pq.write_table(t.slice(0, n // 2), p0)
+    os.utime(p0, (1_700_000_000, 1_700_000_000))
+    run()
+
+    p1 = os.path.join(src, "part-001.parquet")
+    pq.write_table(t.slice(n // 2), p1)
+    os.utime(p1, (1_700_000_100, 1_700_000_100))
+    run()
+
+    got = sorted(
+        (r["user_id"], r["visit_date"], r["first_ts"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    batch = load(spark, sf_dir, "events")
+    want = sorted(
+        tuple(r)
+        for r in uv_dedup(batch, key="user_id", ts_col="ts")
+        .select("user_id", "visit_date", "first_ts")
+        .collect()
+    )
+    assert got == want
