@@ -2614,3 +2614,44 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key")
         .limit(10)
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      FROM events),
+    firsts AS (
+      SELECT user_id, min(week) AS cohort FROM weeks GROUP BY user_id)
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           (date_diff('day', f.cohort, w.week) // 7)::INT AS week_offset,
+           count(DISTINCT w.user_id)::BIGINT AS active_users
+    FROM weeks w JOIN firsts f ON w.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: users grouped by first-active week, "
+    "counted in each subsequent week they return — the standard "
+    "retention triangle. Plan: one (user, week) distinct (partial-agg "
+    "shuffle), a per-user min for the cohort, a broadcast-or-shuffled "
+    "self-join at |user| grain (never event grain), then a small "
+    "(cohort, offset) agg. Monday-start date_trunc('week') agrees "
+    "between engines.",
+    tags=("olap", "agg", "retention"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    firsts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        weeks.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
