@@ -2655,3 +2655,43 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "daily_gmv_moving_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             sum(CAST(o_totalprice AS DECIMAL(28,4))) AS gmv
+      FROM orders GROUP BY 1)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(gmv, 2)::DOUBLE AS gmv,
+           round(sum(gmv) OVER (ORDER BY day
+                                RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                AND CURRENT ROW), 2)::DOUBLE AS gmv_7d
+    FROM daily
+    """,
+    doc="Trailing-7-day GMV: a RANGE (event-time interval) window "
+    "frame over the daily pre-aggregate — the frame type ROWS can't "
+    "express when days are missing (a gap must still look back 6 "
+    "CALENDAR days, not 6 rows). Decimal-exact sums inside the frame. "
+    "Plan: the fact scan collapses to |days| rows BEFORE the window, "
+    "so the unpartitioned interval frame sorts ~thousands of rows at "
+    "any fact scale — the pre-aggregate is what makes a global "
+    "time-series window safe at 100 TB.",
+    tags=("olap", "window", "timeseries"),
+)
+def daily_gmv_moving_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("gmv"))
+    w = (
+        Window.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("gmv", 2).cast("double").alias("gmv"),
+        F.round(F.sum("gmv").over(w), 2).cast("double").alias("gmv_7d"),
+    )
