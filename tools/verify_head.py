@@ -1,0 +1,80 @@
+"""Verify the driver-visible registry head under a PLAIN SparkSession.
+
+Emulates the per-round driver's CORRECTNESS gate: builds a session
+WITHOUT the engine's config (no nanos conf, no RocksDB, default ANSI),
+runs the first N registry entries at sf0.01, and hash-compares each
+against its DuckDB oracle with the driver's stringified value hash.
+
+Usage: python tools/verify_head.py [N] [sf_dir]   (defaults: 50, sf0.01)
+Exit code 0 iff every checked entry matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def vhash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    lines = sorted(
+        ",".join(str(v) for v in r) for r in pdf.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+
+    bad = []
+    t_all = time.time()
+    for q in list(qs)[:n]:
+        t0 = time.time()
+        try:
+            got = qs[q](spark, sf_dir).toPandas()
+            want = con.execute(osql[q]).fetchdf()
+            ok = len(got) == len(want) and vhash(got) == vhash(want)
+        except Exception as ex:  # noqa: BLE001
+            ok = False
+            print(f"{q} EXC {str(ex)[:150]}", file=sys.stderr)
+        if not ok:
+            bad.append(q)
+        print(f"{q} {'OK' if ok else 'MISMATCH'} {time.time() - t0:.1f}s")
+    print(f"TOTAL {time.time() - t_all:.1f}s BAD: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
