@@ -360,3 +360,86 @@ def test_pack_documents_respects_budget(spark, sf_dir):
         for prev, nxt in zip(ids, ids[1:]):
             if nxt - prev > 1:
                 assert int(by_pack_max[prev]) > (nxt - prev - 1) * budget
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.lists(
+                st.text(alphabet="abcxyz", min_size=1, max_size=5),
+                min_size=0,
+                max_size=200,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_chunk_documents_matches_python_model(spark, docs):
+    """chunk_documents against a transparent pure-Python model on
+    ARBITRARY token lists (corpus data can't exercise the off-by-one
+    seams: n == chunk, n == chunk+1, n <= overlap, empty text)."""
+    from gmall_realtime_flink_spark.operators.packing import chunk_documents
+
+    chunk, overlap, stride = 64, 16, 48
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    }
+    exp = {}
+    for i, toks in docs:
+        n = len(toks)
+        if n == 0:
+            continue
+        starts = list(range(0, max(n - overlap - 1, 0) + 1, stride))
+        for s in starts:
+            piece = toks[s : s + chunk]
+            exp[(i, s // stride)] = (" ".join(piece), len(piece))
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=40
+    )
+)
+def test_pack_documents_matches_python_model(spark, toks):
+    """pack_documents against the cumulative-cut model on arbitrary
+    token counts (including zero-token and over-budget docs)."""
+    import hashlib
+
+    from gmall_realtime_flink_spark.operators.packing import pack_documents
+
+    budget, buckets = 256, 4
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["bucket"], r["n_tokens"], r["pack_id"])
+        for r in pack_documents(
+            df, budget_tokens=budget, n_buckets=buckets
+        ).collect()
+    }
+
+    def md5(s):
+        return hashlib.md5(str(s).encode()).hexdigest()
+
+    exp = {}
+    per_bucket = {}
+    for i, n in enumerate(toks):
+        b = int(md5(i)[:2], 16) % buckets
+        per_bucket.setdefault(b, []).append((md5(i), i, n))
+    for b, items in per_bucket.items():
+        cum = 0
+        for _, i, n in sorted(items):
+            cum += n
+            exp[i] = (b, n, (cum - n) // budget)
+    assert got == exp
