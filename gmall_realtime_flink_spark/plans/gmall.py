@@ -2695,3 +2695,61 @@ def daily_gmv_moving_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gmv", 2).cast("double").alias("gmv"),
         F.round(F.sum("gmv").over(w), 2).cast("double").alias("gmv_7d"),
     )
+
+
+@register(
+    "purchase_dim_temporal_join",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             event_id AS version_event
+      FROM events WHERE event_type = 'signup')
+    SELECT e.event_id, e.user_id,
+           s.version_event,
+           strftime(s.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from
+    FROM events e JOIN scd s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="Point-in-time (temporal table) join — Flink's "
+    "`FOR SYSTEM_TIME AS OF` semantic, which the reference's "
+    "cache-aside dim lookups approximate with freshness windows: each "
+    "purchase joins the SCD2 dim VERSION that was valid at the "
+    "purchase's event time, so late reprocessing yields the same "
+    "enrichment as live processing did (the batch-repro guarantee "
+    "type-1 dims destroy). Plan: equi join on the entity key with the "
+    "validity band as a residual predicate — hash join, never a range "
+    "cross-product; the dim side is |versions|, broadcastable.",
+    tags=("join", "scd2", "temporal"),
+)
+def purchase_dim_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    signup = e.filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = signup.select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_id").alias("version_event"),
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    return (
+        p.join(
+            F.broadcast(scd),
+            (p["user_id"] == scd["s_user"])
+            & (p["ts"] >= scd["valid_from"])
+            & (scd["valid_to"].isNull() | (p["ts"] < scd["valid_to"])),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "version_event",
+            F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+                "version_from"
+            ),
+        )
+    )
