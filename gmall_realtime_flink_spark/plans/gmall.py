@@ -2753,3 +2753,32 @@ def purchase_dim_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "repeat_buyer_intersect",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate < '2001-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= '2001-01-01'
+    """,
+    doc="Set-operation surface (SURVEY §2.6 beyond unionByName): "
+    "customers who ordered in BOTH halves of the order history, as a "
+    "real INTERSECT (DISTINCT semantics) in both engines. Catalyst "
+    "plans INTERSECT as a left-semi join over distincts — one shuffle "
+    "per side at |customers| grain after pushdown prunes each scan to "
+    "its date half.",
+    tags=("setop", "olap"),
+)
+def repeat_buyer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("2001-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    late = o.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return early.intersect(late)
