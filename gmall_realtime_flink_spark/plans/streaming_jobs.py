@@ -507,3 +507,33 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_multimodal_features(spark, sf_dir)
+
+
+@register(
+    "streaming_purchase_dim_temporal",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             event_id AS version_event
+      FROM events WHERE event_type = 'signup')
+    SELECT e.event_id, e.user_id,
+           s.version_event,
+           strftime(s.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from
+    FROM events e JOIN scd s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.valid_from
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="Point-in-time SCD2 enrichment on a stream: native "
+    "stream-static join with the validity band as a residual "
+    "predicate — every micro-batch enriches with the version valid at "
+    "the EVENT time, so replay produces the same result as live "
+    "processing (streaming/jobs.py streaming_purchase_dim_temporal; "
+    "oracle = batch purchase_dim_temporal_join).",
+    tags=("streaming", "join", "scd2", "temporal"),
+)
+def streaming_purchase_dim_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_purchase_dim_temporal(spark, sf_dir)

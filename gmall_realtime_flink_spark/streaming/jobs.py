@@ -862,3 +862,48 @@ def streaming_multimodal_features(
         .parquet(stage_table_dir(sf_dir, "documents"))
     )
     return run_bounded(extract_features(attach_payload(stream)), spark)
+
+
+def streaming_purchase_dim_temporal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal (point-in-time) dim enrichment ON A STREAM: the
+    purchase stream joins the STATIC SCD2 dim with the validity band
+    as a residual predicate — Spark's native stream-static join, so
+    each micro-batch sees the dim version that was valid at each
+    event's event time (Flink's FOR SYSTEM_TIME AS OF processing-time
+    analogue, but event-time-correct and replay-stable). Oracle = the
+    batch purchase_dim_temporal_join SQL."""
+    from pyspark.sql import Window
+
+    events = stream_events(spark, events_path(sf_dir))
+    batch_events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    # normalize the static side identically to the stream side
+    from gmall_realtime_flink_spark.catalog import normalize_timestamps
+
+    batch_events = normalize_timestamps(batch_events)
+    signup = batch_events.filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = signup.select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.col("event_id").alias("version_event"),
+    )
+    p = events.filter(F.col("event_type") == "purchase")
+    joined = p.join(
+        F.broadcast(scd),
+        (p["user_id"] == scd["s_user"])
+        & (p["ts"] >= scd["valid_from"])
+        & (scd["valid_to"].isNull() | (p["ts"] < scd["valid_to"])),
+    ).select(
+        "event_id",
+        "user_id",
+        "version_event",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "version_from"
+        ),
+    )
+    return run_bounded(joined, spark)
