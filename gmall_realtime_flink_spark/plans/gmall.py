@@ -2782,3 +2782,34 @@ def repeat_buyer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return early.intersect(late)
+
+
+@register(
+    "churned_buyers_except",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate < '2001-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= '2001-01-01'
+    """,
+    doc="EXCEPT set op (completes SURVEY §2.6 with INTERSECT/"
+    "repeat_buyer_intersect): customers active early but silent since "
+    "the cutoff — churn candidates. Catalyst plans EXCEPT as a "
+    "left-anti join over distincts; each scan is pruned to its date "
+    "half by pushdown.",
+    tags=("setop", "olap"),
+)
+def churned_buyers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("2001-01-01").cast("timestamp")
+    early = o.filter(F.col("o_orderdate") < cut).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    late = o.filter(F.col("o_orderdate") >= cut).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # subtract = set EXCEPT (distinct + anti); exceptAll's bag
+    # semantics would keep a customer whose early orders merely
+    # outnumber their late ones
+    return early.subtract(late)
