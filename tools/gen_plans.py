@@ -42,6 +42,10 @@ EXTRA = [
     "doc_common_token_score",
     "order_customer_salted",
     "user_sessions_native",
+    "purchase_dim_temporal_join",
+    "user_retention_cohorts",
+    "daily_gmv_moving_7d",
+    "repeat_buyer_intersect",
 ]
 
 
