@@ -154,3 +154,35 @@ def pack_documents(
             f"(__cum - n_tokens) div {budget_tokens}"
         ).alias("pack_id"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    seed: str = "42",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the training corpus as `shard=N/` parquet
+    directories in deterministic shuffled order — the webdataset-style
+    output stage: readers stream shard files sequentially and see the
+    `corpus_shuffle` permutation without any shuffle of their own.
+
+    One wide shuffle (repartition on the shard id so each shard is
+    written by exactly one task) + an in-partition sort by permutation
+    position; at 100 TB, shard count = O(total bytes / target file
+    size) and this is the same cost as any partitioned write of the
+    corpus. Row order inside each parquet file IS the read-back order,
+    so the permutation survives the round-trip (asserted in
+    tests/test_maintenance.py).
+    """
+    perm = corpus_shuffle(docs, n_shards=n_shards, seed=seed, id_col=id_col)
+    with_payload = perm.join(docs, id_col)
+    (
+        with_payload.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .drop("sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

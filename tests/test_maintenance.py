@@ -145,3 +145,35 @@ def test_retention_purge_drops_oldest_partitions(spark, sf_dir, tmp_path):
     left = spark.read.parquet(dst).select("dt").distinct().collect()
     # partition discovery infers dt as DATE — compare stringified
     assert {str(r["dt"]) for r in left} == {days[-1].split("=", 1)[1]}
+
+
+def test_write_training_shards_roundtrips_permutation(spark, sf_dir, tmp_path):
+    """The sharded corpus read back per shard, in file row order, must
+    reproduce the corpus_shuffle permutation exactly — shard
+    assignment, within-shard order, and full coverage."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.packing import (
+        corpus_shuffle,
+        write_training_shards,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+
+    want = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in corpus_shuffle(docs, n_shards=4).collect()
+    }
+    import glob
+
+    seen = {}
+    for shard_dir in sorted(glob.glob(out + "/shard=*")):
+        shard = int(shard_dir.rsplit("=", 1)[1])
+        # file row order IS the read order within one shard
+        rows = spark.read.parquet(shard_dir).select("pos", "doc_id").collect()
+        for r in rows:
+            seen[(shard, r["pos"])] = r["doc_id"]
+        pos_list = [r["pos"] for r in rows]
+        assert sorted(pos_list) == list(range(1, len(pos_list) + 1))
+    assert seen == want
