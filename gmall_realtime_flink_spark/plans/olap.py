@@ -621,3 +621,54 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.p_type").alias("p_type"),
         F.col("p.p_size").alias("p_size"),
     ).agg(F.countDistinct("l.l_suppkey").alias("supplier_cnt"))
+
+
+@register(
+    "brand_price_iqr_udaf",
+    oracle="""
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.75)
+                 - quantile_cont(p_retailprice, 0.25), 4) AS price_iqr,
+           count(*)::BIGINT AS n
+    FROM part GROUP BY p_brand
+    """,
+    doc="Grouped-aggregate pandas UDF (the UDAF surface of SURVEY "
+    "§2.11, alongside scalar pandas UDFs, the UDTF, and "
+    "applyInPandasWithState): per-brand interquartile range of part "
+    "prices, computed by an Arrow-batched numpy kernel with the same "
+    "linear interpolation as quantile_cont. Built-in percentile covers "
+    "this exact query (price_quantiles) — the point here is the "
+    "GROUPED_AGG pandas UDF machinery under the oracle gate: partial "
+    "batches stream per group through Arrow, no row-at-a-time Python. "
+    "At 100 TB: one shuffle on the group key, group payloads bounded "
+    "by group size (use the built-in sketch for heavy groups).",
+    tags=("udaf", "pandas-udf", "quantile"),
+)
+def brand_price_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats pandas_udf's
+    # signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def price_iqr(v):
+        a = np.sort(v.to_numpy(dtype="float64"))
+
+        def q(p: float) -> float:
+            pos = (len(a) - 1) * p
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            frac = pos - lo
+            return float(a[lo] + (a[hi] - a[lo]) * frac)
+
+        return float(round(q(0.75) - q(0.25), 4))
+
+    p = load(spark, sf_dir, "part")
+    # a GROUPED_AGG pandas UDF cannot share an agg with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — compute the count in
+    # a sibling agg and join on the (tiny) group key
+    iqr = p.groupBy("p_brand").agg(
+        price_iqr("p_retailprice").alias("price_iqr")
+    )
+    n = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    return iqr.join(n, "p_brand")
