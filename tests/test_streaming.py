@@ -612,8 +612,12 @@ def test_route_config_reload_between_batches(spark, sf_dir):
     t, _mul, _max_ns, _ts_type = _events_sorted_native(sf_dir)
     n = t.num_rows
     events_dir = tempfile.mkdtemp(prefix="events_cfgreload_")
-    pq.write_table(t.slice(0, n // 2), os.path.join(events_dir, "part-000.parquet"))
-    pq.write_table(t.slice(n // 2), os.path.join(events_dir, "part-001.parquet"))
+    for i, sl in enumerate((t.slice(0, n // 2), t.slice(n // 2))):
+        p = os.path.join(events_dir, f"part-{i:03d}.parquet")
+        pq.write_table(sl, p)
+        # pin arrival order: same-second mtimes under load let the file
+        # source batch or reorder the two files (observed flake)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
 
     cfg_dir = tempfile.mkdtemp(prefix="route_cfg_")
     cfg_path = os.path.join(cfg_dir, "config")
