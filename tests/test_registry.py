@@ -52,6 +52,10 @@ def test_every_entry_is_well_formed():
         assert isinstance(spec, QuerySpec)
         assert callable(spec.builder), name
         assert spec.doc, name
+        assert spec.tags, name
+        # EVERY entry carries a DuckDB oracle: nothing in this registry
+        # settles for the driver's weaker rows-only check
+        assert spec.oracle, name
 
 
 import pytest
