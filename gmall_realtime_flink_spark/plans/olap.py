@@ -672,3 +672,83 @@ def brand_price_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
     return iqr.join(n, "p_brand")
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, count(*)::BIGINT AS together_ct
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+    doc="Market-basket co-occurrence: part pairs ordered together in "
+    ">= 2 orders — the a-priori candidate-pair step. Plan: distinct "
+    "(order, part) first (collapses line-level duplicates), then a "
+    "self-equi-join ON THE ORDER KEY — pair fan-out is bounded by "
+    "(parts-per-order choose 2) per order, never a global cross "
+    "product; one shuffle on orderkey, one on the pair for the count. "
+    "At 100 TB the HAVING floor is what keeps the output sparse.",
+    tags=("olap", "join", "basket"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together_ct"))
+        .filter(F.col("together_ct") >= 2)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*)::BIGINT AS transition_ct
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="User-journey transition matrix (the Markov-chain view of the "
+    "event stream): per-user consecutive event-type pairs counted "
+    "over the whole corpus — the input to funnel discovery and "
+    "next-action models. Plan: one shuffle on user_id for the lead() "
+    "window, then a tiny |types|^2 aggregate; the window never "
+    "re-sorts more than one user's events per task.",
+    tags=("olap", "window", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transition_ct"))
+    )
