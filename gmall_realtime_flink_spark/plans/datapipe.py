@@ -2100,3 +2100,46 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", F.round(z, 6).alias("z")
         )
     )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    nodes AS (SELECT doc_a AS id FROM cand UNION SELECT doc_b FROM cand),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+    dropped AS (
+      SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id = d.doc_id)
+    """,
+    doc="THE deduped corpus — the end artifact the whole near-dup "
+    "pipeline exists to produce: every document minus non-canonical "
+    "near-dup cluster members (docs outside the candidate graph "
+    "survive untouched; inside a cluster, the min-id canonical "
+    "survives). Composition: signatures -> banded LSH candidates -> "
+    "connected components -> LEFT ANTI join of the corpus against "
+    "the dropped set. Plan: the anti join probes at |corpus| rows "
+    "against a |cluster-members|-sized build side (tiny, broadcast); "
+    "everything upstream is the already-audited LSH/cluster path.",
+    tags=("datapipe", "dedup", "pipeline"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        connected_components,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    clusters = connected_components(lsh_candidates(minhash_signatures(d)))
+    dropped = clusters.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias("dropped_id")
+    )
+    return d.join(
+        dropped, d["doc_id"] == dropped["dropped_id"], "left_anti"
+    ).select("doc_id", "lang", "source")
