@@ -877,13 +877,14 @@ def streaming_purchase_dim_temporal(
     from pyspark.sql import Window
 
     events = stream_events(spark, events_path(sf_dir))
-    batch_events = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
-    # normalize the static side identically to the stream side
-    from gmall_realtime_flink_spark.catalog import normalize_timestamps
+    # Load the static side through the catalog, which normalizes BOTH
+    # observed physical layouts of events.ts (TIMESTAMP(NANOS)-as-long
+    # and TIMESTAMP_NTZ micros) to session TIMESTAMP — a raw
+    # spark.read.parquet would leave bigint nanos under the legacy
+    # layout and the band predicate would fail to resolve.
+    from gmall_realtime_flink_spark import catalog
 
-    batch_events = normalize_timestamps(batch_events)
+    batch_events = catalog.load(spark, sf_dir, "events")
     signup = batch_events.filter(F.col("event_type") == "signup")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     scd = signup.select(

@@ -174,8 +174,13 @@ def scd2_upsert(
     Update rows = the dim's natural columns + `ts_col` (event time of
     the change). Last-writer-wins per pk WITHIN the batch; a version
     equal to the current one still appends (change detection is the
-    caller's concern — CDC feeds emit on change). Same atomic
-    tmp-write + directory-swap crash posture as parquet_upsert.
+    caller's concern — CDC feeds emit on change). ACROSS batches the
+    merge is monotonic per pk: an update whose event time is OLDER
+    than the open version's `__start` (late cross-batch arrival) is
+    dropped rather than applied — applying it would close the current
+    row backwards (`__end` < `__start`) and promote a stale record to
+    'current'. Same atomic tmp-write + directory-swap crash posture as
+    parquet_upsert.
     """
     import shutil
 
@@ -187,6 +192,25 @@ def scd2_upsert(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if os.path.isdir(path):
+        # Monotonicity gate: drop updates older than the pk's open
+        # version — they arrived out of order across micro-batches and
+        # would otherwise invert the history (__end < __start).
+        cur = spark.read.parquet(path).filter(F.col("__current")).select(
+            *[F.col(c).alias(f"__cur_{c}") for c in pk],
+            F.col("__start").alias("__cur_start"),
+        )
+        gate = F.lit(True)
+        for c in pk:
+            gate = gate & (F.col(c) == F.col(f"__cur_{c}"))
+        latest = (
+            latest.join(F.broadcast(cur), on=gate, how="left")
+            .filter(
+                F.col("__cur_start").isNull()
+                | (F.col(ts_col) >= F.col("__cur_start"))
+            )
+            .drop("__cur_start", *[f"__cur_{c}" for c in pk])
+        )
     new_rows = (
         latest.withColumn("__start", F.col(ts_col))
         .withColumn("__end", F.lit(None).cast("timestamp"))

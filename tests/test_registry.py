@@ -87,6 +87,10 @@ def test_result_is_partition_invariant(spark, sf_dir, name):
         tuple(str(v) for v in r)
         for r in REGISTRY[name].builder(spark, sf_dir).collect()
     ]
+    # getOrCreate() returns the SAME session — capture the original
+    # shuffle-partition count BEFORE overriding, or the finally block
+    # would read back the override and "restore" 3 for the whole suite.
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
     alt_spark = (
         SparkSession.builder.config("spark.sql.shuffle.partitions", "3")
         .getOrCreate()
@@ -97,8 +101,5 @@ def test_result_is_partition_invariant(spark, sf_dir, name):
             for r in REGISTRY[name].builder(alt_spark, sf_dir).collect()
         ]
     finally:
-        alt_spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            spark.conf.get("spark.sql.shuffle.partitions"),
-        )
+        alt_spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert sorted(base) == sorted(alt)

@@ -267,3 +267,49 @@ def test_scd2_upsert_writer_keeps_history(spark, tmp_path):
             (2, "bronze", "2024-01-01", None, True),
         ]
     )
+
+
+def test_scd2_upsert_drops_out_of_order_cross_batch_updates(spark, tmp_path):
+    """An update landing in a LATER batch with an event time OLDER than
+    the open version's __start must be dropped, not applied — applying
+    it would stamp __end < __start on the current row and promote the
+    stale record to 'current'."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.streaming.sinks import scd2_upsert
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    dim = str(tmp_path / "dim")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "user_id long, tier string, ts timestamp"
+    )
+    scd2_upsert(spark, dim, mk([(1, "silver", t(5))]), ["user_id"], "ts")
+    # late arrival: older than the open version — must be a no-op
+    scd2_upsert(spark, dim, mk([(1, "bronze", t(2))]), ["user_id"], "ts")
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dim)
+        .select(
+            "tier",
+            F.date_format("__start", "yyyy-MM-dd").alias("s"),
+            F.date_format("__end", "yyyy-MM-dd").alias("e"),
+            "__current",
+        )
+        .collect()
+    )
+    assert got == [("silver", "2024-01-05", None, True)]
+    # an in-order successor still applies normally afterwards
+    scd2_upsert(spark, dim, mk([(1, "gold", t(9))]), ["user_id"], "ts")
+    cur = (
+        spark.read.parquet(dim)
+        .filter("__current")
+        .select("tier")
+        .collect()
+    )
+    assert [r["tier"] for r in cur] == ["gold"]
+    hist = spark.read.parquet(dim).filter(
+        F.col("__end") < F.col("__start")
+    )
+    assert hist.count() == 0

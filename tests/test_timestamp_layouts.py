@@ -42,7 +42,7 @@ TS_US = [
 ]
 
 
-def _write_events(dir_path: str, layout: str) -> str:
+def _write_events(dir_path: str, layout: str, event_types=None) -> str:
     os.makedirs(dir_path, exist_ok=True)
     path = os.path.join(dir_path, "events.parquet")
     if layout == "ntz_micros":
@@ -56,7 +56,9 @@ def _write_events(dir_path: str, layout: str) -> str:
             "event_id": pa.array(ROWS["event_id"], pa.int64()),
             "ts": ts,
             "user_id": pa.array(ROWS["user_id"], pa.int64()),
-            "event_type": pa.array(ROWS["event_type"], pa.string()),
+            "event_type": pa.array(
+                event_types or ROWS["event_type"], pa.string()
+            ),
             "value": pa.array(ROWS["value"], pa.float64()),
             "props": pa.array(ROWS["props"], pa.string()),
         }
@@ -100,3 +102,28 @@ def test_stream_source_normalizes_each_layout(spark, tmp_path, layout):
     sf_dir = _write_events(str(tmp_path / layout), layout)
     stream = stream_events(spark, sf_dir)
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+@pytest.mark.parametrize("layout", ["ntz_micros", "nanos"])
+def test_purchase_dim_temporal_stream_on_each_layout(
+    spark, tmp_path, layout
+):
+    """The stream-static temporal join reads events TWICE — streamed
+    (normalized by stream_events) and static (must go through
+    catalog.load: a raw read leaves bigint nanos under the legacy
+    layout and the TIMESTAMP >= BIGINT band predicate fails to
+    resolve). user 7: signup@t0, purchase@t0+1s and @t0+20min — both
+    purchases land in the t0-opened version."""
+    from gmall_realtime_flink_spark.streaming.jobs import (
+        streaming_purchase_dim_temporal,
+    )
+
+    sf_dir = _write_events(
+        str(tmp_path / layout),
+        layout,
+        event_types=["signup", "purchase", "purchase", "view"],
+    )
+    out = streaming_purchase_dim_temporal(spark, sf_dir)
+    rows = out.orderBy("event_id").collect()
+    assert [r["event_id"] for r in rows] == [2, 3]
+    assert all(r["version_event"] == 1 for r in rows)
