@@ -181,11 +181,93 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star step (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14, Alg. 2): for each node u, connect
+    every STRICTLY LARGER neighbor to the minimum of u's closed
+    neighborhood m = min(N(u) ∪ {u}). Emitted as (v, m) for v > u.
+    Implemented as groupBy-min + join-back (never collect_list — a
+    high-degree hub's neighborhood stays distributed)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star step (Kiveris et al. Alg. 3): orient each edge
+    toward the larger endpoint (u = max, v = min), then for each u
+    connect u and all its smaller neighbors to m = min of them.
+    Emitted as (v, m) for v ∈ N≤(u) ∪ {u}."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def star_contraction(
+    edges: DataFrame, max_iter: int = 25
+) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star until the edge set is a fixed
+    point — at convergence every node carries a direct edge to its
+    component's minimum id (the graph is a forest of min-rooted
+    stars). Returns (star edges (u, v=comp_min), rounds used).
+
+    O(log² n) rounds worst case, ~log n in practice — vs O(diameter)
+    for plain min-label propagation, which degrades to O(n) rounds on
+    a chain-shaped dup graph. Per round: two groupBy-min aggregations
+    and two join-backs, all keyed on node id (uniform); localCheckpoint
+    truncates lineage so the plan stays constant-size across rounds.
+    The convergence check is a driver-side count — the standard
+    coordination pattern for iterative algorithms (GraphX supersteps
+    do the same)."""
+    cur = (
+        edges.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nxt = (
+            _small_star(_large_star(cur))
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            nxt.count() == cur.count()
+            and nxt.subtract(cur).limit(1).count() == 0
+        )
+        cur = nxt
+        if same:
+            break
+    return cur, rounds
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Cluster near-dup candidate pairs into connected components:
     (doc_id, cluster_id, is_canonical) with cluster_id = min doc id
@@ -193,35 +275,56 @@ def connected_components(
     pipeline — downstream keeps `is_canonical` rows (one doc per
     cluster) via a filter or anti-join.
 
-    Algorithm: Pregel-style min-label propagation. Each round joins
-    the (symmetrized) edge list with the current labels and takes the
-    min label over each node's neighborhood; converged when no label
-    changes. Rounds = graph diameter; near-dup components are
-    star/clique shaped (diameter <= ~3), so this terminates in a few
-    rounds. For adversarial long-chain graphs at 100 TB, switch the
-    round body to the large-star/small-star steps (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) — same
-    join harness, O(log^2 n) rounds worst case.
+    algorithm="star" (default): large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log² n) rounds worst case, robust to adversarial
+    long-chain dup graphs at 100 TB. algorithm="label": Pregel-style
+    min-label propagation — one join per round, converges in
+    O(diameter) rounds; fine for the star/clique-shaped components
+    real near-dup graphs produce, kept for A/B parity testing.
 
-    Scale notes: per round = one shuffle hash join + one min
-    aggregation, both keyed on doc id (uniform). `localCheckpoint`
-    truncates lineage each round so the plan stays constant-size
-    instead of growing by one join per iteration (driver OOM /
-    exponential re-analysis otherwise). The convergence check is a
-    driver-side count — the normal coordination pattern for iterative
-    algorithms (GraphX/Pregel supersteps do the same).
+    Scale notes: each round is groupBy-min + join-back keyed on doc
+    id (uniform); `localCheckpoint` truncates lineage each round so
+    the plan stays constant-size instead of growing by one join per
+    iteration (driver OOM / exponential re-analysis otherwise).
     """
     e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if algorithm == "star":
+        stars, _ = star_contraction(
+            e.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            max_iter=max_iter,
+        )
+        # At the fixed point each non-minimum node has an edge to its
+        # component min; the min over incident endpoints IS the
+        # component id. Nodes whose edges all collapsed (isolated after
+        # self-loop removal, or component minimums) label themselves.
+        sym = stars.unionByName(
+            stars.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        comp = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("comp")
+        )
+        labels = (
+            nodes.join(comp, nodes["id"] == comp["u"], "left")
+            .select("id", F.coalesce("comp", "id").alias("comp"))
+        )
+        return labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            (F.col("id") == F.col("comp")).alias("is_canonical"),
+        )
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=True
     )
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["dst"] == labels["id"]).select(

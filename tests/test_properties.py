@@ -142,7 +142,7 @@ def test_interval_join_band_inclusive(spark, lefts, rights):
     assert got == want
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=8, deadline=None)
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
@@ -150,19 +150,21 @@ def test_interval_join_band_inclusive(spark, lefts, rights):
         ),
         min_size=1,
         max_size=40,
-    )
+    ),
+    algorithm=st.sampled_from(["star", "label"]),
 )
-def test_connected_components_equals_union_find(spark, edges):
-    """The iterative Spark min-label propagation must produce exactly
-    the components a reference union-find computes, on arbitrary
-    graphs (chains, cliques, forests) — not just LSH-shaped ones."""
+def test_connected_components_equals_union_find(spark, edges, algorithm):
+    """Both algorithms — large-star/small-star contraction (default)
+    and Pregel min-label propagation — must produce exactly the
+    components a reference union-find computes, on arbitrary graphs
+    (chains, cliques, forests) — not just LSH-shaped ones."""
     from gmall_realtime_flink_spark.operators.dedup import connected_components
 
     pairs = [(min(a, b), max(a, b)) for a, b in edges]
     pdf = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pdf).collect()
+        for r in connected_components(pdf, algorithm=algorithm).collect()
     }
 
     parent: dict[int, int] = {}
@@ -180,6 +182,28 @@ def test_connected_components_equals_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_star_contraction_logarithmic_rounds_on_chain(spark):
+    """The 100 TB robustness claim: on an adversarial 1000-node path
+    graph (diameter 999), large-star/small-star converges in O(log² n)
+    rounds — min-label propagation would need ~999. Pin both the
+    round count and the labels."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.operators.dedup import star_contraction
+
+    n = 1000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    stars, rounds = star_contraction(edges, max_iter=25)
+    assert rounds <= 15, f"chain took {rounds} rounds — not logarithmic"
+    # converged star forest: every node directly joined to component min 0
+    got = {
+        (r["u"], r["v"]) for r in stars.collect()
+    }
+    assert got == {(i, 0) for i in range(1, n)}
 
 
 def test_train_split_deterministic_and_partition_independent(spark, sf_dir):
