@@ -645,33 +645,20 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udaf", "pandas-udf", "quantile"),
 )
 def brand_price_iqr_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit functionType: the module's `from __future__ import
-    # annotations` stringifies type hints, which defeats pandas_udf's
-    # signature inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def price_iqr(v):
-        a = np.sort(v.to_numpy(dtype="float64"))
-
-        def q(p: float) -> float:
-            pos = (len(a) - 1) * p
-            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
-            frac = pos - lo
-            return float(a[lo] + (a[hi] - a[lo]) * frac)
-
-        return float(round(q(0.75) - q(0.25), 4))
+    # kernels live in functions/udaf.py (type-hint pandas_udf form);
+    # pairing the custom kernel with a second pandas aggregate keeps
+    # this a single-pass, single-shuffle aggregation — a built-in
+    # count() can't share the agg (INVALID_PANDAS_UDF_PLACEMENT)
+    from gmall_realtime_flink_spark.functions.udaf import (
+        group_count,
+        price_iqr,
+    )
 
     p = load(spark, sf_dir, "part")
-    # a GROUPED_AGG pandas UDF cannot share an agg with built-in
-    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — compute the count in
-    # a sibling agg and join on the (tiny) group key
-    iqr = p.groupBy("p_brand").agg(
-        price_iqr("p_retailprice").alias("price_iqr")
+    return p.groupBy("p_brand").agg(
+        price_iqr("p_retailprice").alias("price_iqr"),
+        group_count("p_retailprice").alias("n"),
     )
-    n = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
-    return iqr.join(n, "p_brand")
 
 
 @register(

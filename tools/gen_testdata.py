@@ -1,0 +1,195 @@
+"""Generate driver-shaped synthetic testdata at arbitrary scale factor.
+
+The per-round driver ships sf0.001/0.01/0.1 (TESTDATA.md, read-only);
+scale-hardening needs one order of magnitude more. This generator
+reproduces the driver tables' schemas and observed distributions
+(measured from /root/testdata/sf0.1 — see BASELINE.md round-5 notes):
+uniform dims, uniform orders/lineitem with 1-7 lines per order,
+exponential event values over a 30-day sorted timeline, a 31-word
+document vocabulary with ~5% near-dup mutated copies, and unit-norm
+64-d embeddings. Values are NOT bit-identical to the driver's
+(its seed/ordering is private) — they don't need to be: the sf1 gate
+compares Spark vs DuckDB on the SAME generated files.
+
+Usage: python tools/gen_testdata.py [--sf 1.0] [--out .local/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+ADJS = ["large", "hot", "blue", "small", "red", "dark", "light", "cold"]
+NOUNS = ["ring", "bolt", "case", "drum", "tube", "gear", "plate", "cap"]
+EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash "
+    "join key line merge order part query row scan slow small sort "
+    "spark stream table the value vector window"
+).split()
+LANGS = ["en", "de", "zh", "es", "fr"]
+LANG_W = [0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+
+DAY_US = 86_400_000_000
+
+
+def _write(out: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    print(f"{name}: {table.num_rows} rows")
+
+
+def _money(rng, lo, hi, n):
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def _ts_us(lo_day: str, hi_day: str, n, rng):
+    lo = np.datetime64(lo_day).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(hi_day).astype("datetime64[us]").astype(np.int64)
+    days = (hi - lo) // DAY_US
+    return lo + rng.integers(0, days + 1, n) * DAY_US
+
+
+def generate(sf: float, out: str, seed: int = 42) -> None:
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_ev = int(1_000_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+    n_users = int(15_000 * sf)
+
+    _write(out, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(REGIONS),
+    }))
+    _write(out, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+    _write(out, "customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": pa.array(_money(rng, -1000, 10000, n_cust)),
+        "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
+    }))
+    _write(out, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": pa.array(_money(rng, -1000, 10000, n_supp)),
+    }))
+    keys = np.arange(n_part)
+    _write(out, "part", pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_name": pa.array([
+            f"{ADJS[a]} {NOUNS[b]}"
+            for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
+        ]),
+        "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(0, 25, n_part)]),
+        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": pa.array(np.round(900.0 + (keys % 1000) / 10.0, 2)),
+    }))
+    _write(out, "orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]),
+        "o_totalprice": pa.array(_money(rng, 1000, 500_000, n_ord)),
+        "o_orderdate": pa.array(
+            _ts_us("1995-01-01", "2001-08-01", n_ord, rng), pa.timestamp("us")
+        ),
+        "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
+    }))
+    lines_per = rng.integers(1, 8, n_ord)
+    lkey = np.repeat(np.arange(n_ord), lines_per)
+    n_li = len(lkey)
+    lnum = np.concatenate([np.arange(1, c + 1) for c in lines_per])
+    _write(out, "lineitem", pa.table({
+        "l_orderkey": pa.array(lkey, pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(lnum, pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(_money(rng, 900, 105_000, n_li)),
+        "l_discount": pa.array(np.round(rng.integers(0, 11, n_li) / 100.0, 2)),
+        "l_tax": pa.array(np.round(rng.integers(0, 9, n_li) / 100.0, 2)),
+        "l_returnflag": pa.array(np.array(["R", "N", "A"])[rng.integers(0, 3, n_li)]),
+        "l_linestatus": pa.array(np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
+        "l_shipdate": pa.array(
+            _ts_us("1995-01-02", "2001-11-04", n_li, rng), pa.timestamp("us")
+        ),
+    }))
+    # events: sorted 30-day timeline, exponential inter-arrival, exp values
+    lo = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    span = 30 * DAY_US
+    ts = np.sort(lo + rng.integers(0, span, n_ev))
+    _write(out, "events", pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]),
+        "value": pa.array(np.round(rng.exponential(50.0, n_ev), 2)),
+        "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
+    }))
+    # documents: uniform 10-100 words over the 31-word vocab; ~5% are
+    # near-dup copies of an earlier doc (10% of words mutated) and
+    # ~0.2% exact dups — feeds the minhash/LSH/cluster queries.
+    texts: list[str] = []
+    vocab = np.array(VOCAB)
+    for i in range(n_doc):
+        r = rng.random()
+        if i > 10 and r < 0.002:
+            texts.append(texts[int(rng.integers(0, i))])
+        elif i > 10 and r < 0.05:
+            words = texts[int(rng.integers(0, i))].split()
+            idx = rng.integers(0, len(words), max(1, len(words) // 10))
+            for j in idx:
+                words[j] = vocab[rng.integers(0, len(vocab))]
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), rng.integers(10, 101))]))
+    langs = np.array(LANGS)[rng.choice(5, n_doc, p=LANG_W)]
+    _write(out, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array([f"src{s}" for s in rng.integers(0, 20, n_doc)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+    emb = rng.standard_normal((n_emb, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    _write(out, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
+    }))
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump({"sf": sf, "seed": seed, "lineitem_rows": int(n_li)}, f)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    a = ap.parse_args()
+    out = a.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".local",
+        f"sf{a.sf:g}",
+    )
+    generate(a.sf, out, a.seed)
