@@ -75,8 +75,49 @@ def dict_pattern(words: tuple[str, ...] = CJK_WORDS) -> str:
     return "|".join([*ordered, _ASCII_RUN, _UNIGRAM])
 
 
+def _emit_trie(node: dict) -> str:
+    """Serialize one trie node to a regex fragment. Children (longer
+    continuations) are emitted INSIDE the group and the terminal as a
+    greedy `?` on it — greedy backtracking prefers the deepest path,
+    which is exactly forward maximum matching. Child alternatives have
+    disjoint first characters, so their order is semantics-free
+    (sorted for determinism)."""
+    pieces = [ch + _emit_trie(child) for ch, child in sorted(node.items()) if ch != ""]
+    if not pieces:
+        return ""
+    alt = "|".join(pieces)
+    if "" in node:  # terminal: the continuation is optional (greedy)
+        return f"(?:{alt})?"
+    return pieces[0] if len(pieces) == 1 else f"(?:{alt})"
+
+
+def trie_pattern(words: tuple[str, ...] = CJK_WORDS) -> str:
+    """Prefix-factored (trie) form of `dict_pattern` — equivalent
+    matches, O(total trie edges) pattern instead of O(total word
+    chars), and no per-position scan over every alternative: at ~100k
+    words the flat alternation is quadratic-ish to match, the trie is
+    one char-indexed branch per position. Greedy `(?:…)?` suffixes
+    preserve longest-first preference under both Java regex
+    (backtracking) and RE2 (leftmost-first NFA simulation), so it's a
+    drop-in for either engine. Equality with the flat form is pinned
+    by a hypothesis property test and by the driver's oracle gate
+    (Spark runs the trie, the DuckDB oracle runs the flat form)."""
+    trie: dict = {}
+    for w in sorted(set(words)):
+        assert re.escape(w) == w, f"dictionary word needs escaping: {w!r}"
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # terminal marker
+    pieces = [ch + _emit_trie(child) for ch, child in sorted(trie.items())]
+    return "|".join([*pieces, _ASCII_RUN, _UNIGRAM])
+
+
 def tokenize_cjk_dict(col: Column) -> Column:
     """Segment mixed Chinese/ASCII text: longest dictionary word at
     each position, ASCII letter runs, unigrams for OOV CJK. JVM-side
-    (`regexp_extract_all`), codegen-friendly, zero Python."""
-    return F.regexp_extract_all(F.lower(col), F.lit(dict_pattern()), 0)
+    (`regexp_extract_all`), codegen-friendly, zero Python. Uses the
+    trie-factored pattern (the 100k-word scale form); the oracle SQL
+    keeps the flat alternation, so the driver's hash gate doubles as a
+    cross-form equivalence proof."""
+    return F.regexp_extract_all(F.lower(col), F.lit(trie_pattern()), 0)

@@ -131,6 +131,43 @@ def test_cjk_dict_segmentation(spark):
     assert got == want, "Spark and DuckDB segmentations diverge"
 
 
+def test_trie_pattern_equals_flat_pattern():
+    """The prefix-factored (trie) alternation must segment EXACTLY like
+    the flat longest-first alternation — on arbitrary text over the
+    dictionary alphabet (worst case: shared prefixes forcing
+    backtracking) and on a 10x synthetic dictionary (the ~100k-word
+    scale form the module documents)."""
+    import random
+    import re
+
+    from gmall_realtime_flink_spark.functions.cjk import (
+        CJK_WORDS,
+        dict_pattern,
+        trie_pattern,
+    )
+
+    flat, trie = re.compile(dict_pattern()), re.compile(trie_pattern())
+    chars = sorted({c for w in CJK_WORDS for c in w})
+    rng = random.Random(7)
+    for _ in range(2000):
+        s = "".join(
+            rng.choice(chars + list("abcxyz "))
+            for _ in range(rng.randint(0, 40))
+        )
+        assert flat.findall(s) == trie.findall(s), s
+
+    big = list(CJK_WORDS)
+    while len(big) < len(CJK_WORDS) * 10:
+        big.append(
+            "".join(rng.choice(chars) for _ in range(rng.randint(2, 4)))
+        )
+    flat_b = re.compile(dict_pattern(tuple(big)))
+    trie_b = re.compile(trie_pattern(tuple(big)))
+    for _ in range(200):
+        s = "".join(rng.choice(chars + list("abc")) for _ in range(200))
+        assert flat_b.findall(s) == trie_b.findall(s)
+
+
 def test_sketch_accuracy_vs_exact(spark, sf_dir):
     """The 100 TB substitutes for exact distinct/percentile are
     sketches; pin their accuracy contracts against the exact answers:
