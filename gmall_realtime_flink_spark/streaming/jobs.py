@@ -427,11 +427,20 @@ def streaming_product_stats_enriched(
     return out.filter(F.col("stt") < SENTINEL_CUTOFF)
 
 
-def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2/A3 under Structured Streaming: keyed 10 s tumble with
-    streaming-safe distinct counting (collect_set — exact countDistinct
-    is unsupported on streaming aggs, SURVEY §7.3)."""
-    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+def streaming_visitor_stats(
+    spark: SparkSession, sf_dir: str, distinct_mode: str = "exact"
+) -> DataFrame:
+    """A1/A2/A3 under Structured Streaming: keyed 10 s tumble with a
+    switchable distinct-count strategy (operators/windows.
+    distinct_count_col): "exact" (collect_set — the oracle-gated
+    default; exact countDistinct is unsupported on streaming aggs,
+    SURVEY §7.3) or "approx" (HLL++ sketch, constant state per window
+    key — the hot-key 100 TB posture; accuracy pinned by
+    test_streaming_distinct_modes_agree)."""
+    from gmall_realtime_flink_spark.operators.windows import (
+        distinct_count_col,
+        tumble_agg,
+    )
 
     path = events_with_sentinel(spark, sf_dir, gap_ms=0)
     events = stream_events(spark, path)
@@ -442,7 +451,7 @@ def streaming_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs=[
             F.count(F.lit(1)).alias("pv_ct"),
-            F.size(F.collect_set("user_id")).alias("uv_ct"),
+            distinct_count_col("user_id", distinct_mode).alias("uv_ct"),
             F.round(
                 F.sum(F.col("value").cast("decimal(28,4)")), 2
             ).cast("double").alias("dur_sum"),
