@@ -306,6 +306,73 @@ def cosine_topk_ivf(
     return _ranked_topk(_cosine(cand), k)
 
 
+def ivf_recall_curve(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    train_iters: int = 2,
+) -> DataFrame:
+    """The IVF nprobe story with numbers: recall@k of the trained-IVF
+    probe vs the exact brute-force top-k, one row per nprobe —
+    (nprobe, k, hits, recall_at_k). Recall is monotone non-decreasing
+    in nprobe (each probe set is a superset of the previous), which
+    the property test pins.
+
+    The index (trained centroids + cell assignment) is built ONCE and
+    localCheckpoint'd, then each nprobe branch is a broadcast
+    semi-join + k-row top-k — the cheap part. At 100 TB this runs on
+    a sampled query set to pick nprobe before trusting the index
+    (same audit FAISS users run offline).
+    """
+    exact = cosine_topk(embeddings, query_id=query_id, k=k).select("vec_id")
+    cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
+    e = embeddings.filter(F.col("vec_id") != query_id).withColumn(
+        "emb", F.expr(AS_DOUBLE.format(c="embedding"))
+    )
+    assigned = (
+        _centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cell"),
+            F.first("emb").alias("emb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    q = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
+    )
+    qsims = _centroid_sim(
+        q.crossJoin(F.broadcast(cent)), "q_emb"
+    ).localCheckpoint(eager=False)
+    out = None
+    for nprobe in nprobes:
+        qcells = (
+            qsims.orderBy(F.col("c_sim").desc(), "cid")
+            .limit(nprobe)
+            .select("cid")
+        )
+        cand = assigned.join(
+            F.broadcast(qcells), assigned["cell"] == qcells["cid"], "left_semi"
+        ).crossJoin(F.broadcast(q))
+        ann = _ranked_topk(_cosine(cand), k).select("vec_id")
+        row = (
+            exact.join(ann, "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                F.lit(k).alias("k"),
+                "hits",
+                F.round(F.col("hits") / k, 6).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def knn_self_join(
     embeddings: DataFrame, k: int = 3, bits: int = 4
 ) -> DataFrame:

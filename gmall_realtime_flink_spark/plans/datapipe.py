@@ -2006,6 +2006,124 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared by the IVF recall-curve oracle: deterministic 2-iteration
+# Lloyd training (seed = first K vectors, exact-decimal means) — the
+# same CTE chain as the similarity_topk_ivf oracle above.
+_IVF_TRAINED_CENT_SQL = """
+    eall AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, emb AS cvec FROM eall WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM eall e, cent0 c) WHERE rn = 1),
+    m1 AS (
+      SELECT cell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT cell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM a1)
+      GROUP BY cell, pos),
+    cent1 AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM cent0 c LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS mvec FROM m1 GROUP BY cell
+      ) m ON c.cid = m.cell),
+    a2 AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM eall e, cent1 c) WHERE rn = 1),
+    m2 AS (
+      SELECT cell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT cell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM a2)
+      GROUP BY cell, pos),
+    cent AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM cent1 c LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS mvec FROM m2 GROUP BY cell
+      ) m ON c.cid = m.cell)"""
+
+
+def _ivf_recall_curve_oracle(nprobes=(1, 2, 4), k=10) -> str:
+    probe_ctes = []
+    for n in nprobes:
+        probe_ctes.append(f"""
+    qc{n} AS (
+      SELECT cid FROM (
+        SELECT c.cid, row_number() OVER (
+          ORDER BY round(list_cosine_similarity(q.qe, c.cvec), 6)
+                   DESC, c.cid) AS rn
+        FROM cent c, q) WHERE rn <= {n}),
+    ann{n} AS (
+      SELECT vec_id FROM (
+        SELECT a.vec_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(a.emb, q.qe), 6)
+                          DESC, a.vec_id) AS rk
+        FROM assign a, q
+        WHERE a.cell IN (SELECT cid FROM qc{n})) WHERE rk <= {k}),
+    r{n} AS (
+      SELECT {n} AS nprobe, {k} AS k, count(*)::BIGINT AS hits,
+             round(count(*) / {k}.0, 6) AS recall_at_k
+      FROM exact JOIN ann{n} USING (vec_id))""")
+    union = " UNION ALL ".join(f"SELECT * FROM r{n}" for n in nprobes)
+    return f"""
+    WITH {_IVF_TRAINED_CENT_SQL},
+    e AS (SELECT vec_id, emb FROM eall WHERE vec_id != 0),
+    assign AS (
+      SELECT vec_id, cid AS cell, emb FROM (
+        SELECT e.vec_id, c.cid, e.emb,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM e, cent c) WHERE rn = 1),
+    q AS (SELECT emb AS qe FROM eall WHERE vec_id = 0),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(e.emb, q.qe), 6)
+                          DESC, e.vec_id) AS rk
+        FROM e, q) WHERE rk <= {k}),
+    {",".join(probe_ctes)}
+    {union}
+    """
+
+
+@register(
+    "similarity_recall_curve",
+    oracle=_ivf_recall_curve_oracle(),
+    doc="Recall-vs-nprobe curve for the trained IVF index: recall@10 "
+    "at nprobe 1/2/4 against the exact brute-force top-k, one row per "
+    "probe width (operators/similarity.ivf_recall_curve). Proves the "
+    "documented nprobe recall/cost dial with numbers — recall is "
+    "monotone in nprobe (each probe set is a superset of the last). "
+    "The index is built once (localCheckpoint); each curve point is a "
+    "broadcast semi-join + k-row top-k. The CTE chain recomputes the "
+    "identical deterministic Lloyd iterations as similarity_topk_ivf.",
+    tags=("datapipe", "similarity", "ann", "ivf", "diagnostics"),
+)
+def similarity_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        ivf_recall_curve,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_recall_curve(
+        e, query_id=0, k=10, n_cells=8, nprobes=(1, 2, 4), train_iters=2
+    )
+
+
 @register(
     "doc_sample_per_group",
     oracle="""

@@ -467,3 +467,22 @@ def test_pack_documents_matches_python_model(spark, toks):
             cum += n
             exp[i] = (b, n, (cum - n) // budget)
     assert got == exp
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    """Each wider probe set is a superset of the narrower one, so
+    recall@k must be non-decreasing in nprobe — the property that makes
+    the recall curve a usable tuning dial."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        ivf_recall_curve,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (r["nprobe"], r["recall_at_k"])
+        for r in ivf_recall_curve(e, nprobes=(1, 2, 4)).collect()
+    )
+    assert [n for n, _ in rows] == [1, 2, 4]
+    recalls = [r for _, r in rows]
+    assert recalls == sorted(recalls), recalls
