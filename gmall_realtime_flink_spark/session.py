@@ -23,6 +23,17 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
 
 def get_spark(
     app_name: str = "gmall_realtime_flink_spark",
@@ -55,11 +66,17 @@ def get_spark(
         # default; read as long once here (catalog.load truncates ns → µs)
         # instead of mutating session conf inside a loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # streaming state: RocksDB provider keeps large keyed state
-        # (UV dedup at 100 TB scale) off-heap and spillable
+        # streaming state: RocksDB provider (default) keeps large keyed
+        # state (UV dedup at 100 TB scale) off-heap and spillable;
+        # SPARK_GRAFT_STATE_STORE=hdfs flips to the in-memory
+        # HDFS-backed default provider (both pass the checkpoint
+        # recovery suite — tests/test_streaming.py parametrizes over
+        # the two).
         .config(
             "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            STATE_STORE_PROVIDERS[
+                os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb")
+            ],
         )
     )
     for k, v in (extra_conf or {}).items():

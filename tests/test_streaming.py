@@ -736,15 +736,28 @@ def test_pack_stream_first_fit_across_batches(spark, sf_dir):
         assert ids == list(range(len(ids)))
 
 
-def test_stateful_checkpoint_recovery_across_restarts(spark, sf_dir):
+@pytest.mark.parametrize("provider", ["rocksdb", "hdfs"])
+def test_stateful_checkpoint_recovery_across_restarts(
+    spark, sf_dir, provider
+):
     """State survives a QUERY RESTART, not just micro-batch boundaries:
     run the ST2 dedup stream to completion on half the data, stop,
     add the second half, and resume from the SAME checkpoint. A lost
     state store would re-emit first-visits already claimed in run 1;
     the union of both runs' outputs must equal the single-pass batch
-    answer exactly."""
+    answer exactly.
+
+    Parametrized over BOTH state-store providers (session.py
+    STATE_STORE_PROVIDERS): RocksDB — the engine default, off-heap
+    spillable state — and the HDFS-backed in-memory default. The
+    providerClass conf binds at query start, so flipping it per-run
+    on the shared session is exactly how a deployment would."""
+    from gmall_realtime_flink_spark.session import STATE_STORE_PROVIDERS
     from gmall_realtime_flink_spark.streaming.state import uv_dedup_stream
 
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    orig_provider = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, STATE_STORE_PROVIDERS[provider])
     t, _mul, _max_ns, _ts_type = _events_sorted_native(sf_dir)
     n = t.num_rows
     src = tempfile.mkdtemp(prefix="events_restart_")
@@ -766,15 +779,18 @@ def test_stateful_checkpoint_recovery_across_restarts(spark, sf_dir):
         )
         q.awaitTermination()
 
-    p0 = os.path.join(src, "part-000.parquet")
-    pq.write_table(t.slice(0, n // 2), p0)
-    os.utime(p0, (1_700_000_000, 1_700_000_000))
-    run()
+    try:
+        p0 = os.path.join(src, "part-000.parquet")
+        pq.write_table(t.slice(0, n // 2), p0)
+        os.utime(p0, (1_700_000_000, 1_700_000_000))
+        run()
 
-    p1 = os.path.join(src, "part-001.parquet")
-    pq.write_table(t.slice(n // 2), p1)
-    os.utime(p1, (1_700_000_100, 1_700_000_100))
-    run()
+        p1 = os.path.join(src, "part-001.parquet")
+        pq.write_table(t.slice(n // 2), p1)
+        os.utime(p1, (1_700_000_100, 1_700_000_100))
+        run()
+    finally:
+        spark.conf.set(conf_key, orig_provider)
 
     got = sorted(
         (r["user_id"], r["visit_date"], r["first_ts"])
