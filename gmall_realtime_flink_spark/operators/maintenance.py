@@ -56,8 +56,14 @@ def compact_parquet(
     total = dir_bytes(src_dir)
     n = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src_dir)
-    shrink = n <= df.rdd.getNumPartitions()
-    out = df.coalesce(n) if shrink else df.repartition(n)
+    # estimate the scan's partition count from file metadata (driver-
+    # side listing already done for dir_bytes) instead of touching
+    # df.rdd — the RDD conversion materializes a deserialized plan
+    # just to read one number. A compaction shrinks by construction
+    # whenever the source has more files than the target count;
+    # maxPartitionBytes only merges further.
+    src_files = len(df.inputFiles())
+    out = df.coalesce(n) if n <= src_files else df.repartition(n)
     writer = out.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

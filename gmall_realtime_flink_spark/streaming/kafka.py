@@ -9,13 +9,16 @@ The reference's Kafka layer (RT/utils/MyKafkaUtil.java):
 - S4 SQL source with json format + watermark (:55-63) ->
   `kafka_json_source`
 
-This container has no Kafka broker and pyspark ships without the
-`spark-sql-kafka` connector jar, so these builders cannot execute
-here — the file-based source/sinks (source.py / sinks.py) carry the
-same pipeline code in tests. The builders are the production wiring:
-swap `stream_events` for `kafka_json_source` and the rest of a
-pipeline is unchanged. Each raises a clear error if the connector is
-absent.
+Kafka-in-the-loop smoke: attempted round 5 and confirmed impossible
+in this container — (a) no broker/redpanda binary exists anywhere on
+the filesystem, (b) the pyspark 4.1.2 install ships 287 jars and
+`spark-sql-kafka-0-10`/`kafka-clients` are not among them, so even a
+vendored broker could not be read without the forbidden network
+fetch of the connector. The file-based source/sinks (source.py /
+sinks.py) therefore carry the same pipeline code in tests. The
+builders here are the production wiring: swap `stream_events` for
+`kafka_json_source` and the rest of a pipeline is unchanged. Each
+raises a clear error if the connector is absent.
 
 Delivery semantics: checkpointed offsets + state give exactly-once
 *state*; the Kafka sink itself is at-least-once (the reference's

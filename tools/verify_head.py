@@ -5,8 +5,11 @@ WITHOUT the engine's config (no nanos conf, no RocksDB, default ANSI),
 runs the first N registry entries at sf0.01, and hash-compares each
 against its DuckDB oracle with the driver's stringified value hash.
 
-Usage: python tools/verify_head.py [N] [sf_dir]   (defaults: 50, sf0.01)
-Exit code 0 iff every checked entry matches.
+Usage: python tools/verify_head.py [N | START:END] [sf_dir] [json_out]
+(defaults: 50, sf0.01). START:END is a python-style slice over the
+registry order — `50:` verifies everything PAST the driver's head, the
+round-5 rotation proof. If json_out is given, a per-entry artifact is
+written there. Exit code 0 iff every checked entry matches.
 """
 
 from __future__ import annotations
@@ -39,8 +42,14 @@ def vhash(pdf) -> str:
 def main() -> int:
     from pyspark.sql import SparkSession
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    spec = sys.argv[1] if len(sys.argv) > 1 else "50"
+    if ":" in spec:
+        s, e = spec.split(":", 1)
+        start, end = int(s or 0), int(e) if e else None
+    else:
+        start, end = 0, int(spec)
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -59,8 +68,9 @@ def main() -> int:
         )
 
     bad = []
+    results = {}
     t_all = time.time()
-    for q in list(qs)[:n]:
+    for q in list(qs)[start:end]:
         t0 = time.time()
         try:
             got = qs[q](spark, sf_dir).toPandas()
@@ -71,8 +81,25 @@ def main() -> int:
             print(f"{q} EXC {str(ex)[:150]}", file=sys.stderr)
         if not ok:
             bad.append(q)
+        results[q] = {"ok": ok, "sec": round(time.time() - t0, 1)}
         print(f"{q} {'OK' if ok else 'MISMATCH'} {time.time() - t0:.1f}s")
     print(f"TOTAL {time.time() - t_all:.1f}s BAD: {bad}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "slice": f"{start}:{end if end is not None else ''}",
+                    "sf_dir": sf_dir,
+                    "checked": len(results),
+                    "bad": bad,
+                    "total_sec": round(time.time() - t_all, 1),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if bad else 0
 
 
