@@ -177,3 +177,55 @@ def test_write_training_shards_roundtrips_permutation(spark, sf_dir, tmp_path):
         pos_list = [r["pos"] for r in rows]
         assert sorted(pos_list) == list(range(1, len(pos_list) + 1))
     assert seen == want
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-order layout: footer min/max stats must prune files for a
+    narrow predicate on EITHER z-column — the multi-column win a
+    single-column range cluster can't give (its non-lead column spans
+    the full domain in every file)."""
+    from gmall_realtime_flink_spark.operators.maintenance import (
+        clustered_write,
+        zorder_write,
+    )
+
+    df = (
+        spark.range(256 * 256)
+        .selectExpr(
+            "cast(id % 256 as long) AS x",
+            "cast(id div 256 as long) AS y",
+        )
+    )
+
+    def overlapping_files(path, col_idx, lo, hi):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            fmin = min(
+                md.row_group(i).column(col_idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(col_idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit, len(files)
+
+    zdir = str(tmp_path / "zorder")
+    zorder_write(df, zdir, ["x", "y"], n_files=16, bits=8)
+    for col in (0, 1):  # x then y: both must prune
+        hit, total = overlapping_files(zdir, col, 0, 15)
+        assert total >= 8
+        assert hit <= total // 2, (col, hit, total)
+
+    # control: single-column cluster on x cannot prune on y
+    cdir = str(tmp_path / "xcluster")
+    clustered_write(df, cdir, "x", n_files=16)
+    hit, total = overlapping_files(cdir, 1, 0, 15)
+    assert hit == total  # every file spans the full y domain
+
+    # layout is a permutation, not a filter
+    assert spark.read.parquet(zdir).count() == 256 * 256
