@@ -46,6 +46,9 @@ EXTRA = [
     "user_retention_cohorts",
     "daily_gmv_moving_7d",
     "repeat_buyer_intersect",
+    "dedup_cluster",
+    "brand_price_iqr_udaf",
+    "similarity_recall_curve",
 ]
 
 
