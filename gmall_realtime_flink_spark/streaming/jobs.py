@@ -59,8 +59,10 @@ def events_path(sf_dir: str) -> str:
     """Stage the events table as a streaming input *directory* (the file
     source requires one); the parquet file is symlinked, not copied."""
     tmp = tempfile.mkdtemp(prefix="events_stream_")
+    # abspath: the symlink lives under /tmp, so a relative sf_dir
+    # would otherwise dangle (resolved against the link's dir)
     os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
         os.path.join(tmp, "part-000.parquet"),
     )
     return tmp
@@ -135,7 +137,7 @@ def events_with_sentinel(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    src = os.path.join(sf_dir, "events.parquet")
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     ts_col = pq.read_table(src, columns=["ts"])["ts"]
     ts_type = ts_col.type
     raw_max = max(ts_col.cast("int64").to_pylist())
@@ -203,7 +205,7 @@ def stage_table_dir(sf_dir: str, table: str) -> str:
     """Symlink one parquet table into a fresh streaming input dir."""
     tmp = tempfile.mkdtemp(prefix=f"{table}_stream_")
     os.symlink(
-        os.path.join(sf_dir, f"{table}.parquet"),
+        os.path.abspath(os.path.join(sf_dir, f"{table}.parquet")),
         os.path.join(tmp, "part-000.parquet"),
     )
     return tmp

@@ -55,6 +55,11 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # the harness collects full results driver-side for hashing —
+        # a multi-million-row sf1 result OOMs the 1g default heap in
+        # collectToPython (product_stats at sf1 is ~4.8M groups); the
+        # engine session and the round driver both run a 16g driver
+        .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -82,25 +87,36 @@ def main() -> int:
         if not ok:
             bad.append(q)
         results[q] = {"ok": ok, "sec": round(time.time() - t0, 1)}
-        print(f"{q} {'OK' if ok else 'MISMATCH'} {time.time() - t0:.1f}s")
-    print(f"TOTAL {time.time() - t_all:.1f}s BAD: {bad}")
+        print(
+            f"{q} {'OK' if ok else 'MISMATCH'} {time.time() - t0:.1f}s",
+            flush=True,
+        )
+        if json_out:
+            _dump(json_out, start, end, sf_dir, bad, results, t_all)
+    print(f"TOTAL {time.time() - t_all:.1f}s BAD: {bad}", flush=True)
     if json_out:
-        import json
-
-        with open(json_out, "w") as f:
-            json.dump(
-                {
-                    "slice": f"{start}:{end if end is not None else ''}",
-                    "sf_dir": sf_dir,
-                    "checked": len(results),
-                    "bad": bad,
-                    "total_sec": round(time.time() - t_all, 1),
-                    "results": results,
-                },
-                f,
-                indent=1,
-            )
+        _dump(json_out, start, end, sf_dir, bad, results, t_all)
     return 1 if bad else 0
+
+
+def _dump(json_out, start, end, sf_dir, bad, results, t_all) -> None:
+    """Rewrite the artifact after every entry — a multi-hour sf1 run
+    stays observable and a crash loses one entry, not the run."""
+    import json
+
+    with open(json_out, "w") as f:
+        json.dump(
+            {
+                "slice": f"{start}:{end if end is not None else ''}",
+                "sf_dir": sf_dir,
+                "checked": len(results),
+                "bad": bad,
+                "total_sec": round(time.time() - t_all, 1),
+                "results": results,
+            },
+            f,
+            indent=1,
+        )
 
 
 if __name__ == "__main__":
