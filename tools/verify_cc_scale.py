@@ -14,7 +14,10 @@ built exactly for giant components.
 This tool is the sf1-tier replacement: same candidate-pair SQL in
 DuckDB (linear in pairs), then an O(E α(V)) union-find in NumPy, and
 an exact row-for-row comparison with the Spark result (cluster id =
-min doc_id of the component, matching ops/dedup.py semantics).
+min doc_id of the component, matching ops/dedup.py semantics). It
+also checks `dedup_survivors` (whose registry oracle embeds the same
+closure CTE): survivors must equal documents minus non-canonical
+nodes, derived from the same union-find labels.
 
 Usage: python tools/verify_cc_scale.py [sf_dir] [json_out]
 Exit 0 iff the Spark result matches the union-find ground truth.
@@ -111,6 +114,30 @@ def main() -> int:
     got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in got_rows}
     exp = {d: (c, d == c) for d, c in want.items()}
     ok = got == exp
+
+    # dedup_survivors shares the fate of dedup_cluster (its registry
+    # oracle embeds the same transitive-closure CTE): ground truth is
+    # documents minus non-canonical nodes, directly from the labels.
+    t0 = time.time()
+    surv_rows = REGISTRY["dedup_survivors"].builder(spark, sf_dir).collect()
+    t_surv = time.time() - t0
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source"],
+    ).to_pydict()
+    non_canon = {d for d, c in want.items() if d != c}
+    exp_surv = {
+        (d, lang, src)
+        for d, lang, src in zip(
+            docs["doc_id"], docs["lang"], docs["source"]
+        )
+        if d not in non_canon
+    }
+    got_surv = {(r["doc_id"], r["lang"], r["source"]) for r in surv_rows}
+    surv_ok = got_surv == exp_surv and len(surv_rows) == len(exp_surv)
+    ok = ok and surv_ok
     comp_sizes: dict[int, int] = {}
     for c, _ in exp.values():
         comp_sizes[c] = comp_sizes.get(c, 0) + 1
@@ -124,6 +151,9 @@ def main() -> int:
         "top_component_sizes": top,
         "oracle_sec": round(t_oracle, 1),
         "spark_sec": round(t_spark, 1),
+        "survivors_ok": surv_ok,
+        "survivors": len(exp_surv),
+        "survivors_spark_sec": round(t_surv, 1),
     }
     print(json.dumps(report))
     if json_out:
