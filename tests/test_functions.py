@@ -309,3 +309,45 @@ def test_session_window_exact_gap_merges(spark):
 
     assert n_sessions(600_000_000) == 1
     assert n_sessions(600_000_001) == 2
+
+
+def test_minhash_xxhash64_fast_path(spark, sf_dir):
+    """The off-oracle xxhash64 MinHash path: exact-duplicate texts MUST
+    be candidate pairs under ANY hash function (identical shingles →
+    identical signature → every band collides), and the xxhash64
+    candidate set must agree with the md5 set on those pairs. Also pins
+    partition-invariance of the fast path (no hex strings anywhere —
+    signatures are 8 longs)."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # inject exact dups with known ids: copy each of the 5 longest docs
+    # under doc_id+100000 (sf0.001's 50 docs carry no natural dups)
+    copies = (
+        base.orderBy(F.length("text").desc(), "doc_id")
+        .limit(5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    dup_pairs = {
+        (r["doc_id"] - 100000, r["doc_id"]) for r in copies.collect()
+    }
+    assert len(dup_pairs) == 5
+    docs = base.unionByName(copies)
+
+    sigs = minhash_signatures(docs, hash_impl="xxhash64")
+    assert dict(sigs.dtypes)["h0"] == "bigint"  # longs, not hex strings
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(sigs, hash_impl="xxhash64").collect()
+    }
+    assert dup_pairs <= cands
+
+    md5_cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(minhash_signatures(docs)).collect()
+    }
+    assert dup_pairs <= md5_cands
