@@ -52,7 +52,7 @@ def _cosine(df: DataFrame) -> DataFrame:
     dot = F.expr(DOT.format(a="emb", b="q_emb"))
     na = F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
     nb = F.sqrt(F.expr(DOT.format(a="q_emb", b="q_emb")))
-    return df.withColumn("cos_sim", F.round(dot / (na * nb), 6))
+    return df.withColumn("cos_sim", F.round(dot / (na * nb), 6) + F.lit(0.0))
 
 
 def _ranked_topk(
@@ -170,7 +170,7 @@ def embedding_near_dup_pairs(
     na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
     nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
     scored = pairs.select(
-        "vec_a", "vec_b", F.round(dot / (na * nb), 6).alias("cos_sim")
+        "vec_a", "vec_b", (F.round(dot / (na * nb), 6) + F.lit(0.0)).alias("cos_sim")
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
@@ -179,7 +179,7 @@ def _centroid_sim(df: DataFrame, vec: str) -> DataFrame:
     dot = F.expr(DOT.format(a=vec, b="cvec"))
     na = F.sqrt(F.expr(DOT.format(a=vec, b=vec)))
     nc = F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
-    return df.withColumn("c_sim", F.round(dot / (na * nc), 6))
+    return df.withColumn("c_sim", F.round(dot / (na * nc), 6) + F.lit(0.0))
 
 
 def kmeans_centroids(
@@ -412,7 +412,7 @@ def knn_self_join(
     pairs = a.join(b, "bucket").filter(F.col("vec_a") != F.col("vec_b"))
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
     scored = pairs.withColumn(
-        "cos_sim", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+        "cos_sim", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6) + F.lit(0.0)
     )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("cos_sim").desc(), F.col("vec_b")

@@ -273,7 +273,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT e.vec_id,
              round(list_cosine_similarity(
-               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) AS cos_sim
+               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) + 0.0 AS cos_sim
       FROM embeddings e, q WHERE e.vec_id != 0)
     SELECT vec_id, cos_sim, rk FROM (
       SELECT vec_id, cos_sim,
@@ -312,7 +312,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CASE WHEN q.qe[4] >= 0 THEN 8 ELSE 0 END) AS q_bucket
       FROM embeddings e, q WHERE e.vec_id != 0),
     scored AS (
-      SELECT vec_id, round(list_cosine_similarity(de, qe), 6) AS cos_sim
+      SELECT vec_id, round(list_cosine_similarity(de, qe), 6) + 0.0 AS cos_sim
       FROM b WHERE bucket = q_bucket)
     SELECT vec_id, cos_sim, rk FROM (
       SELECT vec_id, cos_sim,
@@ -345,7 +345,7 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+             round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim
       FROM e a JOIN e b
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ) WHERE cos_sim >= 0.4
@@ -635,7 +635,7 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    DESC, c.cid) AS rn
         FROM cent c, q) WHERE rn <= 2),
     scored AS (
-      SELECT a.vec_id, round(list_cosine_similarity(a.emb, q.qe), 6) AS cos_sim
+      SELECT a.vec_id, round(list_cosine_similarity(a.emb, q.qe), 6) + 0.0 AS cos_sim
       FROM assign a, q WHERE a.cell IN (SELECT cid FROM qc))
     SELECT vec_id, cos_sim, rk FROM (
       SELECT vec_id, cos_sim,
@@ -1186,7 +1186,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings)
     SELECT vec_a, vec_b, cos_sim, rk FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+             round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim,
              row_number() OVER (
                PARTITION BY a.vec_id
                ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
@@ -1390,7 +1390,7 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT e.vec_id, e.label,
              round(list_cosine_similarity(
-               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) AS cos_sim
+               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) + 0.0 AS cos_sim
       FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = 3)
     SELECT vec_id, label, cos_sim, rk FROM (
       SELECT vec_id, label, cos_sim,
@@ -1534,7 +1534,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings)
     SELECT c.doc_a, c.doc_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+           round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim,
            (round(list_cosine_similarity(a.v, b.v), 6) >= 0.2) AS is_dup
     FROM cand c
     JOIN ev a ON c.doc_a = a.vec_id
@@ -1570,7 +1570,10 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.expr(DOT.format(a="va", b="vb"))
     na = F.sqrt(F.expr(DOT.format(a="va", b="va")))
     nb = F.sqrt(F.expr(DOT.format(a="vb", b="vb")))
-    cos = F.round(dot / (na * nb), 6)
+    # + 0.0 folds IEEE negative zero to positive zero — a cosine
+    # that rounds to -0.0 in one engine and 0.0 in the other is the
+    # same number but a different string, and the gate hashes strings
+    cos = F.round(dot / (na * nb), 6) + F.lit(0.0)
     return j.select(
         "doc_a",
         "doc_b",
@@ -1951,7 +1954,7 @@ def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_e AS (
       SELECT e.vec_id,
              round(list_cosine_similarity(
-               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) AS cos_sim
+               list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) + 0.0 AS cos_sim
       FROM embeddings e, q WHERE e.vec_id != 0),
     exact AS (
       SELECT vec_id FROM (
@@ -1971,7 +1974,7 @@ def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CASE WHEN q.qe[4] >= 0 THEN 8 ELSE 0 END) AS q_bucket
       FROM embeddings e, q WHERE e.vec_id != 0),
     scored_b AS (
-      SELECT vec_id, round(list_cosine_similarity(de, qe), 6) AS cos_sim
+      SELECT vec_id, round(list_cosine_similarity(de, qe), 6) + 0.0 AS cos_sim
       FROM bkt WHERE bucket = q_bucket),
     ann AS (
       SELECT vec_id FROM (
