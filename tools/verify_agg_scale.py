@@ -1,0 +1,138 @@
+"""Aggregate-tier oracle compare for queries whose RESULT is too big
+to collect.
+
+The standard harness (tools/verify_head.py) hash-compares full result
+sets driver-side — right for the driver's sf0.01 gate, impossible when
+a scale run makes the *result itself* enormous (dedup_simhash_hamming
+at sf1 emits 154.7M pairs on the degenerate 31-word corpus: nearly
+every doc pair is hamming-close). This tier compares IN-ENGINE
+aggregates instead — neither engine ever materializes the result to
+the driver:
+
+  count(*), and per numeric column: sum, sum of squares (as exact
+  DECIMAL/HUGEINT — no float accumulation), min, max.
+
+Equality of those moments over the same unordered result set is a
+strong (not cryptographic) equivalence check with O(1) driver memory.
+Non-numeric columns contribute count(distinct) only.
+
+Usage: python tools/verify_agg_scale.py <query> [sf_dir] [json_out]
+Exit 0 iff all aggregates match.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def main() -> int:
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else ".local/sf1"
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.plans import REGISTRY
+    from gmall_realtime_flink_spark.session import get_spark
+
+    spec = REGISTRY[name]
+    assert spec.oracle, f"{name} has no SQL oracle"
+    spark = get_spark("verify_agg_scale")
+
+    t0 = time.time()
+    df = spec.builder(spark, sf_dir)
+    dtypes = dict(df.dtypes)
+    num_cols = [c for c, t in df.dtypes if t in NUMERIC]
+    str_cols = [c for c, t in df.dtypes if t not in NUMERIC]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in num_cols:
+        d = F.col(c).cast("decimal(38,6)")
+        aggs += [
+            F.sum(d).alias(f"sum_{c}"),
+            F.sum(d * d).alias(f"sumsq_{c}"),
+            F.min(F.col(c)).alias(f"min_{c}"),
+            F.max(F.col(c)).alias(f"max_{c}"),
+        ]
+    for c in str_cols:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    got = {k: str(v) for k, v in df.agg(*aggs).collect()[0].asDict().items()}
+    t_spark = time.time() - t0
+
+    t0 = time.time()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    o_aggs = ["count(*) AS n"]
+    for c in num_cols:
+        d = f'CAST("{c}" AS DECIMAL(38,6))'
+        o_aggs += [
+            f'sum({d}) AS "sum_{c}"',
+            f'sum({d} * {d}) AS "sumsq_{c}"',
+            f'min("{c}") AS "min_{c}"',
+            f'max("{c}") AS "max_{c}"',
+        ]
+    for c in str_cols:
+        o_aggs.append(f'count(DISTINCT "{c}") AS "nd_{c}"')
+    row = con.execute(
+        f"SELECT {', '.join(o_aggs)} FROM ({spec.oracle}) q"
+    ).fetchone()
+    cols = [d[0] for d in con.description]
+    want = {k: str(v) for k, v in zip(cols, row)}
+    t_oracle = time.time() - t0
+
+    # normalize decimal trailing representations: compare as Decimal
+    from decimal import Decimal
+
+    def norm(d):
+        out = {}
+        for k, v in d.items():
+            try:
+                out[k] = Decimal(v)
+            except Exception:  # noqa: BLE001
+                out[k] = v
+        return out
+
+    ok = norm(got) == norm(want)
+    report = {
+        "query": name,
+        "sf_dir": sf_dir,
+        "ok": ok,
+        "rows": got.get("n"),
+        "spark_sec": round(t_spark, 1),
+        "oracle_sec": round(t_oracle, 1),
+        "aggregates": got,
+        "dtypes": dtypes,
+    }
+    if not ok:
+        report["mismatch"] = {
+            k: {"spark": got.get(k), "duckdb": want.get(k)}
+            for k in set(got) | set(want)
+            if str(norm(got).get(k)) != str(norm(want).get(k))
+        }
+    print(json.dumps({k: report[k] for k in ("query", "ok", "rows", "spark_sec", "oracle_sec")}))
+    if not ok:
+        print(json.dumps(report["mismatch"], indent=1))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
