@@ -131,12 +131,25 @@ def lsh_candidates(
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
     hash_impl: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded candidate pairs (id_a < id_b, distinct).
 
     The stack() unpivots the signature into (band, band_hash) rows; the
     self-join shuffles on that uniform hash — the banding join that
     replaces the quadratic all-pairs comparison.
+
+    `max_bucket` is the production guard against degenerate corpora:
+    a band bucket of k docs emits k(k-1)/2 pairs, so pair volume is
+    quadratic in bucket size — and hot buckets in real corpora are
+    boilerplate (headers, licenses, templates), not near-dups worth
+    pairing. Measured on the synthetic corpus (whose fixed 31-word
+    vocabulary makes collisions DENSER with scale): candidate pairs
+    grew 100× (4.0M → 399.6M) for 10× docs at sf1 → sf10. Buckets
+    larger than `max_bucket` are dropped before the join (bucket
+    counts reuse the same (band, band_hash) exchange as the join —
+    no extra shuffle); genuine duplicate pairs live in small buckets
+    and survive. None (default) keeps the oracle-exact behavior.
     """
     pairs = band_cols(num_hashes, rows_per_band, hash_impl)
     stack_expr = ", ".join(f"{j}, b{j}" for j, _ in pairs)
@@ -151,6 +164,14 @@ def lsh_candidates(
     # signatures ONCE instead of once per side — at 100 TB the signature
     # pass dominates, so this halves the job
     bands = bands.repartition("band", "band_hash")
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band", "band_hash")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        bands = bands.join(small, ["band", "band_hash"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

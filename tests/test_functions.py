@@ -351,3 +351,39 @@ def test_minhash_xxhash64_fast_path(spark, sf_dir):
         for r in lsh_candidates(minhash_signatures(docs)).collect()
     }
     assert dup_pairs <= md5_cands
+
+
+def test_lsh_max_bucket_guard(spark):
+    """The hot-bucket guard: boilerplate (one text shared by many docs)
+    floods a band bucket with k(k-1)/2 pairs; max_bucket drops those
+    buckets while rare duplicate pairs (bucket size 2) survive. A cap
+    above the largest bucket must be a no-op."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rare = "completely unique ridge pattern sentence with many words inside"
+    rows = [(i, boiler) for i in range(40)] + [(100, rare), (101, rare)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = minhash_signatures(docs)
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidates(sigs).collect()
+    }
+    assert (100, 101) in full
+    assert len(full) >= 40 * 39 // 2  # boilerplate clique present
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(sigs, max_bucket=10).collect()
+    }
+    assert (100, 101) in capped  # rare dup survives
+    assert not any(a < 40 and b < 40 for a, b in capped)  # clique gone
+
+    uncapped_equiv = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(sigs, max_bucket=1000).collect()
+    }
+    assert uncapped_equiv == full  # cap above max bucket is a no-op
