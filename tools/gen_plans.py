@@ -48,6 +48,7 @@ EXTRA = [
     "repeat_buyer_intersect",
     "dedup_cluster",
     "brand_price_iqr_udaf",
+    "dedup_minhash_lsh_capped",
     "similarity_recall_curve",
 ]
 
