@@ -195,17 +195,59 @@ def jaccard_verify(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.2,
+    length_prefilter: bool = True,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over candidate pairs only.
 
     similarity = |A ∩ B| / |A ∪ B| over distinct shingle sets, rounded
     to 6dp for cross-engine float parity.
+
+    `length_prefilter` (default on) applies the size-ratio bound from
+    the similarity-join literature (PPJoin's length filter, Xiao et
+    al., WWW'08): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    J ≤ min/max — a pair whose set-size ratio is below the threshold
+    cannot pass and is dropped BEFORE the wide shingle arrays are
+    joined and intersected. The result is provably identical:
+    - the guard compares against threshold − 1e-6 (the final filter
+      rounds J to 6dp, so a pair can pass with true J ≥ t − 5e-7;
+      the looser bound keeps every such pair), and
+    - the comparison is exact integer arithmetic (min·q ≥ p·max with
+      p/q the guard threshold as a rational), so no float-boundary
+      behavior differs between engines.
+    At scale this turns the verify join from |candidates| wide rows
+    (two full shingle arrays each) into |survivors| wide rows, with
+    only a narrow (id, size) join added in front.
     """
     sets_df = (
         docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= n + 1)
         .select(id_col, F.array_distinct(shingles("toks", n)).alias("sset"))
     )
+    if length_prefilter:
+        from fractions import Fraction
+
+        guard = Fraction(str(threshold)) - Fraction(1, 10**6)
+        p, q = guard.numerator, guard.denominator
+        sizes = sets_df.select(id_col, F.size("sset").alias("sz"))
+        candidates = (
+            candidates.join(
+                sizes.select(
+                    F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")
+                ),
+                "doc_b",
+            )
+            .filter(
+                F.least("sz_a", "sz_b") * F.lit(q)
+                >= F.lit(p) * F.greatest("sz_a", "sz_b")
+            )
+            .select("doc_a", "doc_b")
+        )
     j = (
         candidates.join(
             sets_df.select(

@@ -387,3 +387,59 @@ def test_lsh_max_bucket_guard(spark):
         for r in lsh_candidates(sigs, max_bucket=1000).collect()
     }
     assert uncapped_equiv == full  # cap above max bucket is a no-op
+
+
+def test_jaccard_length_prefilter_is_exact(spark, sf_dir):
+    """The size-ratio guard (J <= min/max) must not change results:
+    prefilter on vs off identical over the real LSH candidates, and on
+    an adversarial corpus sitting exactly ON the threshold boundary
+    (J == t with size ratio == t, plus a rounded-up J just under t)."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from gmall_realtime_flink_spark.plans.gmall import load
+
+    d = load(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(d))
+    on = {
+        tuple(r) for r in jaccard_verify(cand, d, threshold=0.2).collect()
+    }
+    off = {
+        tuple(r)
+        for r in jaccard_verify(
+            cand, d, threshold=0.2, length_prefilter=False
+        ).collect()
+    }
+    assert on == off and len(on) > 0
+
+    # Boundary corpus: doc 1 = 2-gram set of size 7 wholly contained in
+    # doc 2's set of size 35 => J = 7/35 = 0.2 exactly AND size ratio
+    # exactly 0.2 — the naive float guard (min >= 0.2*max, where
+    # 0.2*35 = 7.000000000000001 in doubles) would drop it.
+    # linear token chain: k+1 tokens -> k distinct 2-grams (tokenize
+    # keeps [a-z]+ runs only, so spell indices out in letters)
+    def w(prefix, i):
+        return prefix + "abcdefghijklmnopqrstuvwxyz"[i] * 2
+
+    chain = [w("t", i) for i in range(8)]  # 7 2-grams
+    chain_b = chain + [w("u", i) for i in range(28 - 26)] + [
+        w("v", i) for i in range(26)
+    ]  # 35 2-grams, superset
+    docs = spark.createDataFrame(
+        [(1, " ".join(chain)), (2, " ".join(chain_b))],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = {
+        tuple(r)
+        for r in jaccard_verify(pairs, docs, threshold=0.2).collect()
+    }
+    ref = {
+        tuple(r)
+        for r in jaccard_verify(
+            pairs, docs, threshold=0.2, length_prefilter=False
+        ).collect()
+    }
+    assert got == ref == {(1, 2, 0.2)}
