@@ -195,16 +195,16 @@ def jaccard_verify(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.2,
-    length_prefilter: bool = True,
+    length_prefilter: bool = False,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard over candidate pairs only.
 
     similarity = |A ∩ B| / |A ∪ B| over distinct shingle sets, rounded
     to 6dp for cross-engine float parity.
 
-    `length_prefilter` (default on) applies the size-ratio bound from
-    the similarity-join literature (PPJoin's length filter, Xiao et
-    al., WWW'08): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    `length_prefilter` applies the size-ratio bound from the
+    similarity-join literature (PPJoin's length filter, Xiao et al.,
+    WWW'08): |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
     J ≤ min/max — a pair whose set-size ratio is below the threshold
     cannot pass and is dropped BEFORE the wide shingle arrays are
     joined and intersected. The result is provably identical:
@@ -214,9 +214,16 @@ def jaccard_verify(
     - the comparison is exact integer arithmetic (min·q ≥ p·max with
       p/q the guard threshold as a rational), so no float-boundary
       behavior differs between engines.
-    At scale this turns the verify join from |candidates| wide rows
-    (two full shingle arrays each) into |survivors| wide rows, with
-    only a narrow (id, size) join added in front.
+    The prejoin replaces |candidates| wide shuffle rows (two full
+    shingle arrays each) with |survivors|, at the price of a narrow
+    (id, size) join and one extra shingle pass for the sizes. That
+    trade pays only when the pruning rate is material — i.e. when
+    document lengths are heavy-tailed, as in real web corpora.
+    Default OFF because it is measurably a loss on this synthetic
+    corpus's near-uniform lengths: at sf1 (50k docs, 3.98M candidate
+    pairs) the ratio bound prunes 1.4% and the verify ran 18.4 s →
+    25.9 s with the prejoin. Exactness in both modes is pinned by
+    test_jaccard_length_prefilter_is_exact.
     """
     sets_df = (
         docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))

@@ -2292,3 +2292,42 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(
         dropped, d["doc_id"] == dropped["dropped_id"], "left_anti"
     ).select("doc_id", "lang", "source")
+
+
+@register(
+    "token_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS token
+      FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+    t AS (SELECT count(*)::BIGINT AS total FROM toks)
+    SELECT token, cnt FROM c, t WHERE cnt * 30 > total * 1
+    """,
+    doc="EXACT frequent tokens (frequency > 1/30 of the corpus) via "
+    "the sketch-prefilter + exact-confirm pattern "
+    "(operators/sketches.py): per-partition Misra-Gries summaries "
+    "(bounded state, mergeable-summaries batch merge — Agarwal et "
+    "al., PODS'12) produce a no-false-negative candidate set; the "
+    "exact pass counts ONLY candidate rows (broadcast semi-join, "
+    "map-side combine). The oracle is the naive full groupBy — "
+    "identical output, but at 100 TB the naive form shuffles one "
+    "row per distinct token (billions for web text) while the "
+    "two-pass form shuffles <= |candidates| rows per partition. "
+    "Threshold compare is integer (cnt*30 > n), no float boundary.",
+    tags=("datapipe", "text", "sketch", "scale"),
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fractions import Fraction
+
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+    from gmall_realtime_flink_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    return heavy_hitters_exact(toks, "token", Fraction(1, 30))

@@ -404,13 +404,13 @@ def test_jaccard_length_prefilter_is_exact(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     cand = lsh_candidates(minhash_signatures(d))
     on = {
-        tuple(r) for r in jaccard_verify(cand, d, threshold=0.2).collect()
-    }
-    off = {
         tuple(r)
         for r in jaccard_verify(
-            cand, d, threshold=0.2, length_prefilter=False
+            cand, d, threshold=0.2, length_prefilter=True
         ).collect()
+    }
+    off = {
+        tuple(r) for r in jaccard_verify(cand, d, threshold=0.2).collect()
     }
     assert on == off and len(on) > 0
 
@@ -434,12 +434,12 @@ def test_jaccard_length_prefilter_is_exact(spark, sf_dir):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     got = {
         tuple(r)
-        for r in jaccard_verify(pairs, docs, threshold=0.2).collect()
+        for r in jaccard_verify(
+            pairs, docs, threshold=0.2, length_prefilter=True
+        ).collect()
     }
     ref = {
         tuple(r)
-        for r in jaccard_verify(
-            pairs, docs, threshold=0.2, length_prefilter=False
-        ).collect()
+        for r in jaccard_verify(pairs, docs, threshold=0.2).collect()
     }
     assert got == ref == {(1, 2, 0.2)}

@@ -486,3 +486,59 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     assert [n for n, _ in rows] == [1, 2, 4]
     recalls = [r for _, r in rows]
     assert recalls == sorted(recalls), recalls
+
+
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=300,
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+)
+@settings(max_examples=15, deadline=None)
+def test_heavy_hitters_exact_matches_counter(spark, items, parts):
+    """Two-pass Misra-Gries heavy hitters must equal the exact
+    frequency filter (count/n > phi) for ANY stream and ANY
+    partitioning — the sketch pass may differ per layout, the
+    confirmed result may not."""
+    from collections import Counter
+    from fractions import Fraction
+
+    from gmall_realtime_flink_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    phi = Fraction(1, 4)
+    df = spark.createDataFrame(
+        [(x,) for x in items], "token string"
+    ).repartition(parts)
+    got = {
+        (r["token"], r["cnt"])
+        for r in heavy_hitters_exact(df, "token", phi).collect()
+    }
+    n = len(items)
+    want = {
+        (tok, c)
+        for tok, c in Counter(items).items()
+        if c * phi.denominator > n * phi.numerator
+    }
+    assert got == want
+
+
+def test_misra_gries_candidates_cover_heavy_items(spark):
+    """The per-partition MG union must contain every item with global
+    frequency > 1/(capacity+1) — on an adversarial stream where the
+    heavy item is diluted by many distinct light items."""
+    from gmall_realtime_flink_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    # 30% heavy item + 70% all-distinct noise, shuffled deterministically
+    rows = ["hot"] * 300 + [f"noise{i}" for i in range(700)]
+    rows = [rows[i] for i in sorted(range(len(rows)), key=lambda i: (i * 131) % 1000)]
+    df = spark.createDataFrame([(x,) for x in rows], "token string").repartition(5)
+    cands = {
+        r["token"] for r in misra_gries_candidates(df, "token", 4).collect()
+    }
+    assert "hot" in cands
