@@ -91,3 +91,75 @@ def normalize_text(text_col: Column) -> Column:
     regexp_replace(..., 'g') so the oracle is a transliteration.
     """
     return F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
+
+
+def systematic_sample_by_weight(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    buckets: int = 256,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling: lay all
+    rows on a cumulative weight axis (token counts, byte sizes) in
+    content-stable md5 order and keep each row whose weight interval
+    [cum_before, cum_before + w) crosses a stride boundary, stride =
+    total/k — classic systematic PPS sampling, ~k rows out, heavy rows
+    proportionally more likely, reproducible on any engine and
+    partitioning.
+
+    The prefix sum is distributed, never a global window:
+    1. bucket = first-byte-pair of md5(id) (0..255) — bucket order
+       equals global hash-order prefix, so per-bucket cumsums + bucket
+       offsets compose into the exact global prefix sum;
+    2. per-bucket totals aggregate map-side (256 groups), and their
+       running offsets are a window over those 256 rows ONLY (a
+       single-partition window over `buckets` rows is metadata-sized
+       at any corpus scale — the data never passes through it);
+    3. offsets broadcast-join back; the per-row window partitions by
+       bucket — 256-way parallel, each window sees |corpus|/256 rows.
+
+    Selection arithmetic is all-integer (`(cum*k) div total`), so no
+    float stride boundary can disagree between engines. Weights must
+    be integral and non-negative.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    rows = df.select(
+        id_col,
+        F.col(weight_col).cast("long").alias("__w"),
+        h.alias("__h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("__b"),
+    )
+    per_bucket = rows.groupBy("__b").agg(F.sum("__w").alias("__bw"))
+    off_win = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "__b",
+        F.coalesce(F.sum("__bw").over(off_win), F.lit(0)).alias("__off"),
+        F.sum("__bw").over(
+            Window.orderBy("__b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    row_win = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = rows.join(F.broadcast(offsets), "__b").select(
+        id_col,
+        "__w",
+        (
+            F.col("__off")
+            + F.coalesce(F.sum("__w").over(row_win), F.lit(0))
+        ).alias("__cb"),
+        "__total",
+    )
+    return cum.filter(
+        F.expr(f"(__cb * {k}) div __total")
+        < F.expr(f"((__cb + __w) * {k}) div __total")
+    ).select(id_col, F.col("__w").alias("weight"), F.col("__cb").alias("cum_before"))

@@ -2331,3 +2331,49 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokenize(F.col("text"))).alias("token")
     )
     return heavy_hitters_exact(toks, "token", Fraction(1, 30))
+
+
+@register(
+    "doc_sample_token_budget",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> length(x) > 0))::BIGINT AS w,
+             md5(doc_id::VARCHAR) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             coalesce(sum(w) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             sum(w) OVER () AS total
+      FROM w)
+    SELECT doc_id, w AS weight, cb::BIGINT AS cum_before
+    FROM c WHERE (cb * 200) // total < ((cb + w) * 200) // total
+    """,
+    doc="Deterministic token-budget sampling (~200 docs, probability "
+    "proportional to token count): systematic PPS over the cumulative "
+    "token axis in content-stable md5 order — the 'sample N tokens "
+    "from this corpus slice' primitive of training-data mixing. The "
+    "oracle's global window is the semantics; the Spark plan "
+    "(operators/sampling.systematic_sample_by_weight) computes the "
+    "SAME prefix sum distributed: 256 md5-prefix buckets whose order "
+    "equals global hash order, per-bucket parallel windows, bucket "
+    "offsets from a window over 256 metadata rows only — no global "
+    "single-partition WindowExec ever sees data. Stride selection is "
+    "all-integer ((cum*k) div total), no float boundary.",
+    tags=("datapipe", "sampling", "scale"),
+)
+def doc_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+    from gmall_realtime_flink_spark.operators.sampling import (
+        systematic_sample_by_weight,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tok")
+    )
+    return systematic_sample_by_weight(
+        weighted, "doc_id", "n_tok", k=200
+    )

@@ -542,3 +542,47 @@ def test_misra_gries_candidates_cover_heavy_items(spark):
         r["token"] for r in misra_gries_candidates(df, "token", 4).collect()
     }
     assert "hot" in cands
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=120
+    ),
+    k=st.sampled_from([1, 5, 17]),
+    parts=st.sampled_from([1, 4]),
+)
+@settings(max_examples=15, deadline=None)
+def test_systematic_sample_matches_python_model(spark, weights, k, parts):
+    """Distributed-prefix-sum PPS sampling must equal the sequential
+    model (cumsum in (md5(id), id) order, keep rows whose weight
+    interval crosses a stride boundary) for ANY weights, k, and
+    partitioning."""
+    import hashlib
+
+    from gmall_realtime_flink_spark.operators.sampling import (
+        systematic_sample_by_weight,
+    )
+
+    total = sum(weights)
+    if total == 0:
+        return
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id long, w long"
+    ).repartition(parts)
+    got = {
+        (r["id"], r["weight"], r["cum_before"])
+        for r in systematic_sample_by_weight(df, "id", "w", k=k).collect()
+    }
+
+    order = sorted(
+        range(len(weights)),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )
+    want, cb = set(), 0
+    for i in order:
+        w = weights[i]
+        if (cb * k) // total < ((cb + w) * k) // total:
+            want.add((i, w, cb))
+        cb += w
+    assert got == want
+    assert len(want) <= k
