@@ -2377,3 +2377,62 @@ def doc_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return systematic_sample_by_weight(
         weighted, "doc_id", "n_tok", k=200
     )
+
+
+@register(
+    "corpus_mix_budget",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> length(x) > 0))::BIGINT AS w,
+             md5(doc_id::VARCHAR) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, w,
+             coalesce(sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+      FROM w)
+    SELECT doc_id, source, w AS n_tok, cb::BIGINT AS cum_before
+    FROM c WHERE cb < 800
+    """,
+    doc="Per-source token-budget cap (data mixing): each source "
+    "contributes documents in content-stable md5 order until its "
+    "800-token budget is exhausted — the 'cap domain X at N tokens' "
+    "primitive of training-mixture construction (the greedy prefix "
+    "rule: a doc is kept iff tokens before it are under budget, so "
+    "every engine and partitioning picks the identical prefix). "
+    "Plan: ONE shuffle on source; the prefix-sum window partitions "
+    "by source — parallel across sources, never a global window. At "
+    "100 TB with few giant sources, split the window key to "
+    "(source, md5-prefix bucket) exactly as systematic_sample_by_"
+    "weight does; the per-source form is the readable default.",
+    tags=("datapipe", "sampling", "mixing", "scale"),
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("w"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    win = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        w.select(
+            "doc_id",
+            "source",
+            F.col("w").alias("n_tok"),
+            F.coalesce(F.sum("w").over(win), F.lit(0)).alias("cum_before"),
+        )
+        .filter(F.col("cum_before") < 800)
+    )
