@@ -277,3 +277,43 @@ def test_similarity_topk_has_no_window_operator(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "similarity_topk")
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """The 100 TB shuffle reducer for selective joins: Spark's
+    InjectRuntimeFilter plants a bloom_filter_agg on the selective
+    (filtered orders) side and a might_contain predicate on the big
+    probe side BEFORE the shuffle — probe rows that cannot match never
+    leave the scan stage. Pin that the rule actually fires on this
+    build (it is config-gated and threshold-gated, so a silent
+    regression would otherwise look like a mere perf drift)."""
+    orig_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    orig_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # local testdata is far below the production thresholds; drop
+        # them so the rule sees the same shape it would at scale
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt.lower() or "bloomfilter" in opt.lower(), opt
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            orig_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bc)
