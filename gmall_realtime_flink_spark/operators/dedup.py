@@ -451,3 +451,73 @@ def connected_components(
         F.col("comp").alias("cluster_id"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+def prefix_filter_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """COMPLETE candidate pairs for Jaccard >= threshold via prefix
+    filtering (All-Pairs / PPJoin family — Bayardo et al. WWW'07,
+    Xiao et al. WWW'08): deterministic recall 1.0, unlike MinHash-LSH
+    banding whose recall is probabilistic.
+
+    Lemma: if J(A,B) >= t then |A∩B| >= ceil(t·max(|A|,|B|)); and two
+    sets with overlap >= α must collide within their first
+    (|s| − α + 1) elements under ANY single global token order. Using
+    each set's own α_s = ceil(t·|s|) keeps prefixes valid for both
+    sides (the smaller set's prefix only gets longer). So: pairs
+    sharing >= 1 prefix token ⊇ all pairs with J >= t, and an exact
+    verify on those candidates equals brute-force all-pairs — the
+    oracle-checkable completeness claim.
+
+    The global order is (document frequency ASC, token) — rarest
+    first, the standard trick that shrinks candidate volume: a token
+    appearing in d docs contributes at most d(d-1)/2 pairs, so
+    prefixes made of rare tokens keep the join near-linear. Plan:
+    one df-count shuffle, one per-doc rank window (partitioned by
+    doc — parallel), one self-equi-join on the prefix token. All
+    integer arithmetic (ceil via div), JVM-side throughout.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    t = Fraction(str(threshold))
+    p, q = t.numerator, t.denominator
+    sets_df = (
+        docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= n + 1)
+        .select(id_col, F.array_distinct(shingles("toks", n)).alias("sset"))
+    )
+    tok = sets_df.select(
+        id_col, F.size("sset").alias("sz"), F.explode("sset").alias("sh")
+    )
+    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    pos_win = Window.partitionBy(id_col).orderBy("df", "sh")
+    ranked = tok.join(dfreq, "sh").withColumn(
+        "pos", F.row_number().over(pos_win)
+    )
+    # prefix length L = sz - ceil(t*sz) + 1, ceil computed as integer
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(f"(({p} * sz + {q} - 1) div {q})")
+        + F.lit(1)
+    ).select(id_col, "sh")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -586,3 +586,51 @@ def test_systematic_sample_matches_python_model(spark, weights, k, parts):
         cb += w
     assert got == want
     assert len(want) <= k
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    thresh=st.sampled_from([0.2, 0.5]),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefix_filter_is_complete(spark, docs, thresh):
+    """Prefix-filter candidates + exact verify must equal brute-force
+    all-pairs Jaccard >= t for ANY corpus — the All-Pairs/PPJoin
+    completeness lemma, checked with a Python brute force."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        jaccard_verify,
+        prefix_filter_candidates,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    cand = prefix_filter_candidates(frame, threshold=thresh)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verify(cand, frame, threshold=thresh).collect()
+    }
+
+    def sset(toks):
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    want = set()
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            b = docs[j]
+            sa, sb = sset(a), sset(b)
+            if not sa or not sb:
+                continue
+            jac = round(len(sa & sb) / len(sa | sb), 6)
+            if jac >= thresh:
+                want.add((i, j))
+    assert got == want
