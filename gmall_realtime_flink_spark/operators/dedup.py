@@ -507,13 +507,29 @@ def prefix_filter_candidates(
         <= F.col("sz")
         - F.expr(f"(({p} * sz + {q} - 1) div {q})")
         + F.lit(1)
-    ).select(id_col, "sh")
+    ).select(id_col, "sz", "sh")
+    # length filter fused into the candidate join (J <= min/max, so a
+    # size-ratio below threshold can never qualify): sizes ride along
+    # in the prefix frame, so this costs zero extra joins and prunes
+    # BEFORE the distinct and the verify. Guard at t - 1e-6 in integer
+    # arithmetic — provably loose against the verify's 6dp rounding
+    # (same reasoning as jaccard_verify's prefilter). Sharp exactly
+    # where prefix filtering is used (high t): at t=0.8 only pairs
+    # within 25% of each other's size survive.
+    from fractions import Fraction as _Fr
+
+    g = _Fr(str(threshold)) - _Fr(1, 10**6)
+    gp, gq = g.numerator, g.denominator
     a, b = prefix.alias("a"), prefix.alias("b")
     return (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * F.lit(gq)
+                >= F.lit(gp) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),

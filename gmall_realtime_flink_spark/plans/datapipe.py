@@ -2467,10 +2467,10 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(i::DOUBLE / (x.n + y.n - i), 6) AS jaccard
       FROM inter JOIN sz x ON inter.doc_a = x.doc_id
                  JOIN sz y ON inter.doc_b = y.doc_id
-    ) WHERE jaccard >= 0.2
+    ) WHERE jaccard >= 0.8
     """,
     doc="COMPLETE exact similarity self-join (every pair with 2-gram "
-    "Jaccard >= 0.2) via prefix filtering (All-Pairs/PPJoin — Bayardo "
+    "Jaccard >= 0.8) via prefix filtering (All-Pairs/PPJoin — Bayardo "
     "et al. WWW'07): deterministic recall 1.0, the alternative to "
     "MinHash-LSH when missing a duplicate is not acceptable. The "
     "ORACLE is brute-force all-pairs — the engine's "
@@ -2480,7 +2480,12 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on prefix tokens (rare tokens => near-linear pair volume), "
     "exact verify on candidates only — the all-pairs product exists "
     "ONLY in the oracle, never in the engine "
-    "(operators/dedup.prefix_filter_candidates).",
+    "(operators/dedup.prefix_filter_candidates). The threshold IS "
+    "the scale knob: prefix length = sz - ceil(t*sz) + 1, so t=0.8 "
+    "prefixes are ~20% of each set (9.6M candidate pairs at t=0.2 "
+    "on sf0.1's 31-word vocabulary vs ~0.4M at t=0.8); completeness "
+    "at low t on degenerate vocabularies costs what it must — use "
+    "LSH there and accept probabilistic recall.",
     tags=("datapipe", "dedup", "jaccard", "scale"),
 )
 def dedup_jaccard_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2490,5 +2495,5 @@ def dedup_jaccard_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    cand = prefix_filter_candidates(d, threshold=0.2)
-    return jaccard_verify(cand, d, threshold=0.2)
+    cand = prefix_filter_candidates(d, threshold=0.8)
+    return jaccard_verify(cand, d, threshold=0.8)

@@ -50,6 +50,10 @@ EXTRA = [
     "brand_price_iqr_udaf",
     "dedup_minhash_lsh_capped",
     "similarity_recall_curve",
+    "token_heavy_hitters",
+    "doc_sample_token_budget",
+    "corpus_mix_budget",
+    "dedup_jaccard_complete",
 ]
 
 
