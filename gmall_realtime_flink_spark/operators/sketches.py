@@ -22,7 +22,9 @@ is a superset of every item with frequency > 1/(m+1).
 The sketch pass is the one deliberate Python stage (Arrow-batched
 mapInPandas, vectorized pandas value_counts per batch — never
 per-row Python); the confirm pass is pure JVM: broadcast semi-join +
-map-side-combined count.
+map-side-combined count. Exactly TWO scans of the input total: the
+stream's total count rides out of the sketch pass as one sentinel row
+per partition, so no third counting scan is needed.
 """
 
 from __future__ import annotations
@@ -40,17 +42,22 @@ def misra_gries_candidates(
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries (capacity counters each).
 
-    Output: one row per retained item per partition (duplicates across
-    partitions possible — callers distinct() or semi-join). Retains
-    every item whose in-partition count exceeds n_p/(capacity+1);
-    unioned over partitions that covers every item with global count
-    > n/(capacity+1).
+    Output: one row per retained item per partition with `__pn` null
+    (duplicates across partitions possible — callers distinct() or
+    semi-join), plus ONE sentinel row per partition (`item_col` null,
+    `__pn` = the partition's item count) so downstream can recover the
+    stream's total without re-scanning. Retains every item whose
+    in-partition count exceeds n_p/(capacity+1); unioned over
+    partitions that covers every item with global count >
+    n/(capacity+1).
     """
-    schema = f"{item_col} string"
+    schema = f"{item_col} string, __pn long"
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             vc = pdf[item_col].value_counts()
             for item, c in vc.items():
                 counters[item] = counters.get(item, 0) + int(c)
@@ -61,7 +68,12 @@ def misra_gries_candidates(
                 counters = {
                     k: v - cut for k, v in counters.items() if v - cut > 0
                 }
-        yield pd.DataFrame({item_col: list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                item_col: list(counters.keys()) + [None],
+                "__pn": [None] * len(counters) + [n],
+            }
+        )
 
     return items.select(item_col).mapInPandas(summarize, schema)
 
@@ -75,21 +87,29 @@ def heavy_hitters_exact(
     rows only. The threshold compare is integer arithmetic
     (cnt * q > n * p for phi = p/q) — no float boundary.
 
+    The summary is collected driver-side ONCE — it is metadata-sized
+    by construction (at most capacity+1 rows per partition, e.g.
+    31k rows for 1000 partitions at phi=1/30) — which both derives
+    the total item count from the sentinel rows and feeds the
+    candidate set back as a broadcast, keeping the whole operator at
+    exactly two scans of the input.
+
     Returns (item_col, cnt) for every item with cnt/n > phi.
     """
     capacity = -(-phi.denominator // phi.numerator)  # ceil(1/phi)
-    cands = misra_gries_candidates(items, item_col, capacity).distinct()
-    total = items.agg(F.count(F.lit(1)).alias("__n"))
+    summary = misra_gries_candidates(items, item_col, capacity).collect()
+    total = sum(r["__pn"] for r in summary if r[item_col] is None)
+    cand_rows = sorted({r[item_col] for r in summary if r[item_col] is not None})
+    spark = items.sparkSession
+    cands = spark.createDataFrame(
+        [(c,) for c in cand_rows], f"{item_col} string"
+    )
     confirmed = (
         items.join(F.broadcast(cands), item_col)
         .groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return (
-        confirmed.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("cnt") * F.lit(phi.denominator)
-            > F.col("__n") * F.lit(phi.numerator)
-        )
-        .select(item_col, "cnt")
-    )
+    return confirmed.filter(
+        F.col("cnt") * F.lit(phi.denominator)
+        > F.lit(int(total)) * F.lit(phi.numerator)
+    ).select(item_col, "cnt")

@@ -538,10 +538,11 @@ def test_misra_gries_candidates_cover_heavy_items(spark):
     rows = ["hot"] * 300 + [f"noise{i}" for i in range(700)]
     rows = [rows[i] for i in sorted(range(len(rows)), key=lambda i: (i * 131) % 1000)]
     df = spark.createDataFrame([(x,) for x in rows], "token string").repartition(5)
-    cands = {
-        r["token"] for r in misra_gries_candidates(df, "token", 4).collect()
-    }
+    summary = misra_gries_candidates(df, "token", 4).collect()
+    cands = {r["token"] for r in summary if r["token"] is not None}
     assert "hot" in cands
+    # sentinel rows must reconstruct the exact stream size
+    assert sum(r["__pn"] for r in summary if r["token"] is None) == 1000
 
 
 @given(
