@@ -422,3 +422,66 @@ def knn_self_join(
         .filter(F.col("rk") <= k)
         .select("vec_a", "vec_b", "cos_sim", "rk")
     )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame, k: int = 3, bits: int = 4
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the
+    top-k most-similar vectors carrying a DIFFERENT label — the pairs
+    a contrastive / metric-learning trainer wants as negatives
+    (random negatives are trivially easy; the hard ones live near the
+    decision boundary, i.e. high cosine, different class).
+
+    Same scale posture as `knn_self_join`: candidates restricted to
+    the sign-bit coarse cell (one bucketed self-equi-join, never the
+    N² cross product) — which is exactly the right recall trade here,
+    because a different-label vector OUTSIDE the anchor's cell is by
+    construction far away and would never be a hard negative. Norms
+    fold once per vector before the join; ranking is a per-anchor
+    partitioned window on (rounded sim DESC, neighbor id) so ties are
+    deterministic cross-engine. At 100 TB the bucket id is the
+    shuffle/storage-partition key and `bits` tunes cell size.
+    """
+    e = (
+        embeddings.select(
+            "vec_id",
+            "label",
+            F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
+        )
+        .withColumn("bucket", sign_bucket("emb", bits))
+        .withColumn("nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb"))))
+    )
+    a = e.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(
+        F.col("anchor_label") != F.col("neg_label")
+    )
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    scored = pairs.withColumn(
+        "cos_sim",
+        F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6) + F.lit(0.0),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "anchor_id", "anchor_label", "neg_id", "neg_label",
+            "cos_sim", "rk",
+        )
+    )

@@ -2497,3 +2497,148 @@ def dedup_jaccard_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cand = prefix_filter_candidates(d, threshold=0.8)
     return jaccard_verify(cand, d, threshold=0.8)
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings)
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rk
+    FROM (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                        b.vec_id) AS rk
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.label <> b.label)
+    WHERE rk <= 3
+    """,
+    doc="Contrastive hard-negative mining: every anchor's top-3 "
+    "most-similar DIFFERENT-label vectors — the training-pair "
+    "primitive of contrastive / metric learning (random negatives "
+    "are easy; hard ones sit near the boundary: high cosine, other "
+    "class). Candidates restricted to the sign-bit cell — which is "
+    "the right recall trade by construction: an out-of-cell vector "
+    "is far away and never a hard negative. One bucketed "
+    "self-equi-join, per-vector norms folded once before the join, "
+    "per-anchor partitioned-window rank with deterministic ties "
+    "(operators/similarity.hard_negative_pairs).",
+    tags=("datapipe", "similarity", "training", "scale"),
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return hard_negative_pairs(e, k=3, bits=4)
+
+
+@register(
+    "doc_lm_surprisal",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    v AS (
+      SELECT count(DISTINCT w)::BIGINT AS vsz
+      FROM (SELECT unnest(toks) AS w FROM t)),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM t WHERE len(toks) >= 2),
+    bgf AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
+    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bgf GROUP BY 1),
+    c12 AS (SELECT b, count(*)::BIGINT AS c12 FROM bgf GROUP BY 1),
+    sc AS (
+      SELECT doc_id,
+             CAST(round(-log2((c12.c12 + 1.0) / (c1.c1 + v.vsz)), 6) + 0.0
+                  AS DECIMAL(18,6)) AS s
+      FROM bgf JOIN c1 USING (w1) JOIN c12 USING (b) CROSS JOIN v)
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(sum(s)::DOUBLE / count(*), 6) + 0.0 AS avg_surprisal
+    FROM sc GROUP BY doc_id
+    """,
+    doc="Bigram-LM surprisal scoring (the CCNet-style perplexity "
+    "quality filter): train add-one-smoothed bigram counts on the "
+    "corpus itself, score every document by its mean per-bigram "
+    "surprisal -log2 P(w2|w1) — high mean surprisal = improbable "
+    "word sequences = boilerplate/garbled text a quality gate drops. "
+    "Cross-engine hash determinism: each bigram's surprisal is a "
+    "round-6 double snapped to DECIMAL(18,6) BEFORE the per-doc sum, "
+    "so the reduction is exact-decimal (order-independent across "
+    "partitionings and engines); only then one correctly-rounded "
+    "double division by the bigram count. Plan: two vocabulary-grain "
+    "count aggs (map-side combinable), then two equi-joins back onto "
+    "the exploded bigram stream — at 100 TB both count tables are "
+    "vocabulary-sized (≪ corpus), broadcastable for natural-language "
+    "vocabularies; the heavy-tailed bigram key is AQE skew-join "
+    "territory otherwise. V rides as a broadcast scalar.",
+    tags=("datapipe", "text", "quality", "scale"),
+)
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    vsz = t.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("long").alias("vsz")
+    )
+    bgf = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(element_at(toks, i), ' ', "
+                    "element_at(toks, i + 1)))"
+                )
+            ).alias("b"),
+        )
+        .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
+    )
+    c1 = bgf.groupBy("w1").agg(F.count("*").alias("c1"))
+    c12 = bgf.groupBy("b").agg(F.count("*").alias("c12"))
+    scored = (
+        bgf.join(c1, "w1")
+        .join(c12, "b")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            (
+                F.round(
+                    -F.log2(
+                        (F.col("c12") + F.lit(1.0))
+                        / (F.col("c1") + F.col("vsz"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (
+            F.round(
+                F.sum("s").cast("double") / F.count("*"), 6
+            )
+            + F.lit(0.0)
+        ).alias("avg_surprisal"),
+    )

@@ -43,9 +43,14 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     spec = sys.argv[1] if len(sys.argv) > 1 else "50"
+    names = None
     if ":" in spec:
         s, e = spec.split(":", 1)
         start, end = int(s or 0), int(e) if e else None
+    elif spec and not spec.isdigit():
+        # comma-separated entry names: verify exactly these (used for
+        # incremental sf1 evidence on entries added after a full pass)
+        names, start, end = spec.split(","), 0, None
     else:
         start, end = 0, int(spec)
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -72,10 +77,15 @@ def main() -> int:
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
 
+    slice_label = (
+        ",".join(names)
+        if names is not None
+        else f"{start}:{end if end is not None else ''}"
+    )
     bad = []
     results = {}
     t_all = time.time()
-    for q in list(qs)[start:end]:
+    for q in (names if names is not None else list(qs)[start:end]):
         t0 = time.time()
         try:
             got = qs[q](spark, sf_dir).toPandas()
@@ -92,14 +102,14 @@ def main() -> int:
             flush=True,
         )
         if json_out:
-            _dump(json_out, start, end, sf_dir, bad, results, t_all)
+            _dump(json_out, slice_label, sf_dir, bad, results, t_all)
     print(f"TOTAL {time.time() - t_all:.1f}s BAD: {bad}", flush=True)
     if json_out:
-        _dump(json_out, start, end, sf_dir, bad, results, t_all)
+        _dump(json_out, slice_label, sf_dir, bad, results, t_all)
     return 1 if bad else 0
 
 
-def _dump(json_out, start, end, sf_dir, bad, results, t_all) -> None:
+def _dump(json_out, slice_label, sf_dir, bad, results, t_all) -> None:
     """Rewrite the artifact after every entry — a multi-hour sf1 run
     stays observable and a crash loses one entry, not the run."""
     import json
@@ -107,7 +117,7 @@ def _dump(json_out, start, end, sf_dir, bad, results, t_all) -> None:
     with open(json_out, "w") as f:
         json.dump(
             {
-                "slice": f"{start}:{end if end is not None else ''}",
+                "slice": slice_label,
                 "sf_dir": sf_dir,
                 "checked": len(results),
                 "bad": bad,
