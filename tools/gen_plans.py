@@ -54,6 +54,8 @@ EXTRA = [
     "doc_sample_token_budget",
     "corpus_mix_budget",
     "dedup_jaccard_complete",
+    "contrastive_hard_negatives",
+    "doc_lm_surprisal",
 ]
 
 
