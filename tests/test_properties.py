@@ -635,3 +635,41 @@ def test_prefix_filter_is_complete(spark, docs, thresh):
             if jac >= thresh:
                 want.add((i, j))
     assert got == want
+
+
+def test_hard_negatives_match_bruteforce_within_bucket(spark, sf_dir):
+    """hard_negative_pairs' rank-1 negative equals the numpy
+    brute-force argmax over DIFFERENT-label vectors in the same
+    sign-bucket cell, and every returned pair crosses labels."""
+    import numpy as np
+
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    rows = hard_negative_pairs(e, k=1, bits=4).filter("rk = 1").collect()
+    assert all(r["anchor_label"] != r["neg_label"] for r in rows)
+    got = {r["anchor_id"]: r["neg_id"] for r in rows}
+
+    pdf = e.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    labels = pdf.label.to_numpy()
+    bucket = sum(((V[:, i] >= 0).astype(int) << i) for i in range(4))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    raw = Vn @ Vn.T
+    # HALF_UP away from zero, matching Spark F.round (np.round is
+    # half-even and would flip rank ties on .xxxxx5 boundaries)
+    sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+
+    for a in range(len(ids)):
+        cell = np.where(
+            (bucket == bucket[a]) & (labels != labels[a])
+        )[0]
+        if len(cell) == 0:
+            assert ids[a] not in got
+            continue
+        best = cell[np.lexsort((ids[cell], -sims[a, cell]))][0]
+        assert got[ids[a]] == ids[best], f"anchor {ids[a]}"

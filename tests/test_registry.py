@@ -71,6 +71,7 @@ PARTITION_INVARIANCE_SAMPLE = [
     "corpus_shuffle",         # partitioned rank
     "doc_pack",               # partitioned running sum
     "user_sessions_native",   # session windows + ordinal
+    "doc_lm_surprisal",       # decimal-snapped float reduction
 ]
 
 
