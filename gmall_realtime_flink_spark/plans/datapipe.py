@@ -2564,12 +2564,13 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 AS (SELECT b, count(*)::BIGINT AS c12 FROM bgf GROUP BY 1),
     sc AS (
       SELECT doc_id,
-             CAST(round(-log2((c12.c12 + 1.0) / (c1.c1 + v.vsz)), 6) + 0.0
-                  AS DECIMAL(18,6)) AS s
+             CAST(round(-log2((c12.c12 + 1.0) / (c1.c1 + v.vsz))
+                        * 1000000.0) AS BIGINT) AS sm
       FROM bgf JOIN c1 USING (w1) JOIN c12 USING (b) CROSS JOIN v)
     SELECT doc_id,
            count(*)::BIGINT AS n_bigrams,
-           round(sum(s)::DOUBLE / count(*), 6) + 0.0 AS avg_surprisal
+           ((2 * sum(sm) + count(*)) // (2 * count(*)))::DOUBLE
+             / 1000000.0 AS avg_surprisal
     FROM sc GROUP BY doc_id
     """,
     doc="Bigram-LM surprisal scoring (the CCNet-style perplexity "
@@ -2577,11 +2578,17 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus itself, score every document by its mean per-bigram "
     "surprisal -log2 P(w2|w1) — high mean surprisal = improbable "
     "word sequences = boilerplate/garbled text a quality gate drops. "
-    "Cross-engine hash determinism: each bigram's surprisal is a "
-    "round-6 double snapped to DECIMAL(18,6) BEFORE the per-doc sum, "
-    "so the reduction is exact-decimal (order-independent across "
-    "partitionings and engines); only then one correctly-rounded "
-    "double division by the bigram count. Plan: two vocabulary-grain "
+    "Cross-engine hash determinism: each bigram's surprisal is "
+    "snapped to an INTEGER micro-bit count (round(x*1e6) -> BIGINT) "
+    "BEFORE the per-doc sum, so the reduction is exact-integer "
+    "(order-independent across partitionings and engines), and the "
+    "mean is integer HALF-UP ((2*sum+n) div (2n)) — per-doc means "
+    "land exactly on .5e-6 ties with probability ~1/n (the 6dp sum "
+    "is divided by small n), and double-rounding such ties is where "
+    "engines disagree (measured: 8/50k docs at sf1), so the tie is "
+    "decided in integer arithmetic; the only remaining float step is "
+    "one correctly-rounded int->double division. Plan: two "
+    "vocabulary-grain "
     "count aggs (map-side combinable), then two equi-joins back onto "
     "the exploded bigram stream — at 100 TB both count tables are "
     "vocabulary-sized (≪ corpus), broadcastable for natural-language "
@@ -2619,26 +2626,21 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
-            (
-                F.round(
-                    -F.log2(
-                        (F.col("c12") + F.lit(1.0))
-                        / (F.col("c1") + F.col("vsz"))
-                    ),
-                    6,
+            F.round(
+                -F.log2(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("c1") + F.col("vsz"))
                 )
-                + F.lit(0.0)
+                * F.lit(1000000.0)
             )
-            .cast("decimal(18,6)")
-            .alias("s"),
+            .cast("long")
+            .alias("sm"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         (
-            F.round(
-                F.sum("s").cast("double") / F.count("*"), 6
-            )
-            + F.lit(0.0)
+            F.expr("CAST((2 * sum(sm) + count(*)) DIV (2 * count(*)) AS DOUBLE)")
+            / F.lit(1000000.0)
         ).alias("avg_surprisal"),
     )
