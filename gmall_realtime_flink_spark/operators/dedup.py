@@ -459,6 +459,7 @@ def prefix_filter_candidates(
     text_col: str = "text",
     n: int = 2,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """COMPLETE candidate pairs for Jaccard >= threshold via prefix
     filtering (All-Pairs / PPJoin family — Bayardo et al. WWW'07,
@@ -484,6 +485,20 @@ def prefix_filter_candidates(
     join condition (both exactness-preserving; the positional filter
     alone cuts candidates 1.50M -> 0.67M at sf0.1/t=0.8). All
     integer arithmetic (ceil via div), JVM-side throughout.
+
+    `max_df` is the adversarial-corpus control (the same hot-bucket
+    cap as LSH): prefix tokens appearing in more than `max_df` docs
+    are dropped BEFORE the self-join, bounding any token's pair
+    contribution at max_df·(max_df−1)/2. Unlike LSH's probabilistic
+    loss, the degradation is exact and observable — completeness is
+    lost only for pairs whose EVERY shared prefix token is hot, and
+    the dropped tokens are enumerable (df is already computed). The
+    positional filter is DISABLED in capped mode: its overlap bound
+    is proven only for a pair's first common token, which the cap
+    may have dropped — pruning a later collision could then lose a
+    pair the cap alone would keep, breaking the only-hot-pairs
+    guarantee above. Default None preserves recall 1.0 (the
+    oracle-gated semantics).
     """
     from fractions import Fraction
 
@@ -510,7 +525,13 @@ def prefix_filter_candidates(
         <= F.col("sz")
         - F.expr(f"(({p} * sz + {q} - 1) div {q})")
         + F.lit(1)
-    ).select(id_col, "sz", "pos", "sh")
+    )
+    if max_df is not None:
+        # hot-token guard: applied AFTER prefix selection so `pos`
+        # keeps its meaning for the positional filter (positions are
+        # ranks in the full df-ordered permutation either way)
+        prefix = prefix.filter(F.col("df") <= max_df)
+    prefix = prefix.select(id_col, "sz", "pos", "sh")
     # length filter fused into the candidate join (J <= min/max, so a
     # size-ratio below threshold can never qualify): sizes ride along
     # in the prefix frame, so this costs zero extra joins and prunes
@@ -537,19 +558,23 @@ def prefix_filter_candidates(
     ubound = F.lit(1) + F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
+    cond = (
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            F.least(F.col("a.sz"), F.col("b.sz")) * F.lit(gq)
+            >= F.lit(gp) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+    )
+    if max_df is None:
+        cond = cond & (
+            ubound * F.lit(gp + gq)
+            >= F.lit(gp) * (F.col("a.sz") + F.col("b.sz"))
+        )
     return (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (
-                F.least(F.col("a.sz"), F.col("b.sz")) * F.lit(gq)
-                >= F.lit(gp) * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            )
-            & (
-                ubound * F.lit(gp + gq)
-                >= F.lit(gp) * (F.col("a.sz") + F.col("b.sz"))
-            ),
+            cond,
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),

@@ -443,3 +443,44 @@ def test_jaccard_length_prefilter_is_exact(spark, sf_dir):
         for r in jaccard_verify(pairs, docs, threshold=0.2).collect()
     }
     assert got == ref == {(1, 2, 0.2)}
+
+
+def test_prefix_filter_max_df_guard(spark):
+    """The hot-prefix-token guard mirrors LSH's max_bucket: a token in
+    more than max_df docs is dropped from prefixes, killing the
+    boilerplate clique while rare duplicate pairs survive. A cap above
+    the largest df must reproduce the uncapped candidate set exactly
+    (modulo the positional filter, which capped mode turns off, so the
+    capped-loose set must be a superset of the uncapped one)."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rare = "completely unique ridge pattern sentence with many words inside"
+    rows = [(i, boiler) for i in range(40)] + [(100, rare), (101, rare)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_candidates(docs, threshold=0.8).collect()
+    }
+    assert (100, 101) in full
+    assert len(full) >= 40 * 39 // 2  # boilerplate clique present
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_candidates(
+            docs, threshold=0.8, max_df=10
+        ).collect()
+    }
+    assert (100, 101) in capped  # rare dup survives (df = 2 per shingle)
+    assert not any(a < 40 and b < 40 for a, b in capped)  # clique gone
+
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_candidates(
+            docs, threshold=0.8, max_df=10_000
+        ).collect()
+    }
+    assert loose >= full  # no-op cap only re-admits positional prunes
