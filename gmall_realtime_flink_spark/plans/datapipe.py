@@ -2560,8 +2560,9 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i -> toks[i] || ' ' || toks[i+1])) AS b
       FROM t WHERE len(toks) >= 2),
     bgf AS (SELECT doc_id, b, string_split(b, ' ')[1] AS w1 FROM bg),
-    c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bgf GROUP BY 1),
     c12 AS (SELECT b, count(*)::BIGINT AS c12 FROM bgf GROUP BY 1),
+    c1 AS (SELECT string_split(b, ' ')[1] AS w1, sum(c12)::BIGINT AS c1
+           FROM c12 GROUP BY 1),
     sc AS (
       SELECT doc_id,
              CAST(round(-log2((c12.c12 + 1.0) / (c1.c1 + v.vsz))
@@ -2587,13 +2588,15 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is divided by small n), and double-rounding such ties is where "
     "engines disagree (measured: 8/50k docs at sf1), so the tie is "
     "decided in integer arithmetic; the only remaining float step is "
-    "one correctly-rounded int->double division. Plan: two "
-    "vocabulary-grain "
-    "count aggs (map-side combinable), then two equi-joins back onto "
-    "the exploded bigram stream — at 100 TB both count tables are "
-    "vocabulary-sized (≪ corpus), broadcastable for natural-language "
-    "vocabularies; the heavy-tailed bigram key is AQE skew-join "
-    "territory otherwise. V rides as a broadcast scalar.",
+    "one correctly-rounded int->double division. Plan: ONE "
+    "corpus-grain bigram count agg (map-side combinable); the "
+    "unigram count table is derived FROM it at vocabulary grain "
+    "(c(w1) = sum of c(w1,·)) rather than a third corpus "
+    "scan+explode; then two equi-joins back onto the exploded bigram "
+    "stream — at 100 TB both count tables are vocabulary-sized "
+    "(≪ corpus), broadcastable for natural-language vocabularies; "
+    "the heavy-tailed bigram key is AQE skew-join territory "
+    "otherwise. V rides as a broadcast scalar.",
     tags=("datapipe", "text", "quality", "scale"),
 )
 def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2618,8 +2621,12 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
     )
-    c1 = bgf.groupBy("w1").agg(F.count("*").alias("c1"))
     c12 = bgf.groupBy("b").agg(F.count("*").alias("c12"))
+    # c(w1) = sum of c(w1,·): derived from the bigram count table —
+    # vocabulary-grain input — instead of a third corpus scan+explode
+    c1 = c12.groupBy(
+        F.split(F.col("b"), " ").getItem(0).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
     scored = (
         bgf.join(c1, "w1")
         .join(c12, "b")
