@@ -125,6 +125,62 @@ def minhash_signatures(
     return sh.select(id_col, *minhash_cols("sh", num_hashes, hash_impl))
 
 
+def _band_rows(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    rows_per_band: int,
+    hash_impl: str,
+) -> DataFrame:
+    """Unpivot a signature frame to (id, band, band_hash) rows via
+    stack() — the shared first half of every LSH banding join."""
+    pairs = band_cols(num_hashes, rows_per_band, hash_impl)
+    stack_expr = ", ".join(f"{j}, b{j}" for j, _ in pairs)
+    return signatures.select(
+        id_col, *[c.alias(f"b{j}") for j, c in pairs]
+    ).selectExpr(
+        id_col,
+        f"stack({len(pairs)}, {stack_expr}) as (band, band_hash)",
+    )
+
+
+def lsh_candidates_cross(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+    hash_impl: str = "md5",
+) -> DataFrame:
+    """Banded candidate pairs ACROSS two frames (new_id, old_id) — the
+    incremental-ingest form of `lsh_candidates`: a new batch is banded
+    against the existing corpus only, never against itself and never
+    the corpus against itself. Pair volume is |new ⋈ corpus bucket
+    collisions|, proportional to the ingest size, not the corpus.
+
+    At 100 TB the corpus-side band rows are a persisted index (4 rows
+    per doc, band-hash partitioned); a daily batch probes it with one
+    shuffle-on-band-hash join — the corpus is never re-signed. Here
+    both sides are computed from documents; the plan still joins
+    |new bands| against |corpus bands| on the uniform 128-bit key.
+    """
+    a = _band_rows(sig_new, id_col, num_hashes, rows_per_band, hash_impl)
+    b = _band_rows(sig_old, id_col, num_hashes, rows_per_band, hash_impl)
+    return (
+        a.select(
+            F.col(id_col).alias("new_id"), "band", "band_hash"
+        )
+        .join(
+            b.select(
+                F.col(id_col).alias("old_id"), "band", "band_hash"
+            ),
+            ["band", "band_hash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+
 def lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -151,14 +207,7 @@ def lsh_candidates(
     no extra shuffle); genuine duplicate pairs live in small buckets
     and survive. None (default) keeps the oracle-exact behavior.
     """
-    pairs = band_cols(num_hashes, rows_per_band, hash_impl)
-    stack_expr = ", ".join(f"{j}, b{j}" for j, _ in pairs)
-    bands = signatures.select(
-        id_col, *[c.alias(f"b{j}") for j, c in pairs]
-    ).selectExpr(
-        id_col,
-        f"stack({len(pairs)}, {stack_expr}) as (band, band_hash)",
-    )
+    bands = _band_rows(signatures, id_col, num_hashes, rows_per_band, hash_impl)
     # repartition on the join key so both sides of the self-join share
     # one identical exchange: ReuseExchange then computes the (md5-heavy)
     # signatures ONCE instead of once per side — at 100 TB the signature

@@ -2651,3 +2651,63 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("avg_surprisal"),
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    xc AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      FROM bands a
+      JOIN src sa ON a.doc_id = sa.doc_id AND sa.source = 'src0'
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      JOIN src sb ON b.doc_id = sb.doc_id AND sb.source <> 'src0'),
+    sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM s),
+    rejected AS (
+      SELECT DISTINCT xc.new_id
+      FROM xc
+      JOIN sets x ON xc.new_id = x.doc_id
+      JOIN sets y ON xc.old_id = y.doc_id
+      WHERE round(len(list_intersect(x.sset, y.sset))::DOUBLE
+                  / len(list_distinct(x.sset || y.sset)), 6) >= 0.5)
+    SELECT d.doc_id FROM documents d
+    WHERE d.source = 'src0'
+      AND d.doc_id NOT IN (SELECT new_id FROM rejected)
+    """,
+    doc="Incremental NEAR-dup admission: a new ingest batch (source = "
+    "src0) is MinHash-banded against the existing corpus (every "
+    "other source) — never against itself, never corpus×corpus — "
+    "then exact-Jaccard-verified on the cross candidates only; docs "
+    "with a corpus near-dup at J >= 0.5 are rejected via LEFT ANTI. "
+    "The probabilistic sibling of dedup_incremental (which catches "
+    "only byte-identical content): the daily-ingest shape of the "
+    "full LSH pipeline. Plan/scale: candidate volume is proportional "
+    "to the INGEST size, not the corpus; at 100 TB the corpus band "
+    "rows are a persisted band-hash-partitioned index the daily "
+    "batch probes with one shuffle join — the corpus is never "
+    "re-signed (operators/dedup.lsh_candidates_cross).",
+    tags=("datapipe", "dedup", "minhash", "lsh", "scale"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates_cross,
+        minhash_signatures,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    cand = lsh_candidates_cross(
+        minhash_signatures(new), minhash_signatures(corpus)
+    ).select(
+        F.col("new_id").alias("doc_a"), F.col("old_id").alias("doc_b")
+    )
+    rejected = (
+        jaccard_verify(cand, d, threshold=0.5)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    return new.select("doc_id").join(rejected, "doc_id", "left_anti")
