@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gmall_realtime_flink_spark.plans import datapipe
 from gmall_realtime_flink_spark.plans.registry import register
 from gmall_realtime_flink_spark.streaming import jobs
 
@@ -465,6 +466,43 @@ def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_order_wide_left(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_minhash",
+    oracle=f"""
+    WITH {datapipe._MINHASH_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    xc AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      FROM bands a
+      JOIN src sa ON a.doc_id = sa.doc_id AND sa.source = 'src0'
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      JOIN src sb ON b.doc_id = sb.doc_id AND sb.source <> 'src0'),
+    sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM s),
+    rejected AS (
+      SELECT DISTINCT xc.new_id
+      FROM xc
+      JOIN sets x ON xc.new_id = x.doc_id
+      JOIN sets y ON xc.old_id = y.doc_id
+      WHERE round(len(list_intersect(x.sset, y.sset))::DOUBLE
+                  / len(list_distinct(x.sset || y.sset)), 6) >= 0.5)
+    SELECT d.doc_id FROM documents d
+    WHERE d.source = 'src0'
+      AND d.doc_id NOT IN (SELECT new_id FROM rejected)
+    """,
+    doc="Incremental near-dup admission under Structured Streaming: "
+    "new docs stream in, each micro-batch MinHash-bands against the "
+    "static corpus and Jaccard-verifies the cross candidates "
+    "(stream-static shape, shared operator body with the batch "
+    "dedup_incremental_minhash — same oracle: the verdict depends "
+    "only on the doc and the static corpus, so bounded streaming == "
+    "batch under any batch slicing) "
+    "(streaming/jobs.py streaming_dedup_minhash).",
+    tags=("streaming", "datapipe", "dedup", "minhash"),
+)
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_dedup_minhash(spark, sf_dir)
 
 
 @register(

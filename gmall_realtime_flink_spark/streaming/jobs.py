@@ -773,6 +773,72 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("o_orderkey") >= 0)
 
 
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission under Structured Streaming: new
+    documents (source = src0) arrive as a file stream; each
+    micro-batch is MinHash-banded against the STATIC corpus
+    (stream-static shape, same operator body as the batch
+    `dedup_incremental_minhash`: lsh_candidates_cross + exact-Jaccard
+    verify at J >= 0.5), and admitted doc_ids append to the sink.
+
+    No cross-batch state is needed — admission is new-doc × corpus
+    only, so the bounded result equals the batch query under ANY
+    batch slicing (each doc's verdict depends only on itself and the
+    static corpus). At 100 TB the corpus band rows are a persisted
+    band-hash-partitioned index re-probed per trigger; the corpus is
+    signed once, never per batch.
+    """
+    from gmall_realtime_flink_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates_cross,
+        minhash_signatures,
+    )
+
+    docs_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    corpus = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).filter(F.col("source") != "src0")
+    corpus_sigs = minhash_signatures(corpus)
+    out_dir = os.path.join(
+        tempfile.mkdtemp(prefix="dedup_minhash_stream_"), "admitted"
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.filter(F.col("source") == "src0")
+        cand = lsh_candidates_cross(
+            minhash_signatures(new), corpus_sigs
+        ).select(
+            F.col("new_id").alias("doc_a"), F.col("old_id").alias("doc_b")
+        )
+        docs_union = new.select("doc_id", "text").unionByName(
+            corpus.select("doc_id", "text")
+        )
+        rejected = (
+            jaccard_verify(cand, docs_union, threshold=0.5)
+            .select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+        )
+        new.select("doc_id").join(rejected, "doc_id", "left_anti").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_table_dir(sf_dir, "documents"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup under Structured Streaming — the incremental-ingest
     form of the batch `dedup_exact`: documents arrive as a file stream
