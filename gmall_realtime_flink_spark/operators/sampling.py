@@ -163,3 +163,61 @@ def systematic_sample_by_weight(
         F.expr(f"(__cb * {k}) div __total")
         < F.expr(f"((__cb + __w) * {k}) div __total")
     ).select(id_col, F.col("__w").alias("weight"), F.col("__cb").alias("cum_before"))
+
+
+def quality_tiers(
+    scored: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    tiers: int = 4,
+    buckets: int = 256,
+) -> DataFrame:
+    """Exact global quantile-tier assignment (curriculum / mixture
+    construction: "train on the top quartile first", "cap tier-4 at
+    N tokens") without a global sort or single-partition window.
+
+    tier = ((global_rank − 1) · tiers) div N + 1 over the
+    (score, id) order — the NTILE definition, computed exactly:
+    1. quantize the score to `buckets` range cells
+       (floor(score·buckets), clamped) — monotone in score, so
+       (cell, score, id) order equals (score, id) order;
+    2. per-cell counts aggregate map-side; their running offsets are
+       a window over ≤`buckets` metadata rows ONLY (the corpus never
+       passes through a single partition);
+    3. offsets broadcast back; per-row rank is a window PARTITIONED
+       by cell — `buckets`-way parallel — plus the cell offset.
+    All tier arithmetic is integer (div), so no float boundary can
+    disagree between engines; scores must lie in [0, 1].
+    """
+    from pyspark.sql import Window
+
+    cell = F.least(
+        F.lit(buckets - 1),
+        F.floor(F.col(score_col) * buckets).cast("int"),
+    )
+    w = scored.select(id_col, score_col).withColumn("__cell", cell)
+    off_win = Window.orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        w.groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .select(
+            "__cell",
+            F.coalesce(F.sum("__bc").over(off_win), F.lit(0)).alias("__off"),
+        )
+    )
+    total = w.agg(F.count(F.lit(1)).alias("__n"))
+    rk_win = Window.partitionBy("__cell").orderBy(score_col, id_col)
+    return (
+        w.join(F.broadcast(offs), "__cell")
+        .withColumn("__rk", F.row_number().over(rk_win) + F.col("__off"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            score_col,
+            (F.expr(f"((__rk - 1) * {tiers}) DIV __n") + F.lit(1)).alias(
+                "tier"
+            ),
+        )
+    )

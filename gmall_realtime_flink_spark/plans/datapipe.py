@@ -2711,3 +2711,56 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return new.select("doc_id").join(rejected, "doc_id", "left_anti")
+
+
+@register(
+    "doc_quality_tiers",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> length(x) > 0)) AS tok
+      FROM documents),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df
+      FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    per_doc AS (
+      SELECT t.doc_id, sum(d.df)::BIGINT AS df_sum,
+             count(*)::BIGINT AS n_toks
+      FROM toks t JOIN df d ON t.tok = d.tok
+      GROUP BY t.doc_id),
+    sc AS (
+      SELECT p.doc_id,
+             round(p.df_sum::DOUBLE / (p.n_toks * n.n_docs), 6) AS score
+      FROM per_doc p, n),
+    r AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score, doc_id) AS rk,
+             count(*) OVER () AS nn
+      FROM sc)
+    SELECT doc_id, score, ((rk - 1) * 4) // nn + 1 AS tier FROM r
+    """,
+    doc="Global quality-quartile assignment (curriculum / mixture "
+    "construction: 'train on the top tier first', 'cap tier 4 at N "
+    "tokens'): every doc gets tier 1-4 by its EXACT global rank on "
+    "the commonness quality score, ties broken by doc_id. The oracle "
+    "is the naive global row_number window; the engine computes the "
+    "SAME rank distributed (operators/sampling.quality_tiers): "
+    "scores quantize into 256 monotone range cells, per-cell counts "
+    "aggregate map-side, running offsets window over <=256 metadata "
+    "rows only, and the per-row rank window is PARTITIONED by cell — "
+    "the corpus never crosses a single-partition WindowExec. The "
+    "same decomposition as the PPS sampler, here over a "
+    "data-dependent sort key. Tier arithmetic is all-integer "
+    "(((rank-1)*4) div N), no float quantile interpolation to "
+    "disagree on.",
+    tags=("datapipe", "text", "quality", "sampling", "scale"),
+)
+def doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.sampling import quality_tiers
+
+    scored = doc_common_token_score(spark, sf_dir).select(
+        "doc_id", F.col("common_token_score").alias("score")
+    )
+    return quality_tiers(scored, score_col="score", id_col="doc_id")

@@ -72,6 +72,7 @@ PARTITION_INVARIANCE_SAMPLE = [
     "doc_pack",               # partitioned running sum
     "user_sessions_native",   # session windows + ordinal
     "doc_lm_surprisal",       # decimal-snapped float reduction
+    "doc_quality_tiers",      # bucketed exact global rank
 ]
 
 

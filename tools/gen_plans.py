@@ -56,6 +56,8 @@ EXTRA = [
     "dedup_jaccard_complete",
     "contrastive_hard_negatives",
     "doc_lm_surprisal",
+    "dedup_incremental_minhash",
+    "doc_quality_tiers",
 ]
 
 
