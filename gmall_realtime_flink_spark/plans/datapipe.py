@@ -2764,3 +2764,70 @@ def doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("common_token_score").alias("score")
     )
     return quality_tiers(scored, score_col="score", id_col="doc_id")
+
+
+@register(
+    "doc_novelty_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+               AS gram
+      FROM t WHERE len(toks) >= 3),
+    dfreq AS (SELECT gram, count(*)::BIGINT AS df FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_ct,
+           round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) + 0.0 AS novelty
+    FROM g JOIN dfreq d ON g.gram = d.gram
+    GROUP BY g.doc_id
+    """,
+    doc="Per-document n-gram novelty: the share of a doc's distinct "
+    "word-3-grams that occur in NO other document (corpus df = 1) — "
+    "the memorization-risk / boilerplate audit: novelty near 1 means "
+    "unique content, near 0 means the doc is assembled from phrases "
+    "the corpus already contains (a diversity signal dedup misses, "
+    "since no single pair need be similar). Integer-exact: per-gram "
+    "df counts, integer novel/total tallies, ONE correctly-rounded "
+    "division at the end. Plan: distinct-gram explode, one df agg "
+    "(map-side combinable, uniform gram keys), one gram-keyed join "
+    "back, per-doc agg — every shuffle keys on grams or doc_ids, "
+    "both uniform; the df table is |distinct grams|-sized. Since g "
+    "is per-doc-distinct, count(*) per gram IS document frequency.",
+    tags=("datapipe", "text", "quality", "dedup"),
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import shingles, tokenize
+
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("toks", 3))).alias("gram"),
+        )
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    novel = F.sum(
+        F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        g.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            novel.alias("novel_ct"),
+            (
+                F.round(novel.cast("double") / F.count(F.lit(1)), 6)
+                + F.lit(0.0)
+            ).alias("novelty"),
+        )
+    )
