@@ -105,3 +105,43 @@ def test_result_is_partition_invariant(spark, sf_dir, name):
     finally:
         alt_spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert sorted(base) == sorted(alt)
+
+
+def test_oracle_gate_catches_corruption(spark, sf_dir):
+    """Watchdog meta-test: the compare harness must FLAG a corrupted
+    result, not just pass correct ones — one assert per failure class
+    the driver's gate distinguishes (values, row count, column names,
+    dtypes). Guards against a future harness edit that silently
+    weakens the gate (e.g. lossy canonicalization or a dtype-blind
+    compare)."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.oracle import compare_query
+    from gmall_realtime_flink_spark.plans import REGISTRY
+    from gmall_realtime_flink_spark.plans.registry import QuerySpec
+
+    base = REGISTRY["dedup_exact"]
+
+    def spec_with(mutate):
+        return QuerySpec(
+            name="corrupted",
+            builder=lambda sp, sf: mutate(base.builder(sp, sf)),
+            oracle=base.oracle,
+        )
+
+    sane = compare_query(spark, base, sf_dir)
+    assert sane.ok, sane.detail
+
+    corruptions = {
+        "value": lambda df: df.withColumn(
+            "dup_ct", F.col("dup_ct") + F.lit(1)
+        ),
+        "row_count": lambda df: df.limit(5),
+        "column_name": lambda df: df.withColumnRenamed("dup_ct", "dupct"),
+        "dtype": lambda df: df.withColumn(
+            "dup_ct", F.col("dup_ct").cast("double")
+        ),
+    }
+    for kind, mutate in corruptions.items():
+        res = compare_query(spark, spec_with(mutate), sf_dir)
+        assert not res.ok, f"gate failed to catch {kind} corruption"
