@@ -113,3 +113,73 @@ def heavy_hitters_exact(
         F.col("cnt") * F.lit(phi.denominator)
         > F.lit(int(total)) * F.lit(phi.numerator)
     ).select(item_col, "cnt")
+
+
+def countmin_estimates(
+    items: DataFrame,
+    item_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+    probe_top: int = 10,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) with a built-in
+    accuracy probe: build the d×w counter grid over the item stream,
+    then estimate the top-`probe_top` items (by exact count, ties on
+    item) and report estimate vs truth.
+
+    The sketch is THE constant-memory frequency structure for
+    unbounded streams: the grid partial-aggregates map-side to at
+    most d·w rows regardless of corpus size (vs |vocabulary| rows
+    for an exact groupBy), and the estimate min-over-rows never
+    underestimates — `overestimate` is provably >= 0, which the
+    oracle-gated output exhibits per item. Bucket assignment is the
+    first md5 byte of the salted item ('r|' || item), the one hash
+    both engines produce bit-identically; all arithmetic is integer.
+    At 100 TB: one map-side-combined agg to d·w cells, probes ride a
+    broadcast — no shuffle carries more than d·w rows past the
+    exact-count agg used here only to pick and truth-check probes.
+    """
+    byte = lambda col: (  # noqa: E731 — local expression helper
+        F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("long")
+        % width
+    )
+    salted = [
+        byte(F.concat(F.lit(f"{r}|"), F.col(item_col))).alias(f"b{r}")
+        for r in range(depth)
+    ]
+    w = items.select(F.col(item_col).alias("item"), *[
+        s for s in salted
+    ])
+    stack_expr = ", ".join(f"{r}, b{r}" for r in range(depth))
+    cells = (
+        w.selectExpr("item", f"stack({depth}, {stack_expr}) as (r, bucket)")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_ct"))
+    )
+    exact = (
+        w.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_ct"))
+        .orderBy(F.col("exact_ct").desc(), "item")
+        .limit(probe_top)
+    )
+    probes = exact.select(
+        "item",
+        "exact_ct",
+        *[
+            byte(F.concat(F.lit(f"{r}|"), F.col("item"))).alias(f"b{r}")
+            for r in range(depth)
+        ],
+    ).selectExpr(
+        "item", "exact_ct", f"stack({depth}, {stack_expr}) as (r, bucket)"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("item", "exact_ct")
+        .agg(F.min("cell_ct").alias("cm_estimate"))
+        .select(
+            "item",
+            "exact_ct",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_ct")).alias("overestimate"),
+        )
+    )

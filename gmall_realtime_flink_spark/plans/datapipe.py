@@ -2831,3 +2831,58 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+_CM_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5(r::VARCHAR || '|' || item), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(r::VARCHAR || '|' || item), 2, 1)) - 1)"
+)
+
+
+@register(
+    "token_countmin",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> length(x) > 0)) AS item
+      FROM documents),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r, bucket, count(*)::BIGINT AS cell_ct FROM (
+        SELECT item, r, {_CM_BYTE} AS bucket FROM toks, rows_)
+      GROUP BY r, bucket),
+    exact AS (
+      SELECT item, count(*)::BIGINT AS exact_ct FROM toks GROUP BY item
+      ORDER BY exact_ct DESC, item LIMIT 10),
+    probes AS (
+      SELECT item, exact_ct, r, {_CM_BYTE} AS bucket FROM exact, rows_)
+    SELECT p.item, p.exact_ct,
+           min(c.cell_ct)::BIGINT AS cm_estimate,
+           (min(c.cell_ct) - p.exact_ct)::BIGINT AS overestimate
+    FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.item, p.exact_ct
+    """,
+    doc="Count-Min sketch frequency estimation with a built-in "
+    "accuracy probe: the 4×256 counter grid aggregates the token "
+    "stream map-side to AT MOST d·w rows regardless of corpus size — "
+    "the constant-memory frequency structure for unbounded streams, "
+    "complementing the Misra-Gries heavy-hitters sketch "
+    "(token_heavy_hitters). The top-10 exact tokens are then "
+    "estimated from the grid (min over rows) and reported against "
+    "truth; overestimate is provably >= 0 (CM never underestimates), "
+    "visible per row in the gated output. Bucket = first md5 byte of "
+    "the salted token — the one hash both engines produce "
+    "bit-identically; all counts integer "
+    "(operators/sketches.countmin_estimates).",
+    tags=("datapipe", "text", "sketch", "scale"),
+)
+def token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+    from gmall_realtime_flink_spark.operators.sketches import (
+        countmin_estimates,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    return countmin_estimates(toks, item_col="tok")
