@@ -183,3 +183,111 @@ def countmin_estimates(
             (F.col("cm_estimate") - F.col("exact_ct")).alias("overestimate"),
         )
     )
+
+
+def hll_cardinality(
+    items: DataFrame,
+    item_col: str = "item",
+    m: int = 256,
+) -> DataFrame:
+    """HyperLogLog cardinality estimate (Flajolet et al. '07) with
+    fully deterministic cross-engine arithmetic — the cardinality
+    member of the sketch triad (Misra-Gries heavy hitters, Count-Min
+    frequencies, HLL distinct counts).
+
+    Register derivation is pure string/integer work on the md5 hex —
+    no engine-specific 64-bit hash, no float until one final guarded
+    step: bucket = first digest byte; rho = 1 + leading zero BITS of
+    the next 15 hex chars (4·leading-zero-chars + a 16-way CASE on
+    the first nonzero char, capped at 61). Registers max per bucket;
+    EMPTY buckets materialize via a range join (they carry 2^0 terms
+    and the small-range signal v_zero). The harmonic sum is EXACT
+    integer: term = 2^(40 - min(M,40)) summed as BIGINT (<= 2^47, so
+    the final int->double cast is exact), making the only float step
+    alpha·m²·2^40 / sum — identical literals, one correctly-rounded
+    division per engine. Output one row: (m, v_zero, raw_estimate,
+    exact_distinct, rel_error). The linear-counting small-range
+    correction (m·ln(m/v_zero) when raw < 2.5m and v_zero > 0) is
+    deliberately left to the consumer: it is the only transcendental
+    in HLL and would hang bit-parity on ln() ulps; v_zero is reported
+    so it is a driver-side one-liner.
+
+    At 100 TB: the register agg map-side-combines to <= m rows, the
+    truth column (exact countDistinct, here for the accuracy probe)
+    is the only corpus-scale shuffle — drop it in production and the
+    sketch IS the constant-memory answer.
+    """
+    # leading zero bits of the first nonzero hex char (1-f -> 3..0)
+    char_lz = (
+        "CASE __fnz WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END"
+    )
+    h = F.md5(F.col("item").cast("string"))
+    bucket = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m
+    ).alias("bucket")
+    sub = F.substring(h, 3, 15)
+    lz_chars = F.length(F.regexp_extract(sub, "^0*", 0))
+    first_nz = F.substring(
+        F.regexp_replace(sub, "^0*", ""),
+        1,
+        1,
+    )
+    rho = (
+        F.when(lz_chars == 15, F.lit(61))
+        .otherwise(
+            lz_chars * 4
+            + F.expr(char_lz)
+            + F.lit(1)
+        )
+        .alias("rho")
+    )
+    regs = (
+        items.select(F.col(item_col).alias("item"))
+        .select(bucket, first_nz.alias("__fnz"), F.col("item"))
+        .select("bucket", rho, "item")
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    spark = items.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select("bucket", F.coalesce("M", F.lit(0)).alias("M"))
+    )
+    term = F.expr("shiftleft(cast(1 as bigint), 40 - least(M, 40))")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = full.agg(
+        F.sum(term).cast("long").alias("__sum"),
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_zero"),
+    )
+    truth = items.agg(
+        F.countDistinct(item_col).cast("long").alias("exact_distinct")
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m * m))
+        * F.lit(float(2**40))
+        / F.col("__sum").cast("double")
+    )
+    return (
+        agg.crossJoin(F.broadcast(truth))
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            "v_zero",
+            (F.round(raw, 4) + F.lit(0.0)).alias("raw_estimate"),
+            "exact_distinct",
+            (
+                F.round(
+                    (raw - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("rel_error"),
+        )
+    )
