@@ -58,6 +58,9 @@ EXTRA = [
     "doc_lm_surprisal",
     "dedup_incremental_minhash",
     "doc_quality_tiers",
+    "doc_novelty_score",
+    "token_countmin",
+    "doc_hll_cardinality",
 ]
 
 
