@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from gmall_realtime_flink_spark.plans import datapipe
-from gmall_realtime_flink_spark.plans.registry import register
+from gmall_realtime_flink_spark.plans.registry import REGISTRY, register
 from gmall_realtime_flink_spark.streaming import jobs
 
 
@@ -466,6 +466,24 @@ def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_order_wide_left(spark, sf_dir)
+
+
+@register(
+    "streaming_token_countmin",
+    # the batch entry registered earlier in the import order IS the
+    # oracle: bounded streaming == batch under any batch slicing
+    oracle=REGISTRY["token_countmin"].oracle,
+    doc="Count-Min sketch as streaming state: the d×w counter grid is "
+    "a streaming groupBy (r, bucket) — constant-memory no matter how "
+    "long the stream runs — run to completion on the bounded stream "
+    "(counters merge across micro-batches; sums are associative), "
+    "then probed exactly like the batch token_countmin. Same oracle: "
+    "the finished grid is batch-identical under any batch slicing "
+    "(streaming/jobs.py streaming_token_countmin).",
+    tags=("streaming", "datapipe", "sketch"),
+)
+def streaming_token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_token_countmin(spark, sf_dir)
 
 
 @register(

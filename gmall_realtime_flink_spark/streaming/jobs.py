@@ -773,6 +773,85 @@ def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("o_orderkey") >= 0)
 
 
+def streaming_token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch as STREAMING STATE: the token stream's d×w
+    counter grid is a streaming groupBy (r, bucket) — exactly the
+    constant-memory accumulation CM was designed for (state is at
+    most d·w counters no matter how long the stream runs, vs
+    |vocabulary| keys for an exact streaming count). The grid runs to
+    completion on the bounded stream (complete mode, counters merge
+    across micro-batches because sums are associative), then the
+    top-10 probe estimates read the finished grid exactly like the
+    batch `token_countmin` — same oracle: the grid's final counts are
+    batch-identical under any batch slicing.
+    """
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+
+    docs_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_table_dir(sf_dir, "documents"))
+    )
+    depth, width = 4, 256
+    byte = lambda col: (  # noqa: E731
+        F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("long") % width
+    )
+    toks = stream.select(F.explode(tokenize(F.col("text"))).alias("item"))
+    salted = toks.select(
+        "item",
+        *[
+            byte(F.concat(F.lit(f"{r}|"), F.col("item"))).alias(f"b{r}")
+            for r in range(depth)
+        ],
+    )
+    stack_expr = ", ".join(f"{r}, b{r}" for r in range(depth))
+    cells_stream = (
+        salted.selectExpr(
+            "item", f"stack({depth}, {stack_expr}) as (r, bucket)"
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_ct"))
+    )
+    cells = run_bounded(cells_stream, spark, output_mode="complete")
+
+    # probe selection + truth: the batch accuracy audit over the same
+    # corpus (production drops this — the grid IS the answer)
+    batch_toks = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.explode(tokenize(F.col("text"))).alias("item"))
+    )
+    exact = (
+        batch_toks.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("exact_ct"))
+        .orderBy(F.col("exact_ct").desc(), "item")
+        .limit(10)
+    )
+    probes = exact.select(
+        "item",
+        "exact_ct",
+        *[
+            byte(F.concat(F.lit(f"{r}|"), F.col("item"))).alias(f"b{r}")
+            for r in range(depth)
+        ],
+    ).selectExpr(
+        "item", "exact_ct", f"stack({depth}, {stack_expr}) as (r, bucket)"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("item", "exact_ct")
+        .agg(F.min("cell_ct").alias("cm_estimate"))
+        .select(
+            "item",
+            "exact_ct",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_ct")).alias("overestimate"),
+        )
+    )
+
+
 def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup admission under Structured Streaming: new
     documents (source = src0) arrive as a file stream; each
