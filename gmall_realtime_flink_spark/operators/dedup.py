@@ -176,6 +176,11 @@ def lsh_candidates_cross(
             ),
             ["band", "band_hash"],
         )
+        # guard against overlapping frames (at-least-once redelivery
+        # of an already-admitted doc): a doc's own bands collide in
+        # every band, and a (x, x) pair with J = 1 would reject the
+        # doc as its own near-dup
+        .filter(F.col("new_id") != F.col("old_id"))
         .select("new_id", "old_id")
         .distinct()
     )
@@ -553,8 +558,15 @@ def prefix_filter_candidates(
 
     from pyspark.sql import Window
 
-    t = Fraction(str(threshold))
-    p, q = t.numerator, t.denominator
+    # EVERY fused filter — prefix length, length filter, positional
+    # filter — guards at g = t − 1e-6, not t: the verify (and the
+    # oracle) round J to 6dp, so a pair with true J as low as
+    # t − 5e-7 still passes; a prefix length computed from the
+    # unguarded t would be one token short of the overlap bound for
+    # such a knife-edge pair once documents reach ~4·10^5 shingles
+    # (where 1/|union| < 5e-7), silently breaking completeness.
+    g = Fraction(str(threshold)) - Fraction(1, 10**6)
+    gp, gq = g.numerator, g.denominator
     sets_df = (
         docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= n + 1)
@@ -568,11 +580,11 @@ def prefix_filter_candidates(
     ranked = tok.join(dfreq, "sh").withColumn(
         "pos", F.row_number().over(pos_win)
     )
-    # prefix length L = sz - ceil(t*sz) + 1, ceil computed as integer
+    # prefix length L = sz - ceil(g*sz) + 1, ceil computed as integer
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("sz")
-        - F.expr(f"(({p} * sz + {q} - 1) div {q})")
+        - F.expr(f"(({gp} * sz + {gq} - 1) div {gq})")
         + F.lit(1)
     )
     if max_df is not None:
@@ -589,10 +601,6 @@ def prefix_filter_candidates(
     # (same reasoning as jaccard_verify's prefilter). Sharp exactly
     # where prefix filtering is used (high t): at t=0.8 only pairs
     # within 25% of each other's size survive.
-    from fractions import Fraction as _Fr
-
-    g = _Fr(str(threshold)) - _Fr(1, 10**6)
-    gp, gq = g.numerator, g.denominator
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin positional filter (Xiao et al. WWW'08 §3.2), exactness-
     # preserving: with both shingle lists sorted by the SAME global

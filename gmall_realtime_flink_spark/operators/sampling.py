@@ -196,18 +196,18 @@ def quality_tiers(
         F.floor(F.col(score_col) * buckets).cast("int"),
     )
     w = scored.select(id_col, score_col).withColumn("__cell", cell)
+    per_cell = w.groupBy("__cell").agg(F.count(F.lit(1)).alias("__bc"))
     off_win = Window.orderBy("__cell").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offs = (
-        w.groupBy("__cell")
-        .agg(F.count(F.lit(1)).alias("__bc"))
-        .select(
-            "__cell",
-            F.coalesce(F.sum("__bc").over(off_win), F.lit(0)).alias("__off"),
-        )
+    offs = per_cell.select(
+        "__cell",
+        F.coalesce(F.sum("__bc").over(off_win), F.lit(0)).alias("__off"),
     )
-    total = w.agg(F.count(F.lit(1)).alias("__n"))
+    # N derives from the same <=`buckets`-row metadata — a third
+    # corpus-scale pass over the scored lineage just to count rows
+    # would re-execute the whole upstream pipeline
+    total = per_cell.agg(F.sum("__bc").cast("long").alias("__n"))
     rk_win = Window.partitionBy("__cell").orderBy(score_col, id_col)
     return (
         w.join(F.broadcast(offs), "__cell")

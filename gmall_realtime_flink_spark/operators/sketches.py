@@ -139,25 +139,67 @@ def countmin_estimates(
     broadcast — no shuffle carries more than d·w rows past the
     exact-count agg used here only to pick and truth-check probes.
     """
-    byte = lambda col: (  # noqa: E731 — local expression helper
-        F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("long")
-        % width
+    return countmin_probe(
+        countmin_cells(items, item_col, depth, width),
+        items,
+        item_col,
+        depth,
+        width,
+        probe_top,
     )
-    salted = [
-        byte(F.concat(F.lit(f"{r}|"), F.col(item_col))).alias(f"b{r}")
-        for r in range(depth)
-    ]
-    w = items.select(F.col(item_col).alias("item"), *[
-        s for s in salted
-    ])
-    stack_expr = ", ".join(f"{r}, b{r}" for r in range(depth))
-    cells = (
-        w.selectExpr("item", f"stack({depth}, {stack_expr}) as (r, bucket)")
+
+
+def _cm_bucket(col, r: int, width: int):
+    """Row-r bucket of the salted item: first md5 byte of 'r|item' —
+    the one hash every engine reproduces bit-identically."""
+    salted = F.concat(F.lit(f"{r}|"), col)
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 2), 16, 10).cast("long") % width
+    )
+
+
+def _cm_stack(depth: int) -> str:
+    return ", ".join(f"{r}, b{r}" for r in range(depth))
+
+
+def countmin_cells(
+    items: DataFrame, item_col: str = "tok", depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The d×w counter grid as a (r, bucket, cell_ct) frame — works
+    identically on a batch OR a streaming items frame (the groupBy
+    becomes streaming state in the latter; counter sums merge across
+    micro-batches because they are associative)."""
+    w = items.select(
+        F.col(item_col).alias("item"),
+        *[
+            _cm_bucket(F.col(item_col), r, width).alias(f"b{r}")
+            for r in range(depth)
+        ],
+    )
+    return (
+        w.selectExpr(
+            "item", f"stack({depth}, {_cm_stack(depth)}) as (r, bucket)"
+        )
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cell_ct"))
     )
+
+
+def countmin_probe(
+    cells: DataFrame,
+    items: DataFrame,
+    item_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+    probe_top: int = 10,
+) -> DataFrame:
+    """Estimate the top-`probe_top` items (by exact count, ties on
+    item) from a prebuilt grid and report estimate vs truth — shared
+    by the batch and streaming Count-Min entries so salt format and
+    tie-breaks can never desynchronize from the common oracle."""
     exact = (
-        w.groupBy("item")
+        items.select(F.col(item_col).alias("item"))
+        .groupBy("item")
         .agg(F.count(F.lit(1)).alias("exact_ct"))
         .orderBy(F.col("exact_ct").desc(), "item")
         .limit(probe_top)
@@ -166,11 +208,11 @@ def countmin_estimates(
         "item",
         "exact_ct",
         *[
-            byte(F.concat(F.lit(f"{r}|"), F.col("item"))).alias(f"b{r}")
+            _cm_bucket(F.col("item"), r, width).alias(f"b{r}")
             for r in range(depth)
         ],
     ).selectExpr(
-        "item", "exact_ct", f"stack({depth}, {stack_expr}) as (r, bucket)"
+        "item", "exact_ct", f"stack({depth}, {_cm_stack(depth)}) as (r, bucket)"
     )
     return (
         probes.join(F.broadcast(cells), ["r", "bucket"])

@@ -786,6 +786,10 @@ def streaming_token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-identical under any batch slicing.
     """
     from gmall_realtime_flink_spark.operators.dedup import tokenize
+    from gmall_realtime_flink_spark.operators.sketches import (
+        countmin_cells,
+        countmin_probe,
+    )
 
     docs_schema = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
@@ -795,61 +799,18 @@ def streaming_token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_table_dir(sf_dir, "documents"))
     )
-    depth, width = 4, 256
-    byte = lambda col: (  # noqa: E731
-        F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("long") % width
-    )
     toks = stream.select(F.explode(tokenize(F.col("text"))).alias("item"))
-    salted = toks.select(
-        "item",
-        *[
-            byte(F.concat(F.lit(f"{r}|"), F.col("item"))).alias(f"b{r}")
-            for r in range(depth)
-        ],
+    cells = run_bounded(
+        countmin_cells(toks, item_col="item"), spark, output_mode="complete"
     )
-    stack_expr = ", ".join(f"{r}, b{r}" for r in range(depth))
-    cells_stream = (
-        salted.selectExpr(
-            "item", f"stack({depth}, {stack_expr}) as (r, bucket)"
-        )
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("cell_ct"))
-    )
-    cells = run_bounded(cells_stream, spark, output_mode="complete")
-
     # probe selection + truth: the batch accuracy audit over the same
-    # corpus (production drops this — the grid IS the answer)
-    batch_toks = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .select(F.explode(tokenize(F.col("text"))).alias("item"))
-    )
-    exact = (
-        batch_toks.groupBy("item")
-        .agg(F.count(F.lit(1)).alias("exact_ct"))
-        .orderBy(F.col("exact_ct").desc(), "item")
-        .limit(10)
-    )
-    probes = exact.select(
-        "item",
-        "exact_ct",
-        *[
-            byte(F.concat(F.lit(f"{r}|"), F.col("item"))).alias(f"b{r}")
-            for r in range(depth)
-        ],
-    ).selectExpr(
-        "item", "exact_ct", f"stack({depth}, {stack_expr}) as (r, bucket)"
-    )
-    return (
-        probes.join(F.broadcast(cells), ["r", "bucket"])
-        .groupBy("item", "exact_ct")
-        .agg(F.min("cell_ct").alias("cm_estimate"))
-        .select(
-            "item",
-            "exact_ct",
-            "cm_estimate",
-            (F.col("cm_estimate") - F.col("exact_ct")).alias("overestimate"),
-        )
-    )
+    # corpus (production drops this — the grid IS the answer); shares
+    # countmin_probe with the batch entry so salt format and
+    # tie-breaks can never drift from the common oracle
+    batch_toks = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select(F.explode(tokenize(F.col("text"))).alias("item"))
+    return countmin_probe(cells, batch_toks, item_col="item")
 
 
 def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,10 +837,16 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_schema = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).schema
-    corpus = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).filter(F.col("source") != "src0")
-    corpus_sigs = minhash_signatures(corpus)
+    corpus = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("source") != "src0")
+        .select("doc_id", "text")
+        .persist()
+    )
+    # persist = the "signed once" claim: without it each foreachBatch
+    # re-executes the md5-heavy signature lineage over the whole
+    # corpus (N re-signings for N micro-batches)
+    corpus_sigs = minhash_signatures(corpus).persist()
     out_dir = os.path.join(
         tempfile.mkdtemp(prefix="dedup_minhash_stream_"), "admitted"
     )
@@ -914,7 +881,11 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_sigs.unpersist()
+        corpus.unpersist()
     return spark.read.parquet(out_dir)
 
 
