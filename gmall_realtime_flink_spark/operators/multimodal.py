@@ -53,24 +53,37 @@ def decode_media(payload: bytes) -> object:
 
 
 def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # The Python kernel computes ONLY what the JVM can't (here
+    # `first_cp`, the stand-in for a real codec decode); n_bytes and
+    # payload_md5 arrive pre-computed by JVM expressions and pass
+    # through the Arrow batch untouched.
     for pdf in batches:
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "n_bytes": pdf["n_bytes"],
                 "first_cp": pdf["payload"]
                 .map(lambda b: ord(b.decode("utf-8")[0]) if len(b) else -1)
                 .astype("int32"),
-                "payload_md5": pdf["payload"].map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()
-                ),
+                "payload_md5": pdf["payload_md5"],
             }
         )
 
 
 def extract_features(with_payload: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary column."""
-    return with_payload.mapInPandas(_features, schema=FEATURE_SCHEMA)
+    """Arrow-batched feature extraction over the binary column.
+
+    Split by capability: byte length and content hash are pure JVM
+    (`F.length` / `F.md5` on BinaryType — codegen'd, no Arrow
+    transfer cost for their compute); only the decode-requiring
+    feature (`first_cp`) runs in the Pandas kernel."""
+    staged = with_payload.select(
+        "doc_id",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "payload",
+    )
+    return staged.mapInPandas(_features, schema=FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off int, frame_md5 string"

@@ -109,28 +109,42 @@ def systematic_sample_by_weight(
     partitioning.
 
     The prefix sum is distributed, never a global window:
-    1. bucket = first-byte-pair of md5(id) (0..255) — bucket order
-       equals global hash-order prefix, so per-bucket cumsums + bucket
-       offsets compose into the exact global prefix sum;
-    2. per-bucket totals aggregate map-side (256 groups), and their
-       running offsets are a window over those 256 rows ONLY (a
+    1. bucket = floor(first-md5-byte · buckets / 256) (monotone in the
+       hash prefix, so bucket order equals global hash-order prefix
+       and per-bucket cumsums + bucket offsets compose into the exact
+       global prefix sum); `buckets` <= 256 tunes the parallel fan-out
+       vs per-bucket window size;
+    2. per-bucket totals aggregate map-side (<= `buckets` groups), and
+       their running offsets are a window over those rows ONLY (a
        single-partition window over `buckets` rows is metadata-sized
        at any corpus scale — the data never passes through it);
     3. offsets broadcast-join back; the per-row window partitions by
-       bucket — 256-way parallel, each window sees |corpus|/256 rows.
+       bucket — `buckets`-way parallel, each window sees
+       |corpus|/buckets rows.
 
     Selection arithmetic is all-integer (`(cum*k) div total`), so no
     float stride boundary can disagree between engines. Weights must
-    be integral and non-negative.
+    be integral and non-negative. The selected set is invariant to
+    `buckets` (bucketing only decomposes the one global prefix sum).
     """
     from pyspark.sql import Window
 
+    if not 1 <= buckets <= 256:
+        raise ValueError(
+            f"buckets must be in 1..256 (one md5 byte), got {buckets}"
+        )
     h = F.md5(F.col(id_col).cast("string"))
     rows = df.select(
         id_col,
         F.col(weight_col).cast("long").alias("__w"),
         h.alias("__h"),
-        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("__b"),
+        (
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+            * buckets
+            / 256
+        )
+        .cast("int")
+        .alias("__b"),
     )
     per_bucket = rows.groupBy("__b").agg(F.sum("__w").alias("__bw"))
     off_win = (

@@ -50,7 +50,13 @@ def misra_gries_candidates(
     in-partition count exceeds n_p/(capacity+1); unioned over
     partitions that covers every item with global count >
     n/(capacity+1).
+
+    NULL items are dropped up front: a NULL would collide with the
+    per-partition sentinel row, and pandas value_counts silently drops
+    NaN — so without the filter a NULL item would inflate n (the
+    undercount denominator) while never being a candidate.
     """
+    items = items.filter(F.col(item_col).isNotNull())
     schema = f"{item_col} string, __pn long"
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,6 +103,17 @@ def heavy_hitters_exact(
     Returns (item_col, cnt) for every item with cnt/n > phi.
     """
     capacity = -(-phi.denominator // phi.numerator)  # ceil(1/phi)
+    # Enforce the metadata-size bound instead of trusting the caller:
+    # the driver collect is <= (capacity+1) rows per sketch partition,
+    # so cap the number of sketch partitions at
+    # max_summary_rows/(capacity+1). coalesce (no shuffle) widens each
+    # partition — MG memory stays O(capacity) per task regardless, and
+    # the mergeable-summaries guarantee is per-partition, so fewer,
+    # larger partitions only TIGHTEN the candidate superset.
+    max_summary_rows = 1_000_000
+    max_parts = max(1, max_summary_rows // (capacity + 1))
+    if items.rdd.getNumPartitions() > max_parts:
+        items = items.coalesce(max_parts)
     summary = misra_gries_candidates(items, item_col, capacity).collect()
     total = sum(r["__pn"] for r in summary if r[item_col] is None)
     cand_rows = sorted({r[item_col] for r in summary if r[item_col] is not None})
@@ -151,7 +168,14 @@ def countmin_estimates(
 
 def _cm_bucket(col, r: int, width: int):
     """Row-r bucket of the salted item: first md5 byte of 'r|item' —
-    the one hash every engine reproduces bit-identically."""
+    the one hash every engine reproduces bit-identically. One byte
+    spans 256 values, so width > 256 would leave buckets 256..width-1
+    permanently empty and silently degrade the e/w error bound — fail
+    loudly instead."""
+    if width > 256 or width < 1:
+        raise ValueError(
+            f"width must be in 1..256 (one md5 byte), got {width}"
+        )
     salted = F.concat(F.lit(f"{r}|"), col)
     return (
         F.conv(F.substring(F.md5(salted), 1, 2), 16, 10).cast("long") % width
@@ -265,6 +289,11 @@ def hll_cardinality(
         "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
         "ELSE 0 END"
     )
+    if m > 256 or m < 1:
+        # bucket comes from one md5 byte; m > 256 would leave buckets
+        # 256..m-1 permanently zero, breaking the alpha formula's
+        # uniform-bucket assumption — refuse rather than degrade.
+        raise ValueError(f"m must be in 1..256 (one md5 byte), got {m}")
     h = F.md5(F.col("item").cast("string"))
     bucket = (
         F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m

@@ -593,3 +593,75 @@ def streaming_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def streaming_purchase_dim_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_purchase_dim_temporal(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# The full chained warehouse topology (SURVEY §3.1): ODS -> DWD split ->
+# DWM stateful/joins -> DWS windowed stats, every inter-job boundary a
+# durable staged layer the next job readStreams from (the Kafka-topic
+# handoff, e.g. RT/app/dwm/UniqueVisitApp.java:56-58 consuming
+# BaseLogAPP's dwd_page_log). One topology run feeds all four DWS
+# entries (streaming/topology.py caches the layer dirs per sf_dir);
+# each DWS output is gated by the SAME DuckDB oracle as its batch
+# form — chained-streaming == batch, layer boundaries and all.
+# ---------------------------------------------------------------------------
+
+from gmall_realtime_flink_spark.streaming import topology as _topology
+
+
+@register(
+    "chained_visitor_stats",
+    oracle=REGISTRY["visitor_stats_union"].oracle,
+    doc="DWS VisitorStatsApp at the end of the full chained topology: "
+    "pv/sv consumed from the dwd_page_log layer, uv from "
+    "dwm_unique_visit, uj from dwm_user_jump — the real 4-input U2 "
+    "union across layer boundaries (VisitorStatsApp.java:80-141), "
+    "10 s tumble. Oracle = the batch visitor_stats_union oracle "
+    "(streaming/topology.py).",
+    tags=("streaming", "topology", "union", "window"),
+)
+def chained_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topology.chained_visitor_stats(spark, sf_dir)
+
+
+@register(
+    "chained_product_stats",
+    oracle=REGISTRY["product_stats_union"].oracle,
+    doc="DWS ProductStatsApp at the end of the full chained topology: "
+    "the U1 7-branch union pipeline consuming the dwd_page_log layer "
+    "written by the BaseLogAPP split job (ProductStatsApp.java:241-316). "
+    "Oracle = the batch product_stats_union oracle "
+    "(streaming/topology.py).",
+    tags=("streaming", "topology", "union", "window"),
+)
+def chained_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topology.chained_product_stats(spark, sf_dir)
+
+
+@register(
+    "chained_province_stats",
+    oracle=REGISTRY["province_stats_sql"].oracle,
+    doc="DWS ProvinceStatsSqlApp at the end of the full chained "
+    "topology: SQL day-tumble with streaming-safe exact distinct over "
+    "the dwd_order_info layer written by the BaseDBApp CDC-routing job "
+    "(ProvinceStatsSqlApp.java:45-61), static dims broadcast-joined. "
+    "Oracle = the batch province_stats_sql oracle "
+    "(streaming/topology.py).",
+    tags=("streaming", "topology", "sql", "window"),
+)
+def chained_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topology.chained_province_stats(spark, sf_dir)
+
+
+@register(
+    "chained_keyword_stats",
+    oracle=REGISTRY["keyword_stats_sql"].oracle,
+    doc="DWS KeywordStatsApp at the end of the full chained topology: "
+    "view events consumed from the dwd_page_log layer, search text "
+    "broadcast-joined, tokenizer explode on the stream, 10 s tumble "
+    "per keyword (KeywordStatsApp.java:56-88). Oracle = the batch "
+    "keyword_stats_sql oracle (streaming/topology.py).",
+    tags=("streaming", "topology", "udtf", "window"),
+)
+def chained_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topology.chained_keyword_stats(spark, sf_dir)

@@ -466,13 +466,20 @@ def streaming_visitor_stats(
 
 
 def streaming_visitor_stats_sliding(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, distinct_mode: str = "exact"
 ) -> DataFrame:
     """Hopping windows under Structured Streaming: window(ts, 30s,
     slide 10s) keyed by event_type — every event contributes to 3
     overlapping windows; state = open windows only, closed by
-    watermark passage exactly as tumble windows. Streaming-safe
-    distinct via collect_set."""
+    watermark passage exactly as tumble windows. Distinct strategy is
+    flag-switchable like every streaming distinct site (A3):
+    "exact" collect_set (oracle-gated default) or "approx" HLL++
+    (constant state per open window — 3× the open-window count here,
+    the hot-key posture for overlapping windows)."""
+    from gmall_realtime_flink_spark.operators.windows import (
+        distinct_count_col,
+    )
+
     path = events_with_sentinel(spark, sf_dir, gap_ms=0)
     events = stream_events(spark, path)
     agg = (
@@ -482,7 +489,7 @@ def streaming_visitor_stats_sliding(
         )
         .agg(
             F.count(F.lit(1)).alias("pv_ct"),
-            F.size(F.collect_set("user_id")).alias("uv_ct"),
+            distinct_count_col("user_id", distinct_mode).alias("uv_ct"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("stt"),
@@ -572,25 +579,37 @@ def streaming_view_click_join(
     return out
 
 
-def streaming_stats_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_stats_sql(
+    spark: SparkSession, sf_dir: str, distinct_mode: str = "exact"
+) -> DataFrame:
     """S4+A4/A5 under streaming: the Flink-SQL-app shape
     (RT/app/dws/ProvinceStatsSqlApp.java:45-61, KeywordStatsApp.java:56-88)
     — a watermarked stream registered as a temp view, aggregated by a
-    spark.sql TUMBLE with streaming-safe distinct (size(collect_set);
-    COUNT(DISTINCT) is unsupported on streaming aggs). The 2 s
+    spark.sql TUMBLE with a flag-switchable streaming-safe distinct
+    (A3): "exact" size(collect_set) — COUNT(DISTINCT) is unsupported
+    on streaming aggs — or "approx" approx_count_distinct (HLL++,
+    constant per-window-key state, the hot-key posture). The 2 s
     watermark is W5's bounded SQL delay. The SQL text is just another
     front-end: Catalyst compiles it to the same streaming physical
     plan as the DataFrame form."""
+    if distinct_mode == "exact":
+        uv_expr = "size(collect_set(user_id))"
+    elif distinct_mode == "approx":
+        uv_expr = "approx_count_distinct(user_id, 0.05)"
+    else:
+        raise ValueError(
+            f"distinct mode must be exact|approx, got {distinct_mode!r}"
+        )
     path = events_with_sentinel(spark, sf_dir, gap_ms=0)
     events = stream_events(spark, path, watermark="2 seconds")
     events.createOrReplaceTempView("events_stream")
     agg = spark.sql(
-        """
+        f"""
         SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
                date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
                event_type,
                count(*) AS pv_ct,
-               size(collect_set(user_id)) AS uv_ct,
+               {uv_expr} AS uv_ct,
                CAST(round(sum(CAST(value AS DECIMAL(28,4))), 2) AS DOUBLE)
                  AS amount
         FROM events_stream
@@ -850,6 +869,9 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(
         tempfile.mkdtemp(prefix="dedup_minhash_stream_"), "admitted"
     )
+    # pre-create so the final read succeeds (as typed-empty) even if
+    # no micro-batch contained any src0 doc
+    os.makedirs(out_dir, exist_ok=True)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.filter(F.col("source") == "src0")
@@ -866,9 +888,21 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_a").alias("doc_id"))
             .distinct()
         )
-        new.select("doc_id").join(rejected, "doc_id", "left_anti").write.mode(
-            "append"
-        ).parquet(out_dir)
+        # Idempotent sink: partition by batch_id and dynamically
+        # overwrite — a retried micro-batch replaces its OWN partition
+        # instead of appending duplicates (foreachBatch is
+        # at-least-once; this makes the sink effectively-once).
+        new.select("doc_id").join(
+            rejected, "doc_id", "left_anti"
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(
+            "batch_id"
+        ).parquet(
+            out_dir
+        )
 
     stream = (
         spark.readStream.schema(docs_schema)
@@ -886,7 +920,14 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         corpus_sigs.unpersist()
         corpus.unpersist()
-    return spark.read.parquet(out_dir)
+    # Explicit schema (doc_id's type taken from the source table): if
+    # no micro-batch contained src0 docs nothing was written, and
+    # schema inference would fail — an empty typed result is the
+    # correct answer in that case.
+    out_schema = T.StructType(
+        [docs_schema["doc_id"], T.StructField("batch_id", T.IntegerType())]
+    )
+    return spark.read.schema(out_schema).parquet(out_dir).select("doc_id")
 
 
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

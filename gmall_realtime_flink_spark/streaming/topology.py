@@ -1,0 +1,515 @@
+"""The full chained warehouse topology as ONE checkpointed streaming
+application (SURVEY §3.1).
+
+The reference's deployment shape is a DAG of independent Flink jobs
+wired through Kafka topics, organized in warehouse layers::
+
+    ODS  ods_base_log / ods_base_db_m          (Kafka)
+    DWD  BaseLogAPP   (RT/app/dwd/BaseLogAPP.java:61-193: 3-way split)
+         BaseDBApp    (RT/app/dwd/BaseDBApp.java:63-113: CDC routing)
+    DWM  UniqueVisitApp (RT/app/dwm/UniqueVisitApp.java:56-124)
+         UserJumpApp    (RT/app/dwm/UserJumpApp.java:88-158)
+         OrderWideApp   (RT/app/dwm/OrderWideApp.java:140-152)
+         PaymentWideApp (RT/app/dwm/PaymentWideApp.java:116-131)
+    DWS  VisitorStatsApp / ProductStatsApp / ProvinceStatsSqlApp /
+         KeywordStatsApp (RT/app/dws/*.java)
+
+Each inter-job boundary is a durable replayable log: job N+1 consumes
+job N's OUTPUT TOPIC, never its internal state (e.g.
+UniqueVisitApp.java:56-58 consuming BaseLogAPP's dwd_page_log). Here
+every job is a checkpointed Structured Streaming query and every topic
+is a staged parquet directory — the file-source analogue of a replayed
+topic (streaming/source.py) — so the whole 10-query DAG runs
+end-to-end with real layer handoffs: the DWM jobs readStream from the
+DWD sink directories, the DWS jobs from the DWM ones.
+
+Boundedness: the ODS sources carry far-future sentinel rows
+(streaming/jobs.py events_with_sentinel) which FLOW THROUGH the layers
+— a sentinel event in dwd_page_log advances the DWM consumers'
+watermarks, the sentinel user's UV row advances the DWS consumers' —
+so every real window closes and every real timer fires in each layer
+without reaching around the layer boundary. The one operator that
+swallows its sentinel (UserJumpApp: the sentinel user's final pending
+event can never time out) gets an explicit sentinel row appended to
+its output layer, the same pattern a production deployment expresses
+with watermark idleness timeouts.
+
+Every layer is oracle-checked: the pytest topology test asserts each
+DWD/DWM layer row-equals its batch operator and each DWS output
+hash-matches its registered batch query; the `chained_*` registry
+entries run the DWS outputs against the SAME DuckDB oracles as the
+batch forms.
+
+Scale notes: the layer handoff pattern is exactly the 1000-executor
+deployment shape — each query scales independently (its own shuffle
+partitioning, its own state store), and the durable boundary decouples
+producer/consumer failure domains. Nothing here is test-only scaffolding
+except the sentinel staging.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gmall_realtime_flink_spark.streaming.jobs import (
+    SENTINEL_CUTOFF,
+    events_with_sentinel,
+    interval_join_stream,
+    stage_table_with_sentinel,
+    ts_as_timestamp,
+    warehouse_stream_schema,
+)
+from gmall_realtime_flink_spark.streaming.source import stream_events
+from gmall_realtime_flink_spark.streaming.state import (
+    jump_detect_stream,
+    uv_dedup_stream,
+)
+
+JUMP_GAP_MS = 600_000
+
+
+def _run(stream_df: DataFrame, out_dir: str, ckpt: str) -> None:
+    """One checkpointed append job writing a layer directory."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _layer_stream(
+    spark: SparkSession, layer_dir: str, ts_col: str | None = None
+) -> DataFrame:
+    """readStream over a previously-written layer directory (the
+    'consume the upstream job's topic' step). Schema probed from the
+    written footers, event-time column re-derived where the layer
+    stores it as a formatted string."""
+    schema = spark.read.parquet(layer_dir).schema
+    df = spark.readStream.schema(schema).parquet(layer_dir)
+    if ts_col is not None:
+        df = df.withColumn("ts", F.to_timestamp(ts_col)).withWatermark(
+            "ts", "0 seconds"
+        )
+    return df
+
+
+def build_warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Run the full 10-job chained topology; returns layer name -> dir.
+
+    Execution order follows the layer DAG; every job has its own
+    checkpoint directory, so any job can restart from its offsets
+    exactly as the independent reference jobs do.
+    """
+    base = tempfile.mkdtemp(prefix="warehouse_")
+    layers = {
+        name: os.path.join(base, name)
+        for name in (
+            "dwd_page_log",
+            "dwd_start_log",
+            "dwd_display_log",
+            "dwd_order_info",
+            "dwd_order_detail",
+            "dwm_unique_visit",
+            "dwm_user_jump",
+            "dwm_order_wide",
+            "dwm_payment_wide",
+            "dws_visitor_stats",
+            "dws_product_stats",
+            "dws_province_stats",
+            "dws_keyword_stats",
+        )
+    }
+
+    def ckpt(job: str) -> str:
+        return os.path.join(base, "ckpt", job)
+
+    # ------------------------------------------------------------------
+    # DWD job 1 — BaseLogAPP: one scan of the ODS log stream, 3-way
+    # split (side outputs, BaseLogAPP.java:141-188). page_log carries
+    # the full event rows (the reference's page topic is the firehose
+    # every DWM/DWS log consumer reads); start/display are the filtered
+    # side outputs.
+    # ------------------------------------------------------------------
+    ods_log = events_with_sentinel(spark, sf_dir, gap_ms=JUMP_GAP_MS)
+    events = stream_events(spark, ods_log, max_files_per_trigger=1)
+
+    def split_log(batch_df: DataFrame, _id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(layers["dwd_page_log"])
+            batch_df.filter(F.col("event_type") == "signup").write.mode(
+                "append"
+            ).parquet(layers["dwd_start_log"])
+            batch_df.filter(F.col("event_type") == "click").write.mode(
+                "append"
+            ).parquet(layers["dwd_display_log"])
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(split_log)
+        .option("checkpointLocation", ckpt("base_log_app"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ------------------------------------------------------------------
+    # DWD job 2 — BaseDBApp: the CDC stream arrives as ONE envelope
+    # topic ({table, data-as-JSON}, exactly Maxwell's ods_base_db_m
+    # shape, BaseDBApp.java:63) and is routed per-table to fact
+    # directories (dynamic topic sink, :96-113).
+    # ------------------------------------------------------------------
+    orders_schema = warehouse_stream_schema(spark, sf_dir, "orders")
+    lineitem_schema = warehouse_stream_schema(spark, sf_dir, "lineitem")
+    far = pd.Timestamp("2030-01-01")
+
+    def _far_for(schema: T.StructType, name: str):
+        if isinstance(schema[name].dataType, T.LongType):
+            return int(far.value)
+        return far
+
+    def _mut_o(row) -> None:
+        row["o_orderkey"] = -1
+        row["o_orderdate"] = _far_for(orders_schema, "o_orderdate")
+
+    def _mut_l(row) -> None:
+        row["l_orderkey"] = -1
+        row["l_shipdate"] = _far_for(lineitem_schema, "l_shipdate")
+
+    def envelope(src_table: str, topic: str, schema: T.StructType, mut) -> DataFrame:
+        raw = spark.readStream.schema(schema).parquet(
+            stage_table_with_sentinel(sf_dir, src_table, mut)
+        )
+        return raw.select(
+            F.lit(topic).alias("table"),
+            F.to_json(F.struct("*")).alias("data"),
+        )
+
+    cdc = envelope("orders", "order_info", orders_schema, _mut_o).unionByName(
+        envelope("lineitem", "order_detail", lineitem_schema, _mut_l)
+    )
+    table_schemas = {
+        "order_info": orders_schema,
+        "order_detail": lineitem_schema,
+    }
+
+    def route_db(batch_df: DataFrame, _id: int) -> None:
+        batch_df.persist()
+        try:
+            for table, schema in table_schemas.items():
+                (
+                    batch_df.filter(F.col("table") == table)
+                    .select(F.from_json("data", schema).alias("d"))
+                    .select("d.*")
+                    .write.mode("append")
+                    .parquet(layers[f"dwd_{table}"])
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        cdc.writeStream.foreachBatch(route_db)
+        .option("checkpointLocation", ckpt("base_db_app"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ------------------------------------------------------------------
+    # DWM job 3 — UniqueVisitApp: consumes dwd_page_log (the layer
+    # boundary of UniqueVisitApp.java:56-58), ST2 keyed dedup state.
+    # The sentinel user's UV row (visit 2030) flows into the layer and
+    # becomes the DWS watermark driver.
+    # ------------------------------------------------------------------
+    page = _layer_stream(spark, layers["dwd_page_log"]).withWatermark(
+        "ts", "0 seconds"
+    )
+    _run(
+        uv_dedup_stream(page, key="user_id"),
+        layers["dwm_unique_visit"],
+        ckpt("unique_visit_app"),
+    )
+
+    # ------------------------------------------------------------------
+    # DWM job 4 — UserJumpApp: CEP bounce with event-time timeout. The
+    # sentinel advances the watermark so every REAL user's pending
+    # event times out; the sentinel user's own pending event is the one
+    # row that cannot (nothing follows it), so the layer gets an
+    # explicit far-future row appended instead.
+    # ------------------------------------------------------------------
+    page = _layer_stream(spark, layers["dwd_page_log"]).withWatermark(
+        "ts", "0 seconds"
+    )
+    _run(
+        jump_detect_stream(page, key="user_id", gap_ms=JUMP_GAP_MS),
+        layers["dwm_user_jump"],
+        ckpt("user_jump_app"),
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "jump_ts": pa.array(["2030-01-01 00:00:00"], pa.string()),
+            }
+        ),
+        os.path.join(layers["dwm_user_jump"], "part-sentinel.parquet"),
+    )
+
+    # ------------------------------------------------------------------
+    # DWM job 5 — OrderWideApp: stream-stream interval join of the two
+    # DWD fact layers (J1, band [0, 30d]). The DB sentinels (-1 keys,
+    # 2030 dates) join each other into one far-future wide row that
+    # keeps the layer's event-time horizon at 2030.
+    # ------------------------------------------------------------------
+    def fact_stream(table: str, key_ts: str, alias: str) -> DataFrame:
+        schema = spark.read.parquet(layers[f"dwd_{table}"]).schema
+        return (
+            spark.readStream.schema(schema)
+            .parquet(layers[f"dwd_{table}"])
+            .withColumn(f"{alias}_ts", ts_as_timestamp(schema, key_ts))
+            .withWatermark(f"{alias}_ts", "0 seconds")
+            .alias(alias)
+        )
+
+    o = fact_stream("order_info", "o_orderdate", "o")
+    l = fact_stream("order_detail", "l_shipdate", "l")
+    wide = interval_join_stream(
+        o,
+        l,
+        on=F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        left_ts=F.col("o_ts"),
+        right_ts=F.col("l_ts"),
+        lower="0 seconds",
+        upper="30 days",
+    ).select(
+        "o.o_orderkey",
+        "l.l_linenumber",
+        "l.l_partkey",
+        F.date_format("o_ts", "yyyy-MM-dd").alias("order_date"),
+        F.date_format("l_ts", "yyyy-MM-dd").alias("ship_date"),
+        F.round("o.o_totalprice", 2).alias("total_amount"),
+        F.round("l.l_extendedprice", 2).alias("split_amount"),
+    )
+    _run(wide, layers["dwm_order_wide"], ckpt("order_wide_app"))
+
+    # ------------------------------------------------------------------
+    # DWM job 6 — PaymentWideApp: asymmetric band [-7d, +90d] (J2) over
+    # the same DWD fact layers (the reference joins the payment DWD
+    # topic to order_wide; the J2 operator slot is identical).
+    # ------------------------------------------------------------------
+    from gmall_realtime_flink_spark.functions.compat import dec_round
+
+    o = fact_stream("order_info", "o_orderdate", "o")
+    l = fact_stream("order_detail", "l_shipdate", "l")
+    pay = interval_join_stream(
+        o,
+        l,
+        on=F.col("o.o_orderkey") == F.col("l.l_orderkey"),
+        left_ts=F.col("o_ts"),
+        right_ts=F.col("l_ts"),
+        lower="-7 days",
+        upper="90 days",
+    ).select(
+        "o.o_orderkey",
+        "l.l_linenumber",
+        F.date_format("l_ts", "yyyy-MM-dd").alias("callback_date"),
+        dec_round(
+            F.col("l.l_extendedprice") * (1 - F.col("l.l_discount")), 2
+        ).alias("payment_amount"),
+    )
+    _run(pay, layers["dwm_payment_wide"], ckpt("payment_wide_app"))
+
+    # ------------------------------------------------------------------
+    # DWS job 7 — VisitorStatsApp: the U2 4-stream union consumed FROM
+    # THE LAYERS — pv/sv from dwd_page_log, uv from dwm_unique_visit,
+    # uj from dwm_user_jump (VisitorStatsApp.java:80-141) — then the
+    # 10 s keyed tumble (:156-196). Watermark = min over the four
+    # inputs; every input's sentinel rides at 2030 so it never stalls.
+    # ------------------------------------------------------------------
+    from gmall_realtime_flink_spark.operators.union import (
+        project_to_skeleton,
+        union_streams,
+    )
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+    from gmall_realtime_flink_spark.functions.compat import dec_sum
+
+    zero, zerod = F.lit(0), F.lit(0.0)
+
+    def skel(df: DataFrame, **slots) -> DataFrame:
+        skeleton = {
+            "ts": F.col("ts"),
+            "pv_ct": slots.get("pv_ct", zero),
+            "uv_ct": slots.get("uv_ct", zero),
+            "sv_ct": slots.get("sv_ct", zero),
+            "uj_ct": slots.get("uj_ct", zero),
+            "dur": slots.get("dur", zerod),
+        }
+        return project_to_skeleton(df, skeleton)
+
+    page = _layer_stream(spark, layers["dwd_page_log"]).withWatermark(
+        "ts", "0 seconds"
+    )
+    pv = skel(
+        page.filter(F.col("event_type") == "view"),
+        pv_ct=F.lit(1),
+        dur=F.col("value"),
+    )
+    sv = skel(
+        page.filter(F.col("event_type") == "signup"), sv_ct=F.lit(1)
+    )
+    uv = skel(
+        _layer_stream(spark, layers["dwm_unique_visit"], ts_col="first_ts"),
+        uv_ct=F.lit(1),
+    )
+    uj = skel(
+        _layer_stream(spark, layers["dwm_user_jump"], ts_col="jump_ts"),
+        uj_ct=F.lit(1),
+    )
+    vs = tumble_agg(
+        union_streams([pv, uv, sv, uj]),
+        ts_col="ts",
+        duration="10 seconds",
+        keys=[],
+        aggs=[
+            F.sum("pv_ct").alias("pv_ct"),
+            F.sum("uv_ct").alias("uv_ct"),
+            F.sum("sv_ct").alias("sv_ct"),
+            F.sum("uj_ct").alias("uj_ct"),
+            dec_sum("dur").alias("dur_sum"),
+        ],
+    ).select("stt", "edt", "pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum")
+    _run(vs, layers["dws_visitor_stats"], ckpt("visitor_stats_app"))
+
+    # ------------------------------------------------------------------
+    # DWS job 8 — ProductStatsApp: the U1 7-branch union pipeline over
+    # the page_log layer (ProductStatsApp.java:241-316).
+    # ------------------------------------------------------------------
+    from gmall_realtime_flink_spark.plans.gmall import (
+        product_stats_union_core,
+    )
+
+    page = _layer_stream(spark, layers["dwd_page_log"]).withWatermark(
+        "ts", "0 seconds"
+    )
+    _run(
+        product_stats_union_core(page),
+        layers["dws_product_stats"],
+        ckpt("product_stats_app"),
+    )
+
+    # ------------------------------------------------------------------
+    # DWS job 9 — ProvinceStatsSqlApp: the Flink-SQL app shape over the
+    # dwd_order_info layer (ProvinceStatsSqlApp.java:45-61) — a
+    # watermarked stream registered as a view, day-tumble SQL agg with
+    # streaming-safe exact distinct, static dims broadcast-joined.
+    # ------------------------------------------------------------------
+    oi_schema = spark.read.parquet(layers["dwd_order_info"]).schema
+    oi = (
+        spark.readStream.schema(oi_schema)
+        .parquet(layers["dwd_order_info"])
+        .withColumn("o_ts", ts_as_timestamp(oi_schema, "o_orderdate"))
+        .withWatermark("o_ts", "0 seconds")
+    )
+    oi.createOrReplaceTempView("dwd_order_info_stream")
+    from gmall_realtime_flink_spark.catalog import load
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("dim_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("dim_nation")
+    province = spark.sql(
+        """
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS stt,
+               date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS edt,
+               n.n_name AS province_name,
+               CAST(size(collect_set(o.o_orderkey)) AS BIGINT)
+                 AS order_count,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)
+                    AS DOUBLE) AS order_amount
+        FROM dwd_order_info_stream o
+        JOIN dim_customer c ON o.o_custkey = c.c_custkey
+        JOIN dim_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY window(o_ts, '1 day'), n.n_name
+        """
+    )
+    _run(province, layers["dws_province_stats"], ckpt("province_stats_app"))
+
+    # ------------------------------------------------------------------
+    # DWS job 10 — KeywordStatsApp: view events from the page_log layer
+    # joined to the search text, tokenizer explode ON THE STREAM, 10 s
+    # tumble per keyword (KeywordStatsApp.java:56-88).
+    # ------------------------------------------------------------------
+    page = _layer_stream(spark, layers["dwd_page_log"]).withWatermark(
+        "ts", "0 seconds"
+    )
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    views = page.filter(F.col("event_type") == "view").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    words = (
+        views.join(F.broadcast(docs), views["k"] == docs["doc_id"])
+        .select(
+            "ts",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("keyword"),
+        )
+        .filter(F.length("keyword") >= 2)
+    )
+    kw = tumble_agg(
+        words,
+        ts_col="ts",
+        duration="10 seconds",
+        keys=["keyword"],
+        aggs=[F.count(F.lit(1)).alias("ct")],
+    ).select("stt", "edt", "keyword", "ct", F.lit("SEARCH").alias("source"))
+    _run(kw, layers["dws_keyword_stats"], ckpt("keyword_stats_app"))
+
+    return layers
+
+
+# One topology run serves all four chained DWS registry entries (the
+# driver invokes each entry separately; re-running the 10-job DAG per
+# entry would be 4× the work for bit-identical layers).
+_LAYER_CACHE: dict[str, dict[str, str]] = {}
+
+
+def warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    key = os.path.abspath(sf_dir)
+    if key not in _LAYER_CACHE:
+        _LAYER_CACHE[key] = build_warehouse_layers(spark, sf_dir)
+    return _LAYER_CACHE[key]
+
+
+def _dws(spark: SparkSession, sf_dir: str, layer: str) -> DataFrame:
+    out = spark.read.parquet(warehouse_layers(spark, sf_dir)[layer])
+    return out.filter(F.col("stt") < SENTINEL_CUTOFF)
+
+
+def chained_visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dws(spark, sf_dir, "dws_visitor_stats")
+
+
+def chained_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dws(spark, sf_dir, "dws_product_stats")
+
+
+def chained_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dws(spark, sf_dir, "dws_province_stats")
+
+
+def chained_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dws(spark, sf_dir, "dws_keyword_stats")

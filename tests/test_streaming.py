@@ -806,26 +806,29 @@ def test_stateful_checkpoint_recovery_across_restarts(
     assert got == want
 
 
-def test_streaming_distinct_modes_agree(spark, sf_dir):
-    """The switchable A3 distinct strategy: approx mode (HLL++,
+@pytest.mark.parametrize(
+    "job_name, key",
+    [
+        ("streaming_visitor_stats", ("stt", "event_type")),
+        ("streaming_visitor_stats_sliding", ("stt", "event_type")),
+        ("streaming_stats_sql", ("stt", "event_type")),
+    ],
+)
+def test_streaming_distinct_modes_agree(spark, sf_dir, job_name, key):
+    """The switchable A3 distinct strategy, on EVERY streaming distinct
+    site (tumble, hopping, SQL front-end): approx mode (HLL++,
     constant per-window-key state — the hot-key 100 TB posture) must
     stay within the documented error of the exact collect_set default
     on the same stream. rsd=0.05 ⇒ per-group relative error well under
     15% at these cardinalities; most small groups are exact."""
-    from gmall_realtime_flink_spark.streaming.jobs import (
-        streaming_visitor_stats,
-    )
-
-    key = ("stt", "event_type")
+    job = getattr(jobs, job_name)
     exact = {
         tuple(r[k] for k in key): r["uv_ct"]
-        for r in streaming_visitor_stats(spark, sf_dir).collect()
+        for r in job(spark, sf_dir).collect()
     }
     approx = {
         tuple(r[k] for k in key): r["uv_ct"]
-        for r in streaming_visitor_stats(
-            spark, sf_dir, distinct_mode="approx"
-        ).collect()
+        for r in job(spark, sf_dir, distinct_mode="approx").collect()
     }
     assert exact.keys() == approx.keys()
     assert exact, "no windows produced"

@@ -1,0 +1,153 @@
+"""Full chained warehouse topology: every layer equals its batch oracle.
+
+The reference's deployment is a DAG of streaming jobs handing off
+through Kafka topics (SURVEY §3.1). streaming/topology.py runs that
+DAG as 10 checkpointed Structured Streaming queries over staged layer
+directories; this test pins that EVERY layer — both DWD splits, both
+DWD fact routes, all four DWM outputs, all four DWS outputs — is
+row-identical to the corresponding batch computation on the source
+tables. This is the equality the reference never tests: the layered
+streaming warehouse computes exactly what one batch pass would.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_realtime_flink_spark.catalog import load
+from gmall_realtime_flink_spark.plans.registry import REGISTRY
+from gmall_realtime_flink_spark.streaming import topology as tp
+
+
+@pytest.fixture(scope="module")
+def layers(spark, sf_dir):
+    return tp.warehouse_layers(spark, sf_dir)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_dwd_page_log_layer_is_the_event_firehose(spark, sf_dir, layers):
+    got = (
+        spark.read.parquet(layers["dwd_page_log"])
+        .filter(F.col("user_id") >= 0)
+    )
+    want = load(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+@pytest.mark.parametrize(
+    "layer, etype", [("dwd_start_log", "signup"), ("dwd_display_log", "click")]
+)
+def test_dwd_side_output_layers(spark, sf_dir, layers, layer, etype):
+    got = spark.read.parquet(layers[layer]).filter(F.col("user_id") >= 0)
+    want = load(spark, sf_dir, "events").filter(F.col("event_type") == etype)
+    cols = ["event_id", "user_id", "event_type"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dwd_fact_layers_roundtrip_the_cdc_envelope(spark, sf_dir, layers):
+    oi = (
+        spark.read.parquet(layers["dwd_order_info"])
+        .filter(F.col("o_orderkey") >= 0)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    assert _rows(oi, cols) == _rows(orders, cols)
+    od = (
+        spark.read.parquet(layers["dwd_order_detail"])
+        .filter(F.col("l_orderkey") >= 0)
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"]
+    assert _rows(od, cols) == _rows(lineitem, cols)
+
+
+def test_dwm_unique_visit_layer(spark, sf_dir, layers):
+    from gmall_realtime_flink_spark.operators.stateful import uv_dedup
+
+    got = (
+        spark.read.parquet(layers["dwm_unique_visit"])
+        .filter(F.col("user_id") >= 0)
+    )
+    want = uv_dedup(load(spark, sf_dir, "events"), key="user_id", ts_col="ts")
+    cols = ["user_id", "visit_date", "first_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dwm_user_jump_layer(spark, sf_dir, layers):
+    from gmall_realtime_flink_spark.operators.stateful import jump_detect
+
+    got = (
+        spark.read.parquet(layers["dwm_user_jump"])
+        .filter(F.col("user_id") >= 0)
+    )
+    want = jump_detect(
+        load(spark, sf_dir, "events"), key="user_id", ts_col="ts",
+        gap_ms=tp.JUMP_GAP_MS,
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("jump_ts"),
+    )
+    cols = ["event_id", "user_id", "jump_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+@pytest.mark.parametrize(
+    "layer, batch_name, key_col",
+    [
+        ("dwm_order_wide", "order_wide", "o_orderkey"),
+        ("dwm_payment_wide", "payment_wide", "o_orderkey"),
+    ],
+)
+def test_dwm_wide_layers(spark, sf_dir, layers, layer, batch_name, key_col):
+    got = spark.read.parquet(layers[layer]).filter(F.col(key_col) >= 0)
+    want = REGISTRY[batch_name].builder(spark, sf_dir)
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+@pytest.mark.parametrize(
+    "chained_name, batch_name",
+    [
+        ("chained_visitor_stats", "visitor_stats_union"),
+        ("chained_product_stats", "product_stats_union"),
+        ("chained_province_stats", "province_stats_sql"),
+        ("chained_keyword_stats", "keyword_stats_sql"),
+    ],
+)
+def test_dws_outputs_match_batch_forms(
+    spark, sf_dir, layers, chained_name, batch_name
+):
+    got = getattr(tp, chained_name)(spark, sf_dir)
+    want = REGISTRY[batch_name].builder(spark, sf_dir)
+    cols = want.columns
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_every_topology_job_is_checkpointed(layers):
+    import os
+
+    base = os.path.dirname(layers["dwd_page_log"])
+    jobs = sorted(os.listdir(os.path.join(base, "ckpt")))
+    assert jobs == sorted(
+        [
+            "base_log_app",
+            "base_db_app",
+            "unique_visit_app",
+            "user_jump_app",
+            "order_wide_app",
+            "payment_wide_app",
+            "visitor_stats_app",
+            "product_stats_app",
+            "province_stats_app",
+            "keyword_stats_app",
+        ]
+    )
+    for j in jobs:
+        # a committed offsets log is what makes each job restartable
+        assert os.path.isdir(os.path.join(base, "ckpt", j, "offsets")), j
