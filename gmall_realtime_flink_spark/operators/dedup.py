@@ -514,6 +514,8 @@ def prefix_filter_candidates(
     n: int = 2,
     threshold: float = 0.2,
     max_df: int | None = None,
+    length_filter: bool = True,
+    positional_filter: bool = True,
 ) -> DataFrame:
     """COMPLETE candidate pairs for Jaccard >= threshold via prefix
     filtering (All-Pairs / PPJoin family — Bayardo et al. WWW'07,
@@ -615,15 +617,18 @@ def prefix_filter_candidates(
     ubound = F.lit(1) + F.least(
         F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
-    cond = (
-        (F.col("a.sh") == F.col("b.sh"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        & (
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    # `length_filter`/`positional_filter` exist so the pruning value of
+    # each exactness-preserving filter can be MEASURED per corpus
+    # (tools/measure_pruning.py) — production keeps both on.
+    if length_filter:
+        cond = cond & (
             F.least(F.col("a.sz"), F.col("b.sz")) * F.lit(gq)
             >= F.lit(gp) * F.greatest(F.col("a.sz"), F.col("b.sz"))
         )
-    )
-    if max_df is None:
+    if positional_filter and max_df is None:
         cond = cond & (
             ubound * F.lit(gp + gq)
             >= F.lit(gp) * (F.col("a.sz") + F.col("b.sz"))

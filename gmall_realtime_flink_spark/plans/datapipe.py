@@ -220,6 +220,32 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(minhash_signatures(d), max_bucket=8)
 
 
+def dedup_minhash_lsh_xxh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION LSH posture — what a real 100 TB deployment
+    runs: xxhash64 signatures (one JVM 64-bit hash per shingle vs
+    md5's hex-string construction; measured 1.9x end-to-end at sf1)
+    plus the max_bucket=200 hot-bucket guard (399.6M -> 30.4M
+    candidate pairs at sf10 on the degenerate corpus). The md5
+    default exists only to be bit-reproducible in DuckDB for the
+    oracle gate; nothing else about the plan differs — same single
+    (band, band_hash) exchange, same distinct pair output
+    (operators/dedup.lsh_candidates).
+
+    NOT in the oracle registry (xxhash64 has no DuckDB equivalent, and
+    the registry's every-entry-has-an-oracle invariant is worth more
+    than one more rows-only entry); correctness is pinned by the
+    oracle-exact md5 twin (dedup_minhash_lsh_capped) plus
+    test_minhash_xxhash64_fast_path, and RUNTIME is regression-gated
+    by bench.py's production section.
+    """
+    d = load(spark, sf_dir, "documents")
+    return lsh_candidates(
+        minhash_signatures(d, hash_impl="xxhash64"),
+        hash_impl="xxhash64",
+        max_bucket=200,
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -2496,6 +2522,71 @@ def dedup_jaccard_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     cand = prefix_filter_candidates(d, threshold=0.8)
+    return jaccard_verify(cand, d, threshold=0.8)
+
+
+@register(
+    "dedup_jaccard_complete_capped",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1])) AS sset
+      FROM d WHERE len(toks) >= 3),
+    tok AS (
+      SELECT doc_id, len(sset)::BIGINT AS sz, unnest(sset) AS sh FROM sets),
+    dfreq AS (SELECT sh, count(*)::BIGINT AS df FROM tok GROUP BY sh),
+    ranked AS (
+      SELECT t.doc_id, t.sz, t.sh, f.df,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.sh)
+               AS pos
+      FROM tok t JOIN dfreq f ON t.sh = f.sh),
+    prefix AS (
+      SELECT doc_id, sz, sh FROM ranked
+      WHERE pos <= sz - ((799999 * sz + 999999) // 1000000) + 1
+        AND df <= 50),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+       AND least(a.sz, b.sz) * 1000000 >= 799999 * greatest(a.sz, b.sz))
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(x.sset, y.sset))::DOUBLE
+                   / len(list_distinct(x.sset || y.sset)), 6) AS jaccard
+      FROM cand c JOIN sets x ON c.doc_a = x.doc_id
+                  JOIN sets y ON c.doc_b = y.doc_id
+    ) WHERE jaccard >= 0.8
+    """,
+    doc="The PRODUCTION similarity-join posture: prefix filtering with "
+    "the max_df=50 hot-token cap — any token's pair contribution is "
+    "bounded at max_df(max_df-1)/2 regardless of corpus pathology. "
+    "Unlike LSH's probabilistic recall loss the degradation is exact "
+    "and enumerable (completeness is lost ONLY for pairs whose every "
+    "shared prefix token is hot), so the DuckDB oracle mirrors the "
+    "cap symbolically — same integer prefix-length ceil at the "
+    "guarded threshold, same df cutoff, same length-ratio filter — "
+    "and the hash gate doubles as a cross-engine proof that the "
+    "capped semantics (not just the ideal ones) are implemented "
+    "exactly. Positional filter deliberately disabled under the cap "
+    "(its first-common-token bound may reference a dropped token — "
+    "operators/dedup.prefix_filter_candidates). Regression-gated in "
+    "bench.py's production section.",
+    tags=("datapipe", "dedup", "jaccard", "scale", "production"),
+)
+def dedup_jaccard_complete_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        jaccard_verify,
+        prefix_filter_candidates,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cand = prefix_filter_candidates(d, threshold=0.8, max_df=50)
     return jaccard_verify(cand, d, threshold=0.8)
 
 

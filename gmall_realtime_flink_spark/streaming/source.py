@@ -48,3 +48,47 @@ def stream_events(
     else:
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df.withWatermark("ts", watermark)
+
+
+EVENT_JSON_SCHEMA = (
+    "event_id long, ts string, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events_socket(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 9999,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """S1 over a NETWORK transport: the socket source is the nearest
+    executable analogue of the Kafka wire path in this environment (no
+    broker binary exists — streaming/kafka.py:12-17): a TCP byte
+    stream of JSON lines, parsed with from_json against a declared
+    schema, event-time watermark applied — exactly the
+    readStream.format("kafka") + from_json pipeline shape
+    (RT/utils/MyKafkaUtil.java:23-29 + JSON.parseObject at every
+    consumer, e.g. RT/app/dwd/BaseLogAPP.java:64-70) with only the
+    transport format string changed. Every downstream operator is
+    source-agnostic, so tests driving this source through a DWS
+    aggregate pin that ONLY the connector — not the DAG — differs
+    from a Kafka deployment.
+
+    Not for production scale-out (the socket source is
+    single-connection, no offsets/replay — Spark docs mark it for
+    testing); the Kafka source carries the same contract with
+    partitioned offsets.
+    """
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json("value", EVENT_JSON_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed.withColumn("ts", F.to_timestamp("ts")).withWatermark(
+        "ts", watermark
+    )

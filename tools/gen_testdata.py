@@ -181,15 +181,111 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         json.dump({"sf": sf, "seed": seed, "lineitem_rows": int(n_li)}, f)
 
 
+def generate_zipf_docs(
+    n_doc: int,
+    out: str,
+    seed: int = 42,
+    vocab_size: int = 50_000,
+    s: float = 1.0,
+) -> None:
+    """A REALISTIC heavy-tailed documents corpus (Zipf-ranked
+    vocabulary), as a counterpart to the driver corpus's degenerate
+    31-word vocabulary.
+
+    Why it exists: on the 31-word corpus every 2-gram shingle is hot
+    (≈ 961 possible shingles over 50k docs), which makes LSH bucket
+    collisions and PPJoin prefix frequencies look nothing like web
+    text — the round-5 pruning measurements (positional filter win,
+    length-prefilter loss) were corpus-specific. Real corpora follow
+    Zipf's law (Zipf '49; ~rank^-1 frequencies), so this generator
+    samples each word from a rank-probability table p(r) ∝ 1/r^s over
+    a `vocab_size` vocabulary, log-normal doc lengths (10..300 words,
+    median ~55), and reproduces the driver corpus's duplicate
+    structure exactly: ~0.2% verbatim copies and ~4.8% near-dup
+    mutated copies (10% of words resampled) of earlier docs — so
+    dedup recall/pruning numbers are comparable across the two
+    corpora with only the vocabulary distribution changing.
+    """
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    p = 1.0 / ranks**s
+    p /= p.sum()
+    # letter-only words (the tokenizers split on [^a-z]+): rank in
+    # base-26 a..z, prefixed to avoid collisions across lengths
+    digits = "abcdefghijklmnopqrstuvwxyz"
+
+    def word(r: int) -> str:
+        out = []
+        while True:
+            out.append(digits[r % 26])
+            r //= 26
+            if r == 0:
+                break
+        return "w" + "".join(reversed(out))
+
+    vocab = np.array([word(r) for r in range(vocab_size)])
+
+    def draw_words(n: int) -> np.ndarray:
+        return vocab[rng.choice(vocab_size, n, p=p)]
+
+    lengths = np.clip(
+        np.exp(rng.normal(4.0, 0.6, n_doc)).astype(np.int64), 10, 300
+    )
+    texts: list[str] = []
+    for i in range(n_doc):
+        r = rng.random()
+        if i > 10 and r < 0.002:
+            texts.append(texts[int(rng.integers(0, i))])
+        elif i > 10 and r < 0.05:
+            words = texts[int(rng.integers(0, i))].split()
+            idx = rng.integers(0, len(words), max(1, len(words) // 10))
+            repl = draw_words(len(idx))
+            for j, w in zip(idx, repl):
+                words[j] = w
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(draw_words(int(lengths[i]))))
+    langs = np.array(LANGS)[rng.choice(5, n_doc, p=LANG_W)]
+    _write(out, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array([f"src{s_}" for s_ in rng.integers(0, 20, n_doc)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "corpus": "zipf",
+                "n_doc": n_doc,
+                "vocab_size": vocab_size,
+                "s": s,
+                "seed": seed,
+            },
+            f,
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=42)
-    a = ap.parse_args()
-    out = a.out or os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".local",
-        f"sf{a.sf:g}",
+    ap.add_argument(
+        "--corpus",
+        choices=["driver", "zipf"],
+        default="driver",
+        help="zipf = heavy-tailed documents-only corpus "
+        "(n_doc = 50000*sf, like the driver corpus)",
     )
-    generate(a.sf, out, a.seed)
+    a = ap.parse_args()
+    local = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".local"
+    )
+    if a.corpus == "zipf":
+        out = a.out or os.path.join(local, f"zipf_sf{a.sf:g}")
+        generate_zipf_docs(int(50_000 * a.sf), out, a.seed)
+    else:
+        out = a.out or os.path.join(local, f"sf{a.sf:g}")
+        generate(a.sf, out, a.seed)
