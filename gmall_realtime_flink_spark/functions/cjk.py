@@ -113,6 +113,26 @@ def trie_pattern(words: tuple[str, ...] = CJK_WORDS) -> str:
     return "|".join([*pieces, _ASCII_RUN, _UNIGRAM])
 
 
+def synthetic_dictionary(n: int, seed: int = 11) -> tuple[str, ...]:
+    """A deterministic n-word CJK dictionary for scale testing: unique
+    2-4 char words over a 2000-character pool spanning the CJK unified
+    block — the shape (length mix, shared prefixes) of a real ~100k
+    frequency dictionary without shipping one. Used by the 50k-word
+    flat==trie property test and the tokenizer throughput benchmark
+    (tools/bench_cjk.py); production would pass a real dictionary to
+    the same pattern builders."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [chr(0x4E00 + 10 * i) for i in range(2000)]  # U+4E00..U+9C16, inside the CJK block
+    words: set[str] = set(CJK_WORDS)
+    while len(words) < n:
+        words.add(
+            "".join(rng.choice(pool) for _ in range(rng.randint(2, 4)))
+        )
+    return tuple(sorted(words))
+
+
 def tokenize_cjk_dict(col: Column) -> Column:
     """Segment mixed Chinese/ASCII text: longest dictionary word at
     each position, ASCII letter runs, unigrams for OOV CJK. JVM-side

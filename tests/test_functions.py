@@ -484,3 +484,89 @@ def test_prefix_filter_max_df_guard(spark):
         ).collect()
     }
     assert loose >= full  # no-op cap only re-admits positional prunes
+
+
+def test_trie_pattern_equals_flat_pattern_50k_words():
+    """The 100k-word scale claim, executed at half that size: a 50k-word
+    synthetic dictionary (2-4 char words, dense shared prefixes), the
+    prefix-factored trie pattern must segment EXACTLY like the flat
+    longest-first alternation. hypothesis drives the text generator
+    through the adversarial cases (dictionary-word concatenations,
+    shared-prefix truncations, OOV chars, ASCII runs) — any divergence
+    is a counterexample to the greedy-continuation argument in
+    functions/cjk.trie_pattern."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from gmall_realtime_flink_spark.functions.cjk import (
+        dict_pattern,
+        synthetic_dictionary,
+        trie_pattern,
+    )
+
+    words = synthetic_dictionary(50_000)
+    flat = re.compile(dict_pattern(words))
+    trie = re.compile(trie_pattern(words))
+    some_words = words[::997]  # ~50 spread across the sorted dictionary
+    prefixes = [w[:-1] for w in some_words if len(w) > 2]
+    atoms = st.one_of(
+        st.sampled_from(some_words),
+        st.sampled_from(prefixes),
+        st.sampled_from(["中", "鿿", "a", "xyz", " ", "？"]),
+    )
+    texts = st.lists(atoms, min_size=0, max_size=12).map("".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def check(s):
+        assert flat.findall(s) == trie.findall(s), s
+
+    check()
+
+
+def test_trie_pattern_50k_words_in_spark(spark):
+    """The same 50k-word trie pattern executed by the JVM regex engine
+    inside regexp_extract_all — Spark must (a) accept the ~250 KB
+    pattern and (b) agree with the flat alternation on a mixed corpus.
+    This is the cross-engine half of the scale claim (Python re is
+    backtracking like Java, but only the JVM run proves the plan)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.functions.cjk import (
+        dict_pattern,
+        synthetic_dictionary,
+        trie_pattern,
+    )
+
+    words = synthetic_dictionary(50_000)
+    rng = random.Random(3)
+    sample = list(words[::499])
+    texts = [
+        "".join(
+            rng.choice(sample + ["中", "abc ", "x"])
+            for _ in range(rng.randint(1, 12))
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_trie = [
+        r["t"]
+        for r in df.select(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(trie_pattern(words)), 0
+            ).alias("t")
+        ).collect()
+    ]
+    got_flat = [
+        r["t"]
+        for r in df.select(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(dict_pattern(words)), 0
+            ).alias("t")
+        ).collect()
+    ]
+    assert got_trie == got_flat
+    assert any(len(t) > 1 for t in got_trie)  # real segmentation happened
