@@ -34,7 +34,12 @@ _DRIVER_PRIORITY = [
     "visitor_stats", "unique_visit", "visitor_repair", "user_jump",
     "session_entry", "order_wide", "payment_wide", "order_enriched",
     "product_stats", "province_stats", "product_stats_union",
-    "visitor_stats_union", "visitor_stats_4d", "province_stats_sql",
+    # chained_visitor_stats runs the DWS VisitorStatsApp at the end of
+    # the FULL 10-job chained topology (streaming/topology.py) — the
+    # driver head thereby covers the reference's actual deployment
+    # shape, not just per-operator slices. (visitor_stats_4d moved to
+    # the tail to keep the head at 50; it stays oracle-gated locally.)
+    "visitor_stats_union", "chained_visitor_stats", "province_stats_sql",
     "keyword_stats_sql", "keyword_product_sql", "keyword_stats",
     "keyword_stats_cjk_dict", "keyword_product_stats",
     "display_log_explode", "cdc_route", "cdc_route_config", "serving_gmv",
