@@ -61,6 +61,7 @@ EXTRA = [
     "doc_novelty_score",
     "token_countmin",
     "doc_hll_cardinality",
+    "dedup_jaccard_complete_capped",
 ]
 
 
