@@ -103,14 +103,24 @@ def _layer_stream(
     return df
 
 
-def build_warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+def build_warehouse_layers(
+    spark: SparkSession, sf_dir: str, base: str | None = None
+) -> dict[str, str]:
     """Run the full 10-job chained topology; returns layer name -> dir.
 
     Execution order follows the layer DAG; every job has its own
     checkpoint directory, so any job can restart from its offsets
-    exactly as the independent reference jobs do.
+    exactly as the independent reference jobs do. Re-invoking with the
+    SAME `base` is a full-warehouse restart: every job resumes from
+    its committed offsets, finds no new input, and appends nothing —
+    restart idempotency of the whole DAG, pinned by
+    tests/test_topology.py::test_topology_rerun_is_idempotent.
+    (The ODS staging dirs and the user_jump sentinel row are created
+    once per base; on restart the recorded dirs are reused.)
     """
-    base = tempfile.mkdtemp(prefix="warehouse_")
+    first_run = base is None
+    if base is None:
+        base = tempfile.mkdtemp(prefix="warehouse_")
     layers = {
         name: os.path.join(base, name)
         for name in (
@@ -133,6 +143,22 @@ def build_warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     def ckpt(job: str) -> str:
         return os.path.join(base, "ckpt", job)
 
+    # ODS staging dirs must be STABLE across restarts: the file-source
+    # checkpoints record which files were consumed, so a restart must
+    # see the SAME source directories (a fresh staging dir would look
+    # like all-new data and replay everything). First run stages and
+    # records them; a restart reuses the recorded dirs.
+    import json as _json
+
+    ods_manifest = os.path.join(base, "ods.json")
+    if first_run:
+        ods = {
+            "log": events_with_sentinel(spark, sf_dir, gap_ms=JUMP_GAP_MS),
+        }
+    else:
+        with open(ods_manifest) as f:
+            ods = _json.load(f)
+
     # ------------------------------------------------------------------
     # DWD job 1 — BaseLogAPP: one scan of the ODS log stream, 3-way
     # split (side outputs, BaseLogAPP.java:141-188). page_log carries
@@ -140,7 +166,7 @@ def build_warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     # every DWM/DWS log consumer reads); start/display are the filtered
     # side outputs.
     # ------------------------------------------------------------------
-    ods_log = events_with_sentinel(spark, sf_dir, gap_ms=JUMP_GAP_MS)
+    ods_log = ods["log"]
     events = stream_events(spark, ods_log, max_files_per_trigger=1)
 
     def split_log(batch_df: DataFrame, _id: int) -> None:
@@ -188,9 +214,9 @@ def build_warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         row["l_shipdate"] = _far_for(lineitem_schema, "l_shipdate")
 
     def envelope(src_table: str, topic: str, schema: T.StructType, mut) -> DataFrame:
-        raw = spark.readStream.schema(schema).parquet(
-            stage_table_with_sentinel(sf_dir, src_table, mut)
-        )
+        if first_run:
+            ods[topic] = stage_table_with_sentinel(sf_dir, src_table, mut)
+        raw = spark.readStream.schema(schema).parquet(ods[topic])
         return raw.select(
             F.lit(topic).alias("table"),
             F.to_json(F.struct("*")).alias("data"),
@@ -199,6 +225,9 @@ def build_warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     cdc = envelope("orders", "order_info", orders_schema, _mut_o).unionByName(
         envelope("lineitem", "order_detail", lineitem_schema, _mut_l)
     )
+    if first_run:
+        with open(ods_manifest, "w") as f:
+            _json.dump(ods, f)
     table_schemas = {
         "order_info": orders_schema,
         "order_detail": lineitem_schema,
@@ -259,16 +288,20 @@ def build_warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(
-        pa.table(
-            {
-                "event_id": pa.array([-1], pa.int64()),
-                "user_id": pa.array([-1], pa.int64()),
-                "jump_ts": pa.array(["2030-01-01 00:00:00"], pa.string()),
-            }
-        ),
-        os.path.join(layers["dwm_user_jump"], "part-sentinel.parquet"),
+    jump_sentinel = os.path.join(
+        layers["dwm_user_jump"], "part-sentinel.parquet"
     )
+    if not os.path.exists(jump_sentinel):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "jump_ts": pa.array(["2030-01-01 00:00:00"], pa.string()),
+                }
+            ),
+            jump_sentinel,
+        )
 
     # ------------------------------------------------------------------
     # DWM job 5 — OrderWideApp: stream-stream interval join of the two

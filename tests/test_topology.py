@@ -151,3 +151,23 @@ def test_every_topology_job_is_checkpointed(layers):
     for j in jobs:
         # a committed offsets log is what makes each job restartable
         assert os.path.isdir(os.path.join(base, "ckpt", j, "offsets")), j
+
+
+def test_topology_rerun_is_idempotent(spark, sf_dir, layers):
+    """Full-warehouse restart: re-running every job of the DAG against
+    the SAME base (same checkpoints, same staged ODS dirs) must append
+    NOTHING — each query resumes from its committed offsets, finds no
+    new input, and the layers stay byte-identical in row count. This
+    is the crash-restart story of the whole deployment, not one job."""
+    import os
+
+    base = os.path.dirname(layers["dwd_page_log"])
+    before = {
+        name: spark.read.parquet(d).count() for name, d in layers.items()
+    }
+    layers2 = tp.build_warehouse_layers(spark, sf_dir, base=base)
+    assert layers2 == layers
+    after = {
+        name: spark.read.parquet(d).count() for name, d in layers2.items()
+    }
+    assert after == before
