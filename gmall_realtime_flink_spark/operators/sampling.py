@@ -93,6 +93,33 @@ def normalize_text(text_col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
 
 
+def uniform_sample_k(
+    df: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Exactly-k uniform sample without replacement, content-stable:
+    the k rows with the smallest md5(id) — the deterministic
+    equivalent of reservoir sampling (bottom-k / KMV sampling). A
+    reservoir is arrival-order-dependent and therefore not
+    reproducible across engines, retries, or partitionings; ranking
+    by a content hash gives the same statistical guarantee (md5 is a
+    uniform random permutation of the ids) with a bit-stable result.
+
+    Plan: orderBy(hash) + limit(k) compiles to TakeOrderedAndProject
+    — each task keeps a k-row heap, the driver merges |tasks| heaps;
+    no global sort, no full shuffle, O(k) memory anywhere. At 100 TB
+    this is THE way to cut a uniform eval slice: one scan, k rows
+    out. (Append new data later and the bottom-k of the union is
+    still a uniform sample of the whole — KMV composability.)
+    """
+    h = F.md5(F.col(id_col).cast("string")).alias("__h")
+    return (
+        df.select("*", h)
+        .orderBy("__h", id_col)
+        .limit(k)
+        .drop("__h")
+    )
+
+
 def systematic_sample_by_weight(
     df: DataFrame,
     id_col: str,

@@ -606,6 +606,31 @@ def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_sample_uniform_k",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang FROM documents
+      ORDER BY md5(doc_id::VARCHAR), doc_id
+      LIMIT 100)
+    """,
+    doc="Exactly-k uniform sample without replacement: the 100 rows "
+    "with the smallest md5(doc_id) — the content-stable equivalent "
+    "of reservoir sampling (bottom-k/KMV). Plan is "
+    "TakeOrderedAndProject: per-task k-row heaps merged at the "
+    "driver, no global sort, O(k) memory at any corpus size; "
+    "appending data later keeps the union's bottom-k a uniform "
+    "sample (KMV composability) "
+    "(operators/sampling.uniform_sample_k).",
+    tags=("datapipe", "sampling", "scale"),
+)
+def doc_sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.sampling import uniform_sample_k
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return uniform_sample_k(d, "doc_id", k=100)
+
+
+@register(
     "doc_normalize",
     oracle="""
     SELECT doc_id,
