@@ -1176,33 +1176,57 @@ def serving_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(CAST(l_extendedprice AS DECIMAL(28,4))), 2)::DOUBLE
+             AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(28,4))), 2)::DOUBLE AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(sum(CAST(l_extendedprice AS DECIMAL(28,4)))::DOUBLE
+                 / count(*), 4) AS avg_price,
+           round(sum(CAST(l_discount AS DECIMAL(28,4)))::DOUBLE
+                 / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="A8 extension: TPC-H Q1-style pricing summary (multi-agg groupBy; "
-    "absent from the reference, free under Catalyst).",
+    "absent from the reference, free under Catalyst). Money columns "
+    "aggregate in EXACT decimal like every other money query: raw "
+    "double sums first crossed the 2dp rounding boundary at sf10 "
+    "(15M rows/group — float accumulation is order-dependent; the "
+    "decimal cast is the cross-engine determinism mechanism, "
+    "functions/compat.py). Quantity sums stay double: the values are "
+    "integral, so double summation is exact to 2^53. Averages divide "
+    "the exact decimal sum (as double) by the count — one "
+    "correctly-rounded division per engine.",
     headline=True,
     tags=("agg", "olap"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.functions.compat import MONEY
+
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    ep_dec = F.sum(F.col("l_extendedprice").cast(MONEY))
+    disc_dec = F.sum(F.col("l_discount").cast(MONEY))
+    cnt = F.count(F.lit(1))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
+        F.round(ep_dec, 2).cast("double").alias("sum_base_price"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    MONEY
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.round(ep_dec.cast("double") / cnt, 4).alias("avg_price"),
+        F.round(disc_dec.cast("double") / cnt, 6).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 
