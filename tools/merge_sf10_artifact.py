@@ -1,35 +1,60 @@
-"""Merge the two-part sf10 verification run into VERIFY_SF10_r06.json.
+"""Assemble the final sf10 verification artifact (VERIFY_SF10_r06.json).
 
-Part 1 = registry head up to the inline-collect limit hit by
-dedup_minhash_lsh; part 2 = the relaunched remainder. The merged
-artifact reclassifies entries that failed only the HARNESS (driver
-collect of a ~400M-row result) and records the scale-tier artifacts
-and exclusions with reasons, so `bad` means "engine wrong", not
-"result too big to hash driver-side".
+Inputs: the three inline plain-session runs (part 1 = registry head up
+to the dedup_minhash_lsh driver-collect limit; part 2 = resumed
+remainder, valid until the in-heap state store OOM'd on the first
+stream-stream join; part 3 = re-resumed remainder with those entries
+re-routed), the engine-session (RocksDB) run of the three
+stream-stream joins, the aggregate-moment tier artifacts, and the
+post-fix pricing_summary re-run. `bad` in the merged artifact means
+"engine produced wrong values", never "the harness could not hash a
+400M-row result driver-side".
 """
 
 from __future__ import annotations
 
 import json
-import sys
 
-p1 = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10_part1.json"))
-p2 = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "VERIFY_SF10_part2_r06.json"))
 
-results = {**p1["results"], **p2["results"]}
+def load(p):
+    return json.load(open(p))
 
-# dedup_minhash_lsh: inline FAILED on spark.driver.maxResultSize
-# (399,571,786-row result collected for hashing), then verified EXACT
-# by the aggregate-moment tier — reclassify.
-agg_lsh = json.load(open("VERIFY_AGG_SF10_minhash_lsh_r06.json"))
+
+p1 = load("/tmp/sf10_part1.json")["results"]
+p2_raw = load("/tmp/sf10_part2_raw.json")["results"]
+p3 = load("VERIFY_SF10_part3_r06.json")["results"]
+sj = load("VERIFY_SF10_STREAMJOIN_r06.json")["results"]
+pricing = load("/tmp/pricing_fix_sf10.json")["results"]
+
+# part-2 rows are valid only before the streaming_order_wide OOM
+p2 = {}
+for n, r in p2_raw.items():
+    if n == "streaming_order_wide":
+        break
+    p2[n] = r
+
+results = {**p1, **p2, **p3, **sj}
+
+# pricing_summary: part-3 ran the PRE-fix code (raw-double money sums
+# first crossed the 2dp rounding boundary at sf10 — found BY this
+# gate, fixed in commit a6369a3, re-verified green)
+results["pricing_summary"] = {
+    **pricing["pricing_summary"],
+    "note": "initial sf10 run exposed order-dependent double summation "
+    "(green by magnitude-luck below sf10); fixed to exact DECIMAL "
+    "sums and re-verified",
+}
+
+agg_lsh = load("VERIFY_AGG_SF10_minhash_lsh_r06.json")
 assert agg_lsh["ok"], agg_lsh
 results["dedup_minhash_lsh"] = {
     "ok": True,
     "sec": agg_lsh["spark_sec"],
     "tier": "aggregate-moments (VERIFY_AGG_SF10_minhash_lsh_r06.json; "
-    "inline collect exceeded driver maxResultSize at 399.6M rows)",
+    "inline collect of the 399.6M-row result exceeded driver "
+    "maxResultSize)",
 }
-agg_ps = json.load(open("VERIFY_AGG_SF10_product_stats_r06.json"))
+agg_ps = load("VERIFY_AGG_SF10_product_stats_r06.json")
 assert agg_ps["ok"], agg_ps
 results["product_stats"] = {
     "ok": True,
@@ -45,21 +70,34 @@ out = {
     "checked": len(results),
     "bad": bad,
     "notes": [
-        "Two-part run (part 1 stopped after dedup_minhash_lsh hit the "
-        "driver-collect limit; part 2 resumed the remainder).",
-        "Scale-tier verified: product_stats and dedup_minhash_lsh by "
-        "in-engine aggregate moments (results 50.3M / 399.6M rows — "
-        "collecting them is a harness limit, not an engine one).",
-        "Excluded at sf10 with sf1-green evidence, oracle-side cost "
-        "being the blocker on the DEGENERATE 31-word corpus: "
-        "dedup_simhamming/edit_distance/ngram_jaccard/knn_graph "
-        "(quadratic pair volume ~100x sf1), dedup_cluster/survivors "
-        "(DuckDB closure CTE ~2.5e11 rows), dedup_jaccard_complete[,_capped] "
-        "(brute-force oracle), dedup_embedding_cosine/semantic_verify/"
-        "contrastive_hard_negatives (fixed 16-cell sign buckets make the "
-        "cell self-join quadratic at 200k vectors - the bits knob is the "
-        "documented scale control; realistic-corpus scale evidence for "
-        "the dedup family is the zipf sf1 measurement in BASELINE.md).",
+        "Plain-session inline hash gate for everything except: "
+        "stream-stream joins (streaming_order_wide[,_left], "
+        "streaming_payment_wide) verified under the ENGINE session — "
+        "the plain session's in-heap HDFS state store cannot hold "
+        "~60M rows of join state (OOM, measured), RocksDB off-heap is "
+        "the documented posture and hash-matches exactly "
+        "(VERIFY_SF10_STREAMJOIN_r06.json).",
+        "Aggregate-moment tier: product_stats (50.3M rows) and "
+        "dedup_minhash_lsh (399.6M rows) — results too large to "
+        "collect for hashing; in-engine count/sum/sumsq/min/max/"
+        "countDistinct moments equal in both engines.",
+        "pricing_summary: THIS GATE FOUND A REAL BUG — the one money "
+        "query summing raw doubles crossed the 2dp rounding boundary "
+        "at 15M rows/group; fixed to exact decimal sums (the "
+        "discipline every other money query already used) and "
+        "re-verified at sf0.01/sf0.1/sf10.",
+        "Excluded at sf10 (sf1-green evidence stands; the blocker is "
+        "oracle-side cost on the DEGENERATE 31-word corpus): "
+        "dedup_simhash_hamming / dedup_edit_distance / "
+        "dedup_ngram_jaccard / knn_graph (quadratic pair volume, "
+        "~100x sf1), dedup_cluster / dedup_survivors (closure CTE "
+        "~2.5e11 rows), dedup_jaccard_complete[,_capped] (brute-force "
+        "oracle), dedup_embedding_cosine / dedup_semantic_verify / "
+        "contrastive_hard_negatives (fixed 16-cell sign buckets make "
+        "the cell self-join quadratic at 200k vectors — the bits knob "
+        "is the documented scale control). Realistic-corpus scale "
+        "evidence for the dedup family: the zipf sf1 ablation in "
+        "BASELINE.md.",
         "chained_* topology entries: driver-gated at sf0.01 and "
         "verified at sf1 (VERIFY_SF1_CHAINED_r06.json); the 10-job "
         "streaming DAG at sf10 would serialize hours ahead of the "
