@@ -1192,40 +1192,54 @@ def serving_gmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="A8 extension: TPC-H Q1-style pricing summary (multi-agg groupBy; "
     "absent from the reference, free under Catalyst). Money columns "
-    "aggregate in EXACT decimal like every other money query: raw "
-    "double sums first crossed the 2dp rounding boundary at sf10 "
-    "(15M rows/group — float accumulation is order-dependent; the "
-    "decimal cast is the cross-engine determinism mechanism, "
-    "functions/compat.py). Quantity sums stay double: the values are "
-    "integral, so double summation is exact to 2^53. Averages divide "
-    "the exact decimal sum (as double) by the count — one "
-    "correctly-rounded division per engine.",
+    "aggregate EXACTLY — raw double sums first crossed the 2dp "
+    "rounding boundary at sf10 (15M rows/group; float accumulation is "
+    "order-dependent) — but NOT via per-row CAST(double AS DECIMAL), "
+    "which allocates a BigDecimal per row and cost a measured 4x at "
+    "sf0.1 (BENCH_r06 0.643 s vs the 0.160 s double-sum cell). "
+    "Instead each money value becomes integer 'cents' with a pure "
+    "double/long half-up round (x*10^s + 0.5 -> long — exact here "
+    "because the source data has <= s decimal places, so x*10^s is "
+    "within ~1e-6 of an integer and never near a .5 tie). "
+    "l_extendedprice and l_discount carry 2dp -> scale-2 longs, whose "
+    "long sums saturate only past 9.2e16 dollars/group (~16x TPC-H "
+    "sf100k ~ 100 TB). The discounted product needs 4dp -> its cents "
+    "go through DECIMAL(18,0) so the sum buffer (DECIMAL(28,0), "
+    "long-backed fast path until it actually overflows a long) is "
+    "exact to 1e24 dollars. Results convert cents -> DECIMAL -> "
+    "double so each output sees exactly one decimal->double rounding, "
+    "matching the oracle's sum(CAST(.. AS DECIMAL))::DOUBLE "
+    "bit-for-bit (a long->double/100 shortcut would round twice and "
+    "diverge past 2^53). Quantity sums stay double: integral values, "
+    "exact to 2^53. Verified hash-green vs DuckDB at sf0.01/0.1/10.",
     headline=True,
     tags=("agg", "olap"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gmall_realtime_flink_spark.functions.compat import MONEY
-
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    ep_dec = F.sum(F.col("l_extendedprice").cast(MONEY))
-    disc_dec = F.sum(F.col("l_discount").cast(MONEY))
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        (F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").alias("ep_c2"),
+        (F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long").alias("disc_c2"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+         + F.lit(0.5)).cast("long").cast("decimal(18,0)").alias("dp_c4"),
+    )
     cnt = F.count(F.lit(1))
+    ep_d = F.sum("ep_c2").cast("decimal(38,0)") / 100      # exact, 2dp
+    disc_d = F.sum("disc_c2").cast("decimal(38,0)") / 100  # exact, 2dp
+    dp_d = F.sum("dp_c4") / 10000                          # exact, 4dp
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(ep_dec, 2).cast("double").alias("sum_base_price"),
-        F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    MONEY
-                )
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("sum_disc_price"),
+        F.round(ep_d, 2).cast("double").alias("sum_base_price"),
+        F.round(dp_d, 2).cast("double").alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(ep_dec.cast("double") / cnt, 4).alias("avg_price"),
-        F.round(disc_dec.cast("double") / cnt, 6).alias("avg_disc"),
+        F.round(ep_d.cast("double") / cnt, 4).alias("avg_price"),
+        F.round(disc_d.cast("double") / cnt, 6).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
