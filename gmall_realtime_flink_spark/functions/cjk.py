@@ -130,7 +130,12 @@ def synthetic_dictionary(n: int, seed: int = 11) -> tuple[str, ...]:
         words.add(
             "".join(rng.choice(pool) for _ in range(rng.randint(2, 4)))
         )
-    return tuple(sorted(words))
+    # Exactly n words: the grow loop adds one word at a time, so the
+    # only over-shoot is n < len(CJK_WORDS), where the seed set alone
+    # exceeds n — trim deterministically (sorted order) in that case.
+    out = tuple(sorted(words))[:n]
+    assert len(out) == n
+    return out
 
 
 def tokenize_cjk_dict(col: Column) -> Column:

@@ -107,6 +107,27 @@ def cosine_topk(
     )
 
 
+def auto_bits(
+    n_vectors: int, target_cell: int = 1024, lo: int = 4, hi: int = 16
+) -> int:
+    """Cell count that SCALES with the corpus: bits =
+    clamp(ceil(log2(n / target_cell)), lo, hi), i.e. ~n/target_cell
+    cells so the per-cell pair block stays ~target_cell² regardless of
+    corpus size. A FIXED bits went quadratic at sf10 (200k vectors /
+    16 cells = 12.5k-row cells → 156M pairs per cell — the round-6
+    exclusion); auto bits=8 keeps cells ~780 rows there. The formula
+    is mirrored verbatim in the DuckDB oracles
+    (greatest(lo, least(hi, ceil(log2(n/1024.0))::INT))) so the
+    entries stay hash-gated at every SF. hi=16 also respects the
+    minimum embedding dim. The input count is the only driver-side
+    action — a metadata-only parquet count, no data scan."""
+    import math
+
+    if n_vectors <= target_cell:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_cell))))
+
+
 def sign_bucket(col_name: str, bits: int = 4) -> F.Column:
     """IVF-style coarse cell: bit i set iff embedding[i] >= 0
     (1-based element_at, mirroring the DuckDB oracle)."""
@@ -133,7 +154,7 @@ def cosine_topk_bucketed(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.4, bits: int = 4
+    embeddings: DataFrame, threshold: float = 0.4, bits: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: candidate pairs share a
     sign-bit cell (the same coarse quantizer as the ANN path), cosine
@@ -146,6 +167,8 @@ def embedding_near_dup_pairs(
     Multi-probe (neighboring cells) trades recall for cost exactly as
     in the ANN path.
     """
+    if bits is None:
+        bits = auto_bits(embeddings.count())
     e = embeddings.select(
         "vec_id",
         F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
@@ -374,7 +397,7 @@ def ivf_recall_curve(
 
 
 def knn_self_join(
-    embeddings: DataFrame, k: int = 3, bits: int = 4
+    embeddings: DataFrame, k: int = 3, bits: int | None = None
 ) -> DataFrame:
     """Every vector's top-k nearest neighbors (the k-NN graph), bucketed
     by the sign-bit coarse quantizer so candidates are per-cell — one
@@ -390,6 +413,8 @@ def knn_self_join(
     # norms are per-VECTOR, computed once before the join — inside the
     # pairs relation each norm fold would re-run m-1 times per cell
     # (O(m²·dim) redundant work at scale instead of O(m·dim))
+    if bits is None:
+        bits = auto_bits(embeddings.count())
     e = (
         embeddings.select(
             "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
@@ -425,7 +450,7 @@ def knn_self_join(
 
 
 def hard_negative_pairs(
-    embeddings: DataFrame, k: int = 3, bits: int = 4
+    embeddings: DataFrame, k: int = 3, bits: int | None = None
 ) -> DataFrame:
     """Contrastive hard-negative mining: for every anchor vector, the
     top-k most-similar vectors carrying a DIFFERENT label — the pairs
@@ -443,6 +468,8 @@ def hard_negative_pairs(
     deterministic cross-engine. At 100 TB the bucket id is the
     shuffle/storage-partition key and `bits` tunes cell size.
     """
+    if bits is None:
+        bits = auto_bits(embeddings.count())
     e = (
         embeddings.select(
             "vec_id",

@@ -112,9 +112,15 @@ def heavy_hitters_exact(
     # larger partitions only TIGHTEN the candidate superset.
     max_summary_rows = 1_000_000
     max_parts = max(1, max_summary_rows // (capacity + 1))
-    if items.rdd.getNumPartitions() > max_parts:
-        items = items.coalesce(max_parts)
-    summary = misra_gries_candidates(items, item_col, capacity).collect()
+    # Coalesce ONLY the frame fed to the sketch pass: coalesce
+    # propagates upstream, so reusing the coalesced frame for the
+    # confirm scan would throttle it (and the source scan) to
+    # max_parts-way parallelism — e.g. ~9 tasks at phi=1/100000.
+    # The confirm pass joins the ORIGINAL items at full parallelism.
+    sketch_items = items
+    if sketch_items.rdd.getNumPartitions() > max_parts:
+        sketch_items = sketch_items.coalesce(max_parts)
+    summary = misra_gries_candidates(sketch_items, item_col, capacity).collect()
     total = sum(r["__pn"] for r in summary if r[item_col] is None)
     cand_rows = sorted({r[item_col] for r in summary if r[item_col] is not None})
     spark = items.sparkSession

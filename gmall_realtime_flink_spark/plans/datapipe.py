@@ -389,13 +389,16 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     oracle="""
-    WITH e AS (
+    WITH nb AS (
+      SELECT greatest(4, least(16, ceil(log2(count(*) / 1024.0))::INT))
+        AS bits
+      FROM embeddings),
+    e AS (
       SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+               i -> CASE WHEN embedding[i] >= 0
+                    THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
       FROM embeddings)
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -406,13 +409,17 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding-cosine near-dup pairs via the sign-bit coarse "
     "quantizer: pairs compared only within cells — one bucketed "
-    "shuffle, never quadratic all-pairs. Threshold 0.4 fits the "
-    "synthetic corpus (real near-dup embeddings use ~0.95).",
+    "shuffle, never quadratic all-pairs. Cell count AUTO-SCALES with "
+    "corpus size (operators/similarity.auto_bits: ~n/1024 cells, "
+    "clamped to [16, 65536]; the formula is mirrored in the oracle's "
+    "nb CTE) — a fixed 16 cells went quadratic at 200k vectors. "
+    "Threshold 0.4 fits the synthetic corpus (real near-dup "
+    "embeddings use ~0.95).",
     tags=("dedup", "similarity", "ann"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.4, bits=4)
+    return embedding_near_dup_pairs(e, threshold=0.4)  # bits auto-scaled
 
 
 # ---------------------------------------------------------------------------
@@ -1255,13 +1262,16 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_graph",
     oracle="""
-    WITH e AS (
+    WITH nb AS (
+      SELECT greatest(4, least(16, ceil(log2(count(*) / 1024.0))::INT))
+        AS bits
+      FROM embeddings),
+    e AS (
       SELECT vec_id,
              list_transform(embedding, x -> x::DOUBLE) AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+               i -> CASE WHEN embedding[i] >= 0
+                    THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
       FROM embeddings)
     SELECT vec_a, vec_b, cos_sim, rk FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1277,14 +1287,16 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch-ANN companion to the single-query top-k — what embedding "
     "dedup clustering and semantic-similarity curation consume. "
     "Candidates restricted to the sign-bit cell (one bucketed "
-    "self-equi-join, never N² pairs); per-vector partitioned-window "
-    "ranking on (rounded sim, neighbor id) for cross-engine ties "
+    "self-equi-join, never N² pairs; cell count auto-scales with "
+    "corpus size, operators/similarity.auto_bits, mirrored in the "
+    "oracle); per-vector partitioned-window ranking on (rounded sim, "
+    "neighbor id) for cross-engine ties "
     "(operators/similarity.knn_self_join).",
     tags=("datapipe", "similarity", "ann"),
 )
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return knn_self_join(e, k=3, bits=4)
+    return knn_self_join(e, k=3)  # bits auto-scaled from corpus size
 
 
 @register(
@@ -1943,6 +1955,13 @@ def doc_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     cand = lsh_candidates(minhash_signatures(d))
+    return _integer_pagerank(cand)
+
+
+def _integer_pagerank(cand: DataFrame) -> DataFrame:
+    """3 fixed iterations of damping-0.85 PageRank over an undirected
+    candidate-pair graph, all-integer (ranks scaled by 1e12) so both
+    engines agree bit-for-bit."""
     edges = cand.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionByName(
@@ -1966,6 +1985,61 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r")
         )
     return rank.select(F.col("id").alias("doc_id"), F.col("r").alias("pagerank_e12"))
+
+
+_CAPPED_CAND_CTES = """
+    small AS (
+      SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= 8),
+    capped_bands AS (
+      SELECT b.doc_id, b.band, b.bh
+      FROM bands b JOIN small s ON b.band = s.band AND b.bh = s.bh),
+    ccand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped_bands a JOIN capped_bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_pagerank_capped",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    {_CAPPED_CAND_CTES},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM ccand
+              UNION ALL SELECT doc_b, doc_a FROM ccand),
+    deg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+    r0 AS (SELECT s AS id, 1000000000000::BIGINT AS r FROM deg),
+    i1 AS (SELECT e.d AS id,
+                  (150000000000 + (85 * sum(r0.r // g.deg)) // 100)::BIGINT AS r
+           FROM edges e JOIN r0 ON e.s = r0.id JOIN deg g ON e.s = g.s
+           GROUP BY e.d),
+    i2 AS (SELECT e.d AS id,
+                  (150000000000 + (85 * sum(i1.r // g.deg)) // 100)::BIGINT AS r
+           FROM edges e JOIN i1 ON e.s = i1.id JOIN deg g ON e.s = g.s
+           GROUP BY e.d),
+    i3 AS (SELECT e.d AS id,
+                  (150000000000 + (85 * sum(i2.r // g.deg)) // 100)::BIGINT AS r
+           FROM edges e JOIN i2 ON e.s = i2.id JOIN deg g ON e.s = g.s
+           GROUP BY e.d)
+    SELECT id AS doc_id, r AS pagerank_e12 FROM i3
+    """,
+    doc="The PRODUCTION canonical-selection posture: the same "
+    "integer-exact 3-iteration PageRank as dedup_pagerank, but over "
+    "the max_bucket-CAPPED LSH candidate graph (the guard every "
+    "production dedup path runs, dedup_minhash_lsh_capped). This is "
+    "what bounds the edge set on degenerate corpora — the uncapped "
+    "graph at sf10 is ~400M edges and task-OOMs any single box, while "
+    "the capped graph stays near-linear in docs; the cap is mirrored "
+    "symbolically in the DuckDB oracle so the entry stays hash-gated. "
+    "At 100 TB the per-iteration cost is one |edges| shuffle keyed by "
+    "node id — PageRank's floor — and the cap guarantees |edges| ~ "
+    "O(docs x cap), not O(docs^2).",
+    tags=("datapipe", "dedup", "graph", "iterative", "scale"),
+)
+def dedup_pagerank_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cand = lsh_candidates(minhash_signatures(d), max_bucket=8)
+    return _integer_pagerank(cand)
 
 
 @register(
@@ -2618,13 +2692,16 @@ def dedup_jaccard_complete_capped(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "contrastive_hard_negatives",
     oracle="""
-    WITH e AS (
+    WITH nb AS (
+      SELECT greatest(4, least(16, ceil(log2(count(*) / 1024.0))::INT))
+        AS bits
+      FROM embeddings),
+    e AS (
       SELECT vec_id, label,
              list_transform(embedding, x -> x::DOUBLE) AS v,
-             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
-              + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
-              + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
-              + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+             list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
+               i -> CASE WHEN embedding[i] >= 0
+                    THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
       FROM embeddings)
     SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rk
     FROM (
@@ -2642,7 +2719,9 @@ def dedup_jaccard_complete_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     "most-similar DIFFERENT-label vectors — the training-pair "
     "primitive of contrastive / metric learning (random negatives "
     "are easy; hard ones sit near the boundary: high cosine, other "
-    "class). Candidates restricted to the sign-bit cell — which is "
+    "class). Candidates restricted to the sign-bit cell (cell count "
+    "auto-scales with corpus size, operators/similarity.auto_bits, "
+    "mirrored in the oracle) — which is "
     "the right recall trade by construction: an out-of-cell vector "
     "is far away and never a hard negative. One bucketed "
     "self-equi-join, per-vector norms folded once before the join, "
@@ -2656,7 +2735,7 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load(spark, sf_dir, "embeddings")
-    return hard_negative_pairs(e, k=3, bits=4)
+    return hard_negative_pairs(e, k=3)  # bits auto-scaled
 
 
 @register(

@@ -894,7 +894,9 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at-least-once; this makes the sink effectively-once).
         new.select("doc_id").join(
             rejected, "doc_id", "left_anti"
-        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+        ).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode(
             "overwrite"
         ).option(
             "partitionOverwriteMode", "dynamic"
@@ -925,7 +927,10 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema inference would fail — an empty typed result is the
     # correct answer in that case.
     out_schema = T.StructType(
-        [docs_schema["doc_id"], T.StructField("batch_id", T.IntegerType())]
+        # LongType to match the lit().cast("long") on the write side:
+        # foreachBatch epoch ids exceed 2^31 on long-lived streams, and
+        # a bare lit(int) would silently flip Integer->Long mid-stream.
+        [docs_schema["doc_id"], T.StructField("batch_id", T.LongType())]
     )
     return spark.read.schema(out_schema).parquet(out_dir).select("doc_id")
 
@@ -990,9 +995,9 @@ def streaming_route_config_reload(
             source_col="event_type",
             type_col="op",
         ).select("event_id", "event_type", "sink_table")
-        routed.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        routed.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(out_dir)
         if after_batch is not None:
             after_batch(batch_id)
 

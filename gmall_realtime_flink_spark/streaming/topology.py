@@ -74,11 +74,28 @@ from gmall_realtime_flink_spark.streaming.state import (
 JUMP_GAP_MS = 600_000
 
 
+def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """Effectively-once layer write: foreachBatch is at-least-once (a
+    crash between the parquet write and the offset commit replays the
+    micro-batch), so every layer partition is keyed by batch_id and
+    dynamically overwritten — a replayed batch replaces its OWN
+    partition instead of appending duplicates. Same pattern as
+    streaming_dedup_minhash's admission sink (streaming/jobs.py)."""
+    (
+        batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def _run(stream_df: DataFrame, out_dir: str, ckpt: str) -> None:
-    """One checkpointed append job writing a layer directory."""
+    """One checkpointed job writing a layer directory (effectively-once
+    via per-batch dynamic partition overwrite, _write_batch)."""
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda b, _id: b.write.mode("append").parquet(out_dir)
+            lambda b, bid: _write_batch(b, bid, out_dir)
         )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -95,7 +112,7 @@ def _layer_stream(
     written footers, event-time column re-derived where the layer
     stores it as a formatted string."""
     schema = spark.read.parquet(layer_dir).schema
-    df = spark.readStream.schema(schema).parquet(layer_dir)
+    df = spark.readStream.schema(schema).parquet(layer_dir).drop("batch_id")
     if ts_col is not None:
         df = df.withColumn("ts", F.to_timestamp(ts_col)).withWatermark(
             "ts", "0 seconds"
@@ -112,13 +129,18 @@ def build_warehouse_layers(
     checkpoint directory, so any job can restart from its offsets
     exactly as the independent reference jobs do. Re-invoking with the
     SAME `base` is a full-warehouse restart: every job resumes from
-    its committed offsets, finds no new input, and appends nothing —
+    its committed offsets, finds no new input, and writes nothing —
     restart idempotency of the whole DAG, pinned by
-    tests/test_topology.py::test_topology_rerun_is_idempotent.
+    tests/test_topology.py::test_topology_rerun_is_idempotent. A
+    CRASHED run is also safe to restart: every layer sink is a
+    batch_id-partitioned dynamic overwrite (_write_batch), so a
+    micro-batch replayed after a crash-between-write-and-offset-commit
+    replaces its own partition instead of duplicating it, and the ODS
+    manifest is staged atomically before any job starts (an absent
+    manifest proves no job ever ran, so re-staging is safe).
     (The ODS staging dirs and the user_jump sentinel row are created
     once per base; on restart the recorded dirs are reused.)
     """
-    first_run = base is None
     if base is None:
         base = tempfile.mkdtemp(prefix="warehouse_")
     layers = {
@@ -146,56 +168,13 @@ def build_warehouse_layers(
     # ODS staging dirs must be STABLE across restarts: the file-source
     # checkpoints record which files were consumed, so a restart must
     # see the SAME source directories (a fresh staging dir would look
-    # like all-new data and replay everything). First run stages and
-    # records them; a restart reuses the recorded dirs.
+    # like all-new data and replay everything). ALL ODS dirs are staged
+    # and the manifest written atomically BEFORE any streaming job
+    # starts, so an absent manifest proves no job has ever run against
+    # this base — re-staging is then always safe (the fallback path a
+    # crash during staging itself takes).
     import json as _json
 
-    ods_manifest = os.path.join(base, "ods.json")
-    if first_run:
-        ods = {
-            "log": events_with_sentinel(spark, sf_dir, gap_ms=JUMP_GAP_MS),
-        }
-    else:
-        with open(ods_manifest) as f:
-            ods = _json.load(f)
-
-    # ------------------------------------------------------------------
-    # DWD job 1 — BaseLogAPP: one scan of the ODS log stream, 3-way
-    # split (side outputs, BaseLogAPP.java:141-188). page_log carries
-    # the full event rows (the reference's page topic is the firehose
-    # every DWM/DWS log consumer reads); start/display are the filtered
-    # side outputs.
-    # ------------------------------------------------------------------
-    ods_log = ods["log"]
-    events = stream_events(spark, ods_log, max_files_per_trigger=1)
-
-    def split_log(batch_df: DataFrame, _id: int) -> None:
-        batch_df.persist()
-        try:
-            batch_df.write.mode("append").parquet(layers["dwd_page_log"])
-            batch_df.filter(F.col("event_type") == "signup").write.mode(
-                "append"
-            ).parquet(layers["dwd_start_log"])
-            batch_df.filter(F.col("event_type") == "click").write.mode(
-                "append"
-            ).parquet(layers["dwd_display_log"])
-        finally:
-            batch_df.unpersist()
-
-    q = (
-        events.writeStream.foreachBatch(split_log)
-        .option("checkpointLocation", ckpt("base_log_app"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    # ------------------------------------------------------------------
-    # DWD job 2 — BaseDBApp: the CDC stream arrives as ONE envelope
-    # topic ({table, data-as-JSON}, exactly Maxwell's ods_base_db_m
-    # shape, BaseDBApp.java:63) and is routed per-table to fact
-    # directories (dynamic topic sink, :96-113).
-    # ------------------------------------------------------------------
     orders_schema = warehouse_stream_schema(spark, sf_dir, "orders")
     lineitem_schema = warehouse_stream_schema(spark, sf_dir, "lineitem")
     far = pd.Timestamp("2030-01-01")
@@ -213,36 +192,89 @@ def build_warehouse_layers(
         row["l_orderkey"] = -1
         row["l_shipdate"] = _far_for(lineitem_schema, "l_shipdate")
 
-    def envelope(src_table: str, topic: str, schema: T.StructType, mut) -> DataFrame:
-        if first_run:
-            ods[topic] = stage_table_with_sentinel(sf_dir, src_table, mut)
+    ods_manifest = os.path.join(base, "ods.json")
+    if not os.path.exists(ods_manifest):
+        ods = {
+            "log": events_with_sentinel(spark, sf_dir, gap_ms=JUMP_GAP_MS),
+            "order_info": stage_table_with_sentinel(sf_dir, "orders", _mut_o),
+            "order_detail": stage_table_with_sentinel(
+                sf_dir, "lineitem", _mut_l
+            ),
+        }
+        tmp = ods_manifest + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(ods, f)
+        os.replace(tmp, ods_manifest)
+    else:
+        with open(ods_manifest) as f:
+            ods = _json.load(f)
+
+    # ------------------------------------------------------------------
+    # DWD job 1 — BaseLogAPP: one scan of the ODS log stream, 3-way
+    # split (side outputs, BaseLogAPP.java:141-188). page_log carries
+    # the full event rows (the reference's page topic is the firehose
+    # every DWM/DWS log consumer reads); start/display are the filtered
+    # side outputs.
+    # ------------------------------------------------------------------
+    ods_log = ods["log"]
+    events = stream_events(spark, ods_log, max_files_per_trigger=1)
+
+    def split_log(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            _write_batch(batch_df, batch_id, layers["dwd_page_log"])
+            _write_batch(
+                batch_df.filter(F.col("event_type") == "signup"),
+                batch_id,
+                layers["dwd_start_log"],
+            )
+            _write_batch(
+                batch_df.filter(F.col("event_type") == "click"),
+                batch_id,
+                layers["dwd_display_log"],
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(split_log)
+        .option("checkpointLocation", ckpt("base_log_app"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # ------------------------------------------------------------------
+    # DWD job 2 — BaseDBApp: the CDC stream arrives as ONE envelope
+    # topic ({table, data-as-JSON}, exactly Maxwell's ods_base_db_m
+    # shape, BaseDBApp.java:63) and is routed per-table to fact
+    # directories (dynamic topic sink, :96-113).
+    # ------------------------------------------------------------------
+    def envelope(topic: str, schema: T.StructType) -> DataFrame:
         raw = spark.readStream.schema(schema).parquet(ods[topic])
         return raw.select(
             F.lit(topic).alias("table"),
             F.to_json(F.struct("*")).alias("data"),
         )
 
-    cdc = envelope("orders", "order_info", orders_schema, _mut_o).unionByName(
-        envelope("lineitem", "order_detail", lineitem_schema, _mut_l)
+    cdc = envelope("order_info", orders_schema).unionByName(
+        envelope("order_detail", lineitem_schema)
     )
-    if first_run:
-        with open(ods_manifest, "w") as f:
-            _json.dump(ods, f)
     table_schemas = {
         "order_info": orders_schema,
         "order_detail": lineitem_schema,
     }
 
-    def route_db(batch_df: DataFrame, _id: int) -> None:
+    def route_db(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
             for table, schema in table_schemas.items():
-                (
+                _write_batch(
                     batch_df.filter(F.col("table") == table)
                     .select(F.from_json("data", schema).alias("d"))
-                    .select("d.*")
-                    .write.mode("append")
-                    .parquet(layers[f"dwd_{table}"])
+                    .select("d.*"),
+                    batch_id,
+                    layers[f"dwd_{table}"],
                 )
         finally:
             batch_df.unpersist()
@@ -288,10 +320,15 @@ def build_warehouse_layers(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    jump_sentinel = os.path.join(
-        layers["dwm_user_jump"], "part-sentinel.parquet"
+    # The sentinel row lives under its own reserved batch_id=-1
+    # partition: the layer is batch_id-partitioned now, and a bare
+    # file at the directory root would break partition discovery.
+    jump_sentinel_dir = os.path.join(
+        layers["dwm_user_jump"], "batch_id=-1"
     )
+    jump_sentinel = os.path.join(jump_sentinel_dir, "part-sentinel.parquet")
     if not os.path.exists(jump_sentinel):
+        os.makedirs(jump_sentinel_dir, exist_ok=True)
         pq.write_table(
             pa.table(
                 {
@@ -314,6 +351,7 @@ def build_warehouse_layers(
         return (
             spark.readStream.schema(schema)
             .parquet(layers[f"dwd_{table}"])
+            .drop("batch_id")
             .withColumn(f"{alias}_ts", ts_as_timestamp(schema, key_ts))
             .withWatermark(f"{alias}_ts", "0 seconds")
             .alias(alias)
@@ -455,6 +493,7 @@ def build_warehouse_layers(
     oi = (
         spark.readStream.schema(oi_schema)
         .parquet(layers["dwd_order_info"])
+        .drop("batch_id")
         .withColumn("o_ts", ts_as_timestamp(oi_schema, "o_orderdate"))
         .withWatermark("o_ts", "0 seconds")
     )
@@ -528,7 +567,9 @@ def warehouse_layers(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
 
 def _dws(spark: SparkSession, sf_dir: str, layer: str) -> DataFrame:
-    out = spark.read.parquet(warehouse_layers(spark, sf_dir)[layer])
+    out = spark.read.parquet(warehouse_layers(spark, sf_dir)[layer]).drop(
+        "batch_id"
+    )
     return out.filter(F.col("stt") < SENTINEL_CUTOFF)
 
 
