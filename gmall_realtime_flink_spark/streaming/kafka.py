@@ -124,3 +124,55 @@ def kafka_sink(
     if topic is not None:
         writer = writer.option("topic", topic)
     return writer
+
+
+def socket_sink(
+    stream_df: DataFrame,
+    routes: dict[str, tuple[str, int]],
+    checkpoint: str,
+    topic: str | None = None,
+    topic_col: str | None = None,
+):
+    """The network-executable analogue of `kafka_sink` — the sink-side
+    twin of the socket SOURCE transport (tests/test_transport.py): the
+    IDENTICAL `kafka_envelope` projection (`to_json(struct(*))` value
+    + optional per-row topic), sent as JSON lines over real TCP to one
+    server per topic, from a checkpointed foreachBatch. Exercises the
+    full wire path the Kafka connector would take — envelope, per-row
+    S3 topic routing, executor-side network writes (foreachPartition,
+    one connection per partition per topic, never a driver collect) —
+    leaving only the connector binary itself untested in this env.
+
+    `routes` maps topic -> (host, port). Returns the DataStreamWriter
+    (caller starts it), mirroring `kafka_sink`'s contract.
+    """
+    if topic is None and topic_col is None:
+        raise ValueError("either topic or topic_col is required")
+
+    def write_batch(batch_df: DataFrame, _bid: int) -> None:
+        env = kafka_envelope(batch_df, topic_col)
+        fixed = topic
+
+        def send(rows) -> None:
+            import socket as _socket
+
+            conns: dict[str, _socket.socket] = {}
+            try:
+                for r in rows:
+                    tp = r["topic"] if fixed is None else fixed
+                    conn = conns.get(tp)
+                    if conn is None:
+                        conn = _socket.create_connection(routes[tp], timeout=30)
+                        conns[tp] = conn
+                    conn.sendall((r["value"] + "\n").encode())
+            finally:
+                for conn in conns.values():
+                    conn.close()
+
+        env.foreachPartition(send)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -90,9 +90,18 @@ def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     )
 
 
+# Wall-clock seconds per topology job from the most recent
+# build_warehouse_layers run (job name -> sec) — the per-layer cost
+# record the scale artifacts report; populated as each job completes.
+LAYER_SECONDS: dict[str, float] = {}
+
+
 def _run(stream_df: DataFrame, out_dir: str, ckpt: str) -> None:
     """One checkpointed job writing a layer directory (effectively-once
     via per-batch dynamic partition overwrite, _write_batch)."""
+    import time as _time
+
+    t0 = _time.time()
     q = (
         stream_df.writeStream.foreachBatch(
             lambda b, bid: _write_batch(b, bid, out_dir)
@@ -102,6 +111,7 @@ def _run(stream_df: DataFrame, out_dir: str, ckpt: str) -> None:
         .start()
     )
     q.awaitTermination()
+    LAYER_SECONDS[os.path.basename(out_dir)] = round(_time.time() - t0, 1)
 
 
 def _layer_stream(
@@ -236,6 +246,9 @@ def build_warehouse_layers(
         finally:
             batch_df.unpersist()
 
+    import time as _time
+
+    _t0 = _time.time()
     q = (
         events.writeStream.foreachBatch(split_log)
         .option("checkpointLocation", ckpt("base_log_app"))
@@ -243,6 +256,7 @@ def build_warehouse_layers(
         .start()
     )
     q.awaitTermination()
+    LAYER_SECONDS["base_log_app"] = round(_time.time() - _t0, 1)
 
     # ------------------------------------------------------------------
     # DWD job 2 — BaseDBApp: the CDC stream arrives as ONE envelope
@@ -279,6 +293,7 @@ def build_warehouse_layers(
         finally:
             batch_df.unpersist()
 
+    _t0 = _time.time()
     q = (
         cdc.writeStream.foreachBatch(route_db)
         .option("checkpointLocation", ckpt("base_db_app"))
@@ -286,6 +301,7 @@ def build_warehouse_layers(
         .start()
     )
     q.awaitTermination()
+    LAYER_SECONDS["base_db_app"] = round(_time.time() - _t0, 1)
 
     # ------------------------------------------------------------------
     # DWM job 3 — UniqueVisitApp: consumes dwd_page_log (the layer

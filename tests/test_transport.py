@@ -123,3 +123,134 @@ def test_socket_transport_matches_file_transport(spark, sf_dir):
         for r in got_rows
     )
     assert got == want
+
+
+class _CollectServer:
+    """TCP server collecting newline-delimited payloads from any number
+    of connections (one per partition per micro-batch, exactly how the
+    executor-side socket_sink connects)."""
+
+    def __init__(self):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.port = self.sock.getsockname()[1]
+        self.sock.listen(16)
+        self.sock.settimeout(0.5)
+        self.lines: list[str] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.sock.accept()
+            except socket.timeout:
+                continue
+            buf = b""
+            conn.settimeout(30)
+            try:
+                while True:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+            finally:
+                conn.close()
+            with self._lock:
+                self.lines.extend(
+                    ln for ln in buf.decode().split("\n") if ln
+                )
+
+    def stop(self) -> list[str]:
+        self._stop.set()
+        self._thread.join(timeout=30)
+        self.sock.close()
+        with self._lock:
+            return list(self.lines)
+
+
+def _bounded_event_stream(spark, sf_dir, tmp_path, n=200):
+    """A small bounded file stream of events (the sink tests' input)."""
+    from pyspark.sql import functions as FF
+
+    src = str(tmp_path / "sink_src")
+    df = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(n)
+        .select(
+            "event_id",
+            FF.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    return df, stream
+
+
+def test_socket_sink_matches_kafka_envelope(spark, sf_dir, tmp_path):
+    """S2 over the wire: the fixed-topic sink's bytes received by a
+    real TCP server equal kafka_envelope's value column exactly."""
+    from gmall_realtime_flink_spark.streaming.kafka import (
+        kafka_envelope,
+        socket_sink,
+    )
+
+    batch_df, stream = _bounded_event_stream(spark, sf_dir, tmp_path)
+    server = _CollectServer()
+    q = socket_sink(
+        stream,
+        routes={"dwd_page_log": ("127.0.0.1", server.port)},
+        checkpoint=str(tmp_path / "ckpt_s2"),
+        topic="dwd_page_log",
+    ).start()
+    q.awaitTermination()
+    got = sorted(server.stop())
+    want = sorted(r["value"] for r in kafka_envelope(batch_df).collect())
+    assert got == want and len(got) == 200
+
+
+def test_socket_sink_dynamic_topic_routes(spark, sf_dir, tmp_path):
+    """S3 over the wire: per-record topic routing — each topic's server
+    receives exactly that route's kafka_envelope bytes (the network
+    form of the dynamic-topic sink, BaseDBApp.java:96-113)."""
+    from pyspark.sql import functions as FF
+
+    from gmall_realtime_flink_spark.streaming.kafka import (
+        kafka_envelope,
+        socket_sink,
+    )
+
+    batch_df, stream = _bounded_event_stream(spark, sf_dir, tmp_path)
+    route_col = FF.when(
+        FF.col("event_type") == "view", FF.lit("dwd_view")
+    ).otherwise(FF.lit("dwd_other"))
+    stream = stream.withColumn("sink_table", route_col)
+    batch_routed = batch_df.withColumn("sink_table", route_col)
+
+    servers = {"dwd_view": _CollectServer(), "dwd_other": _CollectServer()}
+    q = socket_sink(
+        stream,
+        routes={t: ("127.0.0.1", s.port) for t, s in servers.items()},
+        checkpoint=str(tmp_path / "ckpt_s3"),
+        topic_col="sink_table",
+    ).start()
+    q.awaitTermination()
+    env = kafka_envelope(batch_routed, topic_col="sink_table")
+    # byte-exact per route: nothing lost, nothing cross-routed (the
+    # two want-sets partition the full envelope output)
+    for t, server in servers.items():
+        got = sorted(server.stop())
+        want = sorted(
+            r["value"] for r in env.filter(FF.col("topic") == t).collect()
+        )
+        assert got == want, t
+        assert len(got) > 0, t
