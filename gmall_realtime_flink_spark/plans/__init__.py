@@ -29,33 +29,51 @@ from gmall_realtime_flink_spark.plans import olap  # noqa: E402,F401
 # routing, S4 SQL-over-stream). Everything NOT in the head is still
 # oracle-gated locally: tests/test_oracle.py runs ALL registry
 # entries dtype-strict against DuckDB.
+# ROUND-7 HEAD ROTATION: rounds 2-6 drove roughly the same ~50-entry
+# head, leaving 86 registry entries with only local-process oracle
+# checks. This head keeps the 11 headline-bench queries plus one
+# representative per operator family, and swaps in 26 entries the
+# driver has NEVER independently hash-checked (chained DWS tail,
+# rotated streaming family members, the capped production dedup
+# paths, the auto-bits embedding family, text/quality/sampling).
+# Everything rotated OUT retains six rounds of driver-green history
+# and stays oracle-gated locally every test run.
 _DRIVER_PRIORITY = [
-    # gmall reference pipeline (batch forms)
-    "visitor_stats", "unique_visit", "visitor_repair", "user_jump",
-    "session_entry", "order_wide", "payment_wide", "order_enriched",
-    "product_stats", "province_stats", "product_stats_union",
-    # chained_visitor_stats runs the DWS VisitorStatsApp at the end of
-    # the FULL 10-job chained topology (streaming/topology.py) — the
-    # driver head thereby covers the reference's actual deployment
-    # shape, not just per-operator slices. (visitor_stats_4d moved to
-    # the tail to keep the head at 50; it stays oracle-gated locally.)
-    "visitor_stats_union", "chained_visitor_stats", "province_stats_sql",
-    "keyword_stats_sql", "keyword_product_sql", "keyword_stats",
-    "keyword_stats_cjk_dict", "keyword_product_stats",
-    "display_log_explode", "cdc_route", "cdc_route_config", "serving_gmv",
-    # LLM data-pipeline suite
-    "dedup_exact", "doc_fingerprint", "doc_token_count",
-    "doc_minhash_signature", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "doc_simhash", "dedup_cluster", "dedup_embedding_cosine",
-    "similarity_topk", "similarity_topk_bucketed", "similarity_topk_ivf",
-    "doc_langid", "doc_quality", "doc_normalize", "doc_split",
-    "doc_sample_stratified", "multimodal_features",
-    "multimodal_frame_sample",
-    # streaming representatives (one per stateful family)
-    "streaming_visitor_repair", "streaming_unique_visit",
-    "streaming_user_jump", "streaming_order_wide",
+    # headline bench set (bench.py tracks these per round)
+    "visitor_stats", "order_wide", "order_enriched", "product_stats",
+    "province_stats", "product_stats_union", "keyword_stats",
+    "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
+    "pricing_summary",
+    # gmall reference pipeline core (kept: one per SURVEY family)
+    "unique_visit", "user_jump", "payment_wide", "cdc_route_config",
+    "serving_gmv", "keyword_stats_sql", "keyword_stats_cjk_dict",
+    # the FULL 10-job chained topology: all four DWS outputs now
+    # driver-checked (one topology run serves all four via the layer
+    # cache)
+    "chained_visitor_stats", "chained_product_stats",
+    "chained_province_stats", "chained_keyword_stats",
+    # streaming: kept family anchors (ST1/ST3/J2/S3+R2/S4)...
+    "streaming_visitor_repair", "streaming_user_jump",
     "streaming_payment_wide", "streaming_cdc_route",
-    "streaming_visitor_stats", "streaming_stats_sql",
+    "streaming_stats_sql",
+    # ...and never-driver-checked members of the rotated families
+    # (ST2 dropDuplicatesWithinWatermark form, J1 left-outer interval,
+    # ST5 product agg, sessionization, streaming dedup, stream-stream
+    # equi join, temporal dim join, streaming multimodal)
+    "streaming_uv_dropdup_wm", "streaming_order_wide_left",
+    "streaming_product_stats", "streaming_user_sessions",
+    "streaming_dedup_exact", "streaming_view_click_join",
+    "streaming_purchase_dim_temporal", "streaming_multimodal_features",
+    # dedup suite: production capped paths + never-checked families
+    "dedup_minhash_lsh_capped", "dedup_pagerank_capped",
+    "dedup_simhash_hamming", "dedup_jaccard_complete",
+    "dedup_survivors", "dedup_incremental",
+    # similarity/embedding: auto-bits family + filtered/recall forms
+    "knn_graph", "contrastive_hard_negatives",
+    "similarity_topk_filtered", "similarity_recall_at_k",
+    # text/quality/sampling/sketches
+    "corpus_stats", "doc_curation_funnel", "doc_decontaminate",
+    "doc_sample_token_budget", "token_heavy_hitters",
 ]
 
 

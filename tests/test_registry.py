@@ -27,22 +27,29 @@ def test_head_entries_all_have_oracles():
 def test_head_covers_every_operator_family():
     head = list(REGISTRY)[:HEAD]
     # one streaming representative per stateful family + routing + SQL
+    # (round-7 rotation: families keep coverage through DIFFERENT
+    # members where one exists, so never-driver-checked forms get an
+    # independent-process hash check)
     for required in (
-        "streaming_visitor_repair",   # ST1
-        "streaming_unique_visit",     # ST2
-        "streaming_user_jump",        # ST3 (CEP + timers)
-        "streaming_order_wide",       # ST4/J1 stream-stream interval
-        "streaming_payment_wide",     # J2 asymmetric band
-        "streaming_cdc_route",        # S3/R1/R2 sink-in-the-loop
-        "streaming_visitor_stats",    # ST5/A1 windowed agg
-        "streaming_stats_sql",        # S4 SQL-over-stream
-        # datapipe core
-        "dedup_exact", "dedup_minhash_lsh", "dedup_cluster",
-        "similarity_topk", "similarity_topk_ivf", "doc_langid",
-        "doc_split", "multimodal_features",
-        # gmall pipeline core
+        "streaming_visitor_repair",     # ST1
+        "streaming_uv_dropdup_wm",      # ST2 (dropDuplicatesWithinWatermark form)
+        "streaming_user_jump",          # ST3 (CEP + timers)
+        "streaming_order_wide_left",    # ST4/J1 stream-stream interval (left-outer form)
+        "streaming_payment_wide",       # J2 asymmetric band
+        "streaming_cdc_route",          # S3/R1/R2 sink-in-the-loop
+        "streaming_product_stats",      # ST5/A1 windowed agg
+        "streaming_stats_sql",          # S4 SQL-over-stream
+        # datapipe core: dedup (exact/LSH/capped-production/cluster-
+        # derived), similarity (brute/ANN-graph/filtered), text/quality,
+        # split/decontamination, multimodal (streaming form)
+        "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
+        "dedup_survivors", "similarity_topk", "knn_graph",
+        "similarity_topk_filtered", "doc_curation_funnel",
+        "doc_decontaminate", "streaming_multimodal_features",
+        # gmall pipeline core + the chained deployment shape
         "visitor_stats", "product_stats", "order_wide", "cdc_route_config",
-        "keyword_stats_cjk_dict", "serving_gmv",
+        "keyword_stats_cjk_dict", "serving_gmv", "chained_visitor_stats",
+        "chained_product_stats",
     ):
         assert required in head, f"{required} fell out of the driver window"
 

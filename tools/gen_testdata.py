@@ -254,6 +254,7 @@ def generate_zipf_docs(
         "source": pa.array([f"src{s_}" for s_ in rng.integers(0, 20, n_doc)]),
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
+    generate_zipf_embeddings(n_doc, out, seed)
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
         json.dump(
             {
@@ -265,6 +266,23 @@ def generate_zipf_docs(
             },
             f,
         )
+
+
+def generate_zipf_embeddings(
+    n_doc: int, out: str, seed: int = 42, dim: int = 64
+) -> None:
+    """Embeddings companion for the zipf corpus (vec_id == doc_id so
+    the cross-modal entries — dedup_semantic_verify — join 1:1), on an
+    INDEPENDENT rng stream (seed+1) so it can be emitted into an
+    already-generated zipf dir without perturbing the document draw."""
+    rng = np.random.default_rng(seed + 1)
+    emb = rng.normal(0.0, 1.0, (n_doc, dim)).astype(np.float32)
+    _write(out, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_doc), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n_doc).astype(np.int32),
+                          pa.int32()),
+    }))
 
 
 if __name__ == "__main__":

@@ -22,8 +22,8 @@ def load(p):
 
 p1 = load("/tmp/sf10_part1.json")["results"]
 p2_raw = load("/tmp/sf10_part2_raw.json")["results"]
-p3_raw = load("VERIFY_SF10_part3_r06.json")["results"]
-sj = load("VERIFY_SF10_STREAMJOIN_r06.json")["results"]
+p3_raw = load("artifacts/r06/VERIFY_SF10_part3_r06.json")["results"]
+sj = load("artifacts/r06/VERIFY_SF10_STREAMJOIN_r06.json")["results"]
 pricing = load("/tmp/pricing_fix_sf10.json")["results"]
 
 # part-2 rows are valid only before the streaming_order_wide OOM
@@ -44,7 +44,7 @@ for n, r in p3_raw.items():
 
 results = {**p1, **p2, **p3, **sj}
 try:
-    st = load("VERIFY_SF10_STREAMTAIL_r06.json")["results"]
+    st = load("artifacts/r06/VERIFY_SF10_STREAMTAIL_r06.json")["results"]
     results.update(st)
 except FileNotFoundError:
     pass
@@ -59,7 +59,7 @@ results["pricing_summary"] = {
     "sums and re-verified",
 }
 
-agg_lsh = load("VERIFY_AGG_SF10_minhash_lsh_r06.json")
+agg_lsh = load("artifacts/r06/VERIFY_AGG_SF10_minhash_lsh_r06.json")
 assert agg_lsh["ok"], agg_lsh
 results["dedup_minhash_lsh"] = {
     "ok": True,
@@ -68,7 +68,7 @@ results["dedup_minhash_lsh"] = {
     "inline collect of the 399.6M-row result exceeded driver "
     "maxResultSize)",
 }
-agg_ps = load("VERIFY_AGG_SF10_product_stats_r06.json")
+agg_ps = load("artifacts/r06/VERIFY_AGG_SF10_product_stats_r06.json")
 assert agg_ps["ok"], agg_ps
 results["product_stats"] = {
     "ok": True,
@@ -138,6 +138,6 @@ out = {
     ],
     "results": results,
 }
-with open("VERIFY_SF10_r06.json", "w") as f:
+with open("artifacts/r06/VERIFY_SF10_r06.json", "w") as f:
     json.dump(out, f, indent=1)
 print("checked", out["checked"], "bad", bad)

@@ -40,10 +40,14 @@ def main() -> int:
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
-        )
+        # tolerate partial corpora (the zipf dirs carry only
+        # documents/embeddings); entries referencing an absent table
+        # simply can't be named in such a run
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+            )
     bad, results = [], {}
     for q in names:
         t0 = time.time()
