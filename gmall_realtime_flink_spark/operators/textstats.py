@@ -36,9 +36,17 @@ def simhash(
     from bit b of md5(token); fingerprint bit = 1 iff the sum > 0.
 
     One explode + one hash shuffle on doc id — the explode output is
-    |tokens| rows but each row is (id, 16 small ints) wide only after
-    partial aggregation, so shuffled volume is |docs| rows.
+    |tokens| rows but each row is (id, `bits` small ints) wide only
+    after partial aggregation, so shuffled volume is |docs| rows.
+
+    `bits` <= 60: votes come from md5 hex digits (128 available bits)
+    and the fingerprint must fit a signed BIGINT with headroom for the
+    sum-of-terms construction. 16 bits saturates past ~100k docs
+    (pigeonhole forces >= C(n,2)/2^16 identical-fingerprint pairs);
+    48 is the at-scale posture (dedup_simhash_hamming_wide).
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).withColumn("m", F.md5("tok"))
@@ -78,6 +86,11 @@ def simhash_near_pairs(
         raise ValueError(
             f"pigeonhole needs max_hamming <= bands-1, got "
             f"{max_hamming} > {bands - 1}"
+        )
+    if bits % bands != 0:
+        raise ValueError(
+            f"bands must cover the fingerprint exactly (pigeonhole), "
+            f"got bits={bits} % bands={bands} != 0"
         )
     width = bits // bands
     mask = (1 << width) - 1

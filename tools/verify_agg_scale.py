@@ -74,10 +74,13 @@ def main() -> int:
     t0 = time.time()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
-        )
+        # tolerate partial corpora (the zipf dirs carry only
+        # documents/embeddings)
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+            )
     o_aggs = ["count(*) AS n"]
     for c in num_cols:
         d = f'CAST("{c}" AS DECIMAL(38,6))'

@@ -34,7 +34,15 @@ def main() -> int:
     names = sys.argv[1].split(",")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
-    spark = get_spark("verify_engine_session")
+    # harness-side posture: the hash gate collects FULL results to the
+    # driver, so the collect ceiling must scale with the run, not with
+    # the product default (a 243M-row result serialized past the 1g
+    # default was recorded as MISMATCH in the round-7 zipf smoke — a
+    # false negative on a hash-identical result)
+    spark = get_spark(
+        "verify_engine_session",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
@@ -51,13 +59,17 @@ def main() -> int:
     bad, results = [], {}
     for q in names:
         t0 = time.time()
+        err = None
         try:
             got = qs[q](spark, sf_dir).toPandas()
             want = con.execute(osql[q]).fetchdf()
             ok = len(got) == len(want) and vhash(got) == vhash(want)
         except Exception as ex:  # noqa: BLE001
-            ok = False
-            print(f"{q} EXC {str(ex)[:200]}", file=sys.stderr)
+            # a harness/oracle failure (collect ceiling, DuckDB OOM) is
+            # NOT a value mismatch — record the error so downstream
+            # accounting can distinguish "wrong" from "couldn't check"
+            ok, err = False, str(ex)[:300]
+            print(f"{q} EXC {err[:200]}", file=sys.stderr)
         if not ok:
             bad.append(q)
         results[q] = {
@@ -65,7 +77,13 @@ def main() -> int:
             "sec": round(time.time() - t0, 1),
             "session": "engine (RocksDB state store)",
         }
-        print(f"{q} {'OK' if ok else 'MISMATCH'} {time.time() - t0:.1f}s", flush=True)
+        if err is not None:
+            results[q]["err"] = err
+        print(
+            f"{q} {'OK' if ok else ('EXC' if err else 'MISMATCH')} "
+            f"{time.time() - t0:.1f}s",
+            flush=True,
+        )
         if json_out:
             import json
 
