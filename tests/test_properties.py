@@ -680,3 +680,77 @@ def test_hard_negatives_match_bruteforce_within_bucket(spark, sf_dir):
         # id-identical on knife-edge sims
         got_sim = sims[a, id_to_idx[got[ids[a]]]]
         assert got_sim >= sims[a, best] - 1.5e-6, f"anchor {ids[a]}"
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(docs=docs_strategy, bits=st.sampled_from([16, 48]))
+@settings(max_examples=10, deadline=None)
+def test_simhash_banded_pairs_equal_bruteforce(spark, docs, bits):
+    """Pigeonhole completeness at BOTH widths: the banded self-join +
+    exact hamming verify must equal brute-force all-pairs hamming <= 3
+    for ANY corpus (hamming <= bands-1 guarantees a shared band). The
+    Python model recomputes fingerprints from md5 independently."""
+    import hashlib
+
+    from gmall_realtime_flink_spark.operators.textstats import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_pairs(
+            simhash(frame, bits=bits), bits=bits, bands=4
+        ).collect()
+    }
+
+    def fp(toks):
+        sums = [0] * bits
+        for t in toks:
+            m = hashlib.md5(t.encode()).hexdigest()
+            for b in range(bits):
+                bit = (int(m[b // 4], 16) >> (b % 4)) & 1
+                sums[b] += 1 if bit else -1
+        return sum((1 << b) for b in range(bits) if sums[b] > 0)
+
+    fps = {i: fp(toks) for i, toks in enumerate(docs)}
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            h = bin(fps[i] ^ fps[j]).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got == want
+
+
+def test_simhash_guards():
+    """bits/bands parameter validation: out-of-range widths and bands
+    that don't tile the fingerprint must fail loudly (a silent partial
+    banding would break the pigeonhole completeness guarantee)."""
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.textstats import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    with _pytest.raises(ValueError, match="bits"):
+        simhash(None, bits=61)
+    with _pytest.raises(ValueError, match="bands must cover"):
+        simhash_near_pairs(None, bits=50, bands=4)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(None, max_hamming=4, bands=4)
