@@ -60,6 +60,12 @@ def _production() -> dict:
         "dedup_jaccard_complete_capped": REGISTRY[
             "dedup_jaccard_complete_capped"
         ].builder,
+        # 48-bit SimHash is the at-scale near-dup posture (the 16-bit
+        # reference-parity form is intrinsically quadratic past ~100k
+        # docs: pigeonhole forces >= C(n,2)/2^16 hamming-0 pairs)
+        "dedup_simhash_hamming_wide": REGISTRY[
+            "dedup_simhash_hamming_wide"
+        ].builder,
     }
 
 
