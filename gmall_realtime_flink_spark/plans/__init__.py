@@ -65,8 +65,10 @@ _DRIVER_PRIORITY = [
     "streaming_dedup_exact", "streaming_view_click_join",
     "streaming_purchase_dim_temporal", "streaming_multimodal_features",
     # dedup suite: production capped paths + never-checked families
+    # (the 16-bit simhash form was driver-checked r1-r6; the 48-bit
+    # production form replaces it for independent driver verification)
     "dedup_minhash_lsh_capped", "dedup_pagerank_capped",
-    "dedup_simhash_hamming", "dedup_jaccard_complete",
+    "dedup_simhash_hamming_wide", "dedup_jaccard_complete",
     "dedup_survivors", "dedup_incremental",
     # similarity/embedding: auto-bits family + filtered/recall forms
     "knn_graph", "contrastive_hard_negatives",
