@@ -62,6 +62,8 @@ EXTRA = [
     "token_countmin",
     "doc_hll_cardinality",
     "dedup_jaccard_complete_capped",
+    "dedup_simhash_hamming_wide",
+    "dedup_pagerank_capped",
 ]
 
 
