@@ -62,6 +62,26 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate synthesizes `size(e)>0 AND
+        # isnotnull(e)` for every explode and pushes it below the
+        # projections, SUBSTITUTING the generator's full expression
+        # tree into the filter. When e is a computed array (tokenize /
+        # shingles / banding — higher-order functions outside
+        # whole-stage codegen), the pushed filter re-evaluates the
+        # whole pipeline per row before the projection computes it
+        # again: measured 3x on the shingle kernel (explode 6.1 s ->
+        # 0.44 s at sf0.1; dedup_jaccard_complete_capped 7.4 s ->
+        # 1.25 s). The inferred filter is redundant by construction —
+        # Generate drops empty/null inputs itself — so excluding the
+        # rule cannot change results, only plans; its only upside
+        # (early pruning of plain stored-column arrays below a join)
+        # doesn't occur in this engine, where every hot explode is
+        # over a computed array.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
         # default; read as long once here (catalog.load truncates ns → µs)
         # instead of mutating session conf inside a loader
