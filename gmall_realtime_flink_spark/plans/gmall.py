@@ -333,16 +333,30 @@ def order_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").alias("p")
+    # money aggregation in integer cents (the pricing_summary pattern,
+    # sf10-proven): the 4dp revenue product becomes a codegen-pure
+    # double->long half-up round buffered in DECIMAL(18,0) — exact to
+    # 1e24 cents4/group — instead of three per-row BigDecimal casts;
+    # l_quantity is integral, so its double sum is exact to 2^53 and
+    # the 2dp round is a no-op on both engines. Measured 1.63 -> 1.04 s
+    # at sf0.1 (the countDistinct Expand doubles the rows the per-row
+    # money expression runs over, so the cast cost counted twice).
+    l2 = l.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_orderkey",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+         + F.lit(0.5)).cast("long").cast("decimal(18,0)").alias("rev_c4"),
+    )
     g = (
-        l.groupBy(
-            "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
-        )
+        l2.groupBy("l_partkey", "ship_month")
         .agg(
             F.countDistinct("l_orderkey").alias("order_ct"),
-            dec_sum("l_quantity").alias("quantity"),
-            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            F.round(F.sum("l_quantity"), 2).alias("quantity"),
+            F.round(F.sum("rev_c4") / 10000, 2)
+            .cast("double")
+            .alias("revenue"),
         )
         .alias("g")
     )
