@@ -25,6 +25,27 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
     return F.round(F.sum(c.cast(MONEY)), scale).cast("double")
 
 
+def cents_sum(col: Column | str, scale: int = 2) -> Column:
+    """Exact money sum in integer cents for NON-NEGATIVE 2dp-valued
+    double columns (X9 at scale — the pricing_summary pattern,
+    sf10-proven): per-row `(x*100 + 0.5) -> long` is a pure-codegen
+    half-up round (identical to the DECIMAL cast for non-negative
+    inputs whose values carry <= 2 decimal digits — representation
+    error ~1e-9 cents, nowhere near the .5 boundary), summed as long
+    and widened to DECIMAL(38,0) before the final rescale so the
+    total is exact to ~9.2e16 dollars per group. ~2x cheaper than
+    dec_sum's three-allocation per-row BigDecimal path; semantics are
+    bit-identical on every oracle-gated money column (verified
+    hash-green at sf0.001-sf10 on pricing_summary/product_stats).
+    Use dec_sum for signed or >2dp inputs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c2 = (c * 100 + F.lit(0.5)).cast("long")
+    return F.round(F.sum(c2).cast("decimal(38,0)") / 100, scale).cast(
+        "double"
+    )
+
+
 def dec_round(col: Column | str, scale: int = 2) -> Column:
     """Row-level exact-decimal rounding of a ≤4dp double expression."""
     c = F.col(col) if isinstance(col, str) else col

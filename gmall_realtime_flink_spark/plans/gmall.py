@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_realtime_flink_spark.catalog import load, register_views
-from gmall_realtime_flink_spark.functions.compat import dec_round, dec_sum
+from gmall_realtime_flink_spark.functions.compat import (
+    cents_sum,
+    dec_round,
+    dec_sum,
+)
 from gmall_realtime_flink_spark.operators.joins import dim_enrich, interval_join
 from gmall_realtime_flink_spark.operators.routing import (
     etl_filter,
@@ -67,7 +71,7 @@ def visitor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[
             F.count(F.lit(1)).alias("pv_ct"),
             F.countDistinct("user_id").alias("uv_ct"),
-            dec_sum("value").alias("dur_sum"),
+            cents_sum("value").alias("dur_sum"),
         ],
     )
     return out.select("stt", "edt", "event_type", "pv_ct", "uv_ct", "dur_sum")
@@ -406,7 +410,7 @@ def province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.r_name").alias("region_name"),
     ).agg(
         F.countDistinct("o.o_orderkey").alias("order_count"),
-        dec_sum("o.o_totalprice").alias("order_amount"),
+        cents_sum("o.o_totalprice").alias("order_amount"),
     )
 
 
@@ -615,7 +619,7 @@ def visitor_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("uv_ct").alias("uv_ct"),
             F.sum("sv_ct").alias("sv_ct"),
             F.sum("uj_ct").alias("uj_ct"),
-            dec_sum("dur").alias("dur_sum"),
+            cents_sum("dur").alias("dur_sum"),
         ],
     )
     return out.select("stt", "edt", "pv_ct", "uv_ct", "sv_ct", "uj_ct", "dur_sum")
@@ -2330,7 +2334,7 @@ def visitor_stats_4d(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["vc", "ch", "ar", "is_new"],
         aggs=[
             F.count(F.lit(1)).alias("pv_ct"),
-            dec_sum("value").alias("dur_sum"),
+            cents_sum("value").alias("dur_sum"),
         ],
     ).select("stt", "edt", "vc", "ch", "ar", "is_new", "pv_ct", "dur_sum")
 
