@@ -31,19 +31,41 @@ def cents_sum(col: Column | str, scale: int = 2) -> Column:
     sf10-proven): per-row `(x*100 + 0.5) -> long` is a pure-codegen
     half-up round (identical to the DECIMAL cast for non-negative
     inputs whose values carry <= 2 decimal digits — representation
-    error ~1e-9 cents, nowhere near the .5 boundary), summed as long
-    and widened to DECIMAL(38,0) before the final rescale so the
-    total is exact to ~9.2e16 dollars per group. ~2x cheaper than
-    dec_sum's three-allocation per-row BigDecimal path; semantics are
-    bit-identical on every oracle-gated money column (verified
-    hash-green at sf0.001-sf10 on pricing_summary/product_stats).
-    Use dec_sum for signed or >2dp inputs.
+    error ~1e-9 cents, nowhere near the .5 boundary). Each cents
+    value is then cast to DECIMAL(18,0) BEFORE the sum, so Spark
+    accumulates in a DECIMAL(28,0) buffer (long-backed compact form
+    until a value actually exceeds 18 digits) — the total is exact
+    to 1e28 cents and over-limit groups raise under ANSI instead of
+    wrapping. ~2x cheaper than dec_sum's three-allocation per-row
+    BigDecimal path; semantics are bit-identical on every oracle-gated
+    money column (verified hash-green at sf0.001-sf10 on
+    pricing_summary/product_stats).
+
+    PRECONDITION (caller-enforced): non-negative values with <= 2
+    decimal digits. Negative inputs would round half-DOWN (the long
+    cast truncates toward zero) and >2dp inputs are quantized to
+    cents. Use dec_sum for signed or >2dp inputs. Set
+    SPARK_GRAFT_DEBUG_ASSERTS=1 to inject a per-row raise_error check
+    of both preconditions (debug only — it adds a branch + a 2dp
+    re-round per row to an otherwise pure-codegen path).
     """
+    import os as _os
+
     c = F.col(col) if isinstance(col, str) else col
-    c2 = (c * 100 + F.lit(0.5)).cast("long")
-    return F.round(F.sum(c2).cast("decimal(38,0)") / 100, scale).cast(
-        "double"
-    )
+    if _os.environ.get("SPARK_GRAFT_DEBUG_ASSERTS") == "1":
+        bad = (c < 0) | (F.round(c, 2) != c)
+        c = F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("cents_sum precondition violated "
+                          "(negative or >2dp value): "),
+                    c.cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(c)
+    c2 = (c * 100 + F.lit(0.5)).cast("long").cast("decimal(18,0)")
+    return F.round(F.sum(c2) / 100, scale).cast("double")
 
 
 def dec_round(col: Column | str, scale: int = 2) -> Column:

@@ -128,6 +128,31 @@ def auto_bits(
     return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_cell))))
 
 
+def corpus_count_for_auto_bits(embeddings: DataFrame) -> int:
+    """The `auto_bits` input count, with the no-extra-scan claim
+    guarded: on a RAW parquet-backed frame, `count()` compiles to
+    footer row-group counts (metadata-only — the basis for "one cheap
+    extra job per query"). If a caller hands a FILTERED/JOINED frame,
+    the same call silently becomes a full scan; that may still be the
+    right bits value (cells should track the post-filter corpus), but
+    the cost claim no longer holds — so we warn rather than raise,
+    naming the offending plan node. Pinned by
+    tests/test_plans.py::test_auto_bits_count_warns_on_filtered_frame.
+    """
+    plan = embeddings._jdf.queryExecution().optimizedPlan().toString()
+    if "Filter (" in plan or "Join " in plan or "Join\n" in plan:
+        import warnings
+
+        warnings.warn(
+            "auto_bits count over a filtered/joined frame is a full "
+            "scan, not a metadata-only parquet count — pass the raw "
+            "embeddings table (or precompute bits) to keep plan build "
+            "cheap",
+            stacklevel=3,
+        )
+    return embeddings.count()
+
+
 def sign_bucket(col_name: str, bits: int = 4) -> F.Column:
     """IVF-style coarse cell: bit i set iff embedding[i] >= 0
     (1-based element_at, mirroring the DuckDB oracle)."""
@@ -168,7 +193,7 @@ def embedding_near_dup_pairs(
     in the ANN path.
     """
     if bits is None:
-        bits = auto_bits(embeddings.count())
+        bits = auto_bits(corpus_count_for_auto_bits(embeddings))
     e = embeddings.select(
         "vec_id",
         F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
@@ -414,7 +439,7 @@ def knn_self_join(
     # pairs relation each norm fold would re-run m-1 times per cell
     # (O(m²·dim) redundant work at scale instead of O(m·dim))
     if bits is None:
-        bits = auto_bits(embeddings.count())
+        bits = auto_bits(corpus_count_for_auto_bits(embeddings))
     e = (
         embeddings.select(
             "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
@@ -469,7 +494,7 @@ def hard_negative_pairs(
     shuffle/storage-partition key and `bits` tunes cell size.
     """
     if bits is None:
-        bits = auto_bits(embeddings.count())
+        bits = auto_bits(corpus_count_for_auto_bits(embeddings))
     e = (
         embeddings.select(
             "vec_id",

@@ -29,53 +29,54 @@ from gmall_realtime_flink_spark.plans import olap  # noqa: E402,F401
 # routing, S4 SQL-over-stream). Everything NOT in the head is still
 # oracle-gated locally: tests/test_oracle.py runs ALL registry
 # entries dtype-strict against DuckDB.
-# ROUND-7 HEAD ROTATION: rounds 2-6 drove roughly the same ~50-entry
-# head, leaving 86 registry entries with only local-process oracle
-# checks. This head keeps the 11 headline-bench queries plus one
-# representative per operator family, and swaps in 26 entries the
-# driver has NEVER independently hash-checked (chained DWS tail,
-# rotated streaming family members, the capped production dedup
-# paths, the auto-bits embedding family, text/quality/sampling).
-# Everything rotated OUT retains six rounds of driver-green history
-# and stays oracle-gated locally every test run.
+# ROUND-8 HEAD ROTATION: after r7, 61 of 165 registry entries had
+# never had an independent-process driver hash check (measured across
+# CORRECTNESS_r01-r07 in git history). Per VERDICT r7 task #1, this
+# head keeps ONLY the 11 headline-bench queries and fills the other
+# 39 slots with never-driver-checked entries: the whole TPC-H/olap
+# batch, the text-quality tail, sketches, the dedup tail (incl. the
+# 16-bit simhash reference-parity form, now guard-protected), and the
+# rotated streaming family members. The 22 entries still never
+# checked after this round (dirty_split, keyword_stats_udtf,
+# integrity_checks, order_customer_salted, user_sessions_native,
+# key_skew_report, daily_gmv_moving_7d, purchase_dim_temporal_join,
+# repeat_buyer_intersect, churned_buyers_except, doc_sample_uniform_k,
+# label_centroids, embedding_quantize_int8, embedding_pq_codes,
+# split_leakage_check, corpus_shuffle, doc_pack, doc_chunk_pack,
+# similarity_recall_curve, doc_sample_per_group, events_anomaly_zscore,
+# corpus_mix_budget) are queued for the round-9 rotation. Everything
+# rotated OUT retains multi-round driver-green history and stays
+# oracle-gated locally every test run (tests/test_oracle.py: 165/165).
 _DRIVER_PRIORITY = [
     # headline bench set (bench.py tracks these per round)
     "visitor_stats", "order_wide", "order_enriched", "product_stats",
     "province_stats", "product_stats_union", "keyword_stats",
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "pricing_summary",
-    # gmall reference pipeline core (kept: one per SURVEY family)
-    "unique_visit", "user_jump", "payment_wide", "cdc_route_config",
-    "serving_gmv", "keyword_stats_sql", "keyword_stats_cjk_dict",
-    # the FULL 10-job chained topology: all four DWS outputs now
-    # driver-checked (one topology run serves all four via the layer
-    # cache)
-    "chained_visitor_stats", "chained_product_stats",
-    "chained_province_stats", "chained_keyword_stats",
-    # streaming: kept family anchors (ST1/ST3/J2/S3+R2/S4)...
-    "streaming_visitor_repair", "streaming_user_jump",
-    "streaming_payment_wide", "streaming_cdc_route",
-    "streaming_stats_sql",
-    # ...and never-driver-checked members of the rotated families
-    # (ST2 dropDuplicatesWithinWatermark form, J1 left-outer interval,
-    # ST5 product agg, sessionization, streaming dedup, stream-stream
-    # equi join, temporal dim join, streaming multimodal)
-    "streaming_uv_dropdup_wm", "streaming_order_wide_left",
-    "streaming_product_stats", "streaming_user_sessions",
-    "streaming_dedup_exact", "streaming_view_click_join",
-    "streaming_purchase_dim_temporal", "streaming_multimodal_features",
-    # dedup suite: production capped paths + never-checked families
-    # (the 16-bit simhash form was driver-checked r1-r6; the 48-bit
-    # production form replaces it for independent driver verification)
-    "dedup_minhash_lsh_capped", "dedup_pagerank_capped",
-    "dedup_simhash_hamming_wide", "dedup_jaccard_complete",
-    "dedup_survivors", "dedup_incremental",
-    # similarity/embedding: auto-bits family + filtered/recall forms
-    "knn_graph", "contrastive_hard_negatives",
-    "similarity_topk_filtered", "similarity_recall_at_k",
-    # text/quality/sampling/sketches
-    "corpus_stats", "doc_curation_funnel", "doc_decontaminate",
-    "doc_sample_token_budget", "token_heavy_hitters",
+    # TPC-H / OLAP batch — never driver-checked before this round
+    "market_share", "product_profit", "important_parts",
+    "customer_distribution", "top_supplier", "small_qty_revenue",
+    "bracket_revenue", "waiting_suppliers", "dominant_suppliers",
+    "returned_revenue_customers", "parts_supplier_relationship",
+    "brand_price_iqr_udaf", "basket_part_pairs",
+    "event_transition_matrix",
+    # text-quality tail — never driver-checked
+    "doc_lm_surprisal", "doc_novelty_score", "doc_tfidf_top_terms",
+    "doc_quality_tiers", "doc_repetition", "doc_common_token_score",
+    "doc_redact_pii", "doc_chunk",
+    # sketches — never driver-checked
+    "doc_hll_cardinality", "token_countmin", "streaming_token_countmin",
+    # dedup tail — never driver-checked (16-bit simhash kept for
+    # reference parity; scale guard added r8, inert at driver sf0.01)
+    "dedup_simhash_hamming", "dedup_edit_distance",
+    "dedup_semantic_verify", "span_dedup", "dedup_pagerank",
+    "dedup_jaccard_complete_capped", "dedup_incremental_minhash",
+    # streaming rotation — never driver-checked family members
+    "streaming_product_stats_enriched", "streaming_visitor_stats_sliding",
+    "streaming_keyword_stats", "streaming_uv_dropdup",
+    "streaming_dedup_minhash",
+    # gmall/olap misc — never driver-checked
+    "page_flow", "user_retention_cohorts",
 ]
 
 

@@ -934,7 +934,14 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding-cosine): hamming <= 3 over 16 bits guarantees a shared "
     "4-bit band, so candidates are a self-equi-join on (band, value) "
     "— one shuffle, never all-pairs — then bit_count(a^b) verifies "
-    "exactly (operators/textstats.simhash_near_pairs).",
+    "exactly (operators/textstats.simhash_near_pairs). SCALE GUARD: "
+    "with only 2^16 fingerprint values, pigeonhole forces >= "
+    "C(n,2)/2^16 hamming-0 OUTPUT pairs on ANY corpus (n=100k -> "
+    ">=76k pairs minimum; n=500k -> >=1.9B; measured 243.5M at 50k "
+    "zipf docs), so the builder raises past SIMHASH16_MAX_DOCS "
+    "(100k) docs, pointing at dedup_simhash_hamming_wide (48-bit, "
+    "collision space 2.8e14 — the production posture). Override for "
+    "scale-tier harnesses: SPARK_GRAFT_ALLOW_SIMHASH16=1.",
     tags=("dedup", "simhash", "lsh"),
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,7 +950,38 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
+    _guard_simhash16_corpus_size(d)
     return simhash_near_pairs(simhash(d))
+
+
+# 16-bit SimHash output-volume cliff: >= C(n,2)/2^16 pairs at any n.
+# 100k docs is where the pigeonhole floor alone passes ~76k pairs and
+# the measured curve (zipf corpora) is already in the hundreds of
+# millions; past it the entry's OUTPUT is quadratic by construction.
+SIMHASH16_MAX_DOCS = 100_000
+
+
+def _guard_simhash16_corpus_size(docs: DataFrame) -> None:
+    """Refuse to run the 16-bit SimHash form on a corpus where its
+    output is pigeonhole-quadratic. docs.count() on a freshly-loaded
+    parquet frame is metadata-only (row-group counts, no scan). The
+    moments-tier verification harness measures the cliff deliberately
+    and sets SPARK_GRAFT_ALLOW_SIMHASH16=1 to bypass."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_ALLOW_SIMHASH16") == "1":
+        return
+    n = docs.count()
+    if n > SIMHASH16_MAX_DOCS:
+        floor_pairs = n * (n - 1) // 2 // (1 << 16)
+        raise ValueError(
+            f"dedup_simhash_hamming (16-bit) on {n:,} docs: pigeonhole "
+            f"forces >= C(n,2)/2^16 = {floor_pairs:,} hamming-0 output "
+            f"pairs regardless of corpus — intrinsically quadratic past "
+            f"{SIMHASH16_MAX_DOCS:,} docs. Use dedup_simhash_hamming_wide "
+            f"(48-bit) instead, or set SPARK_GRAFT_ALLOW_SIMHASH16=1 to "
+            f"override for measurement harnesses."
+        )
 
 
 @register(

@@ -145,9 +145,24 @@ def socket_sink(
 
     `routes` maps topic -> (host, port). Returns the DataStreamWriter
     (caller starts it), mirroring `kafka_sink`'s contract.
+
+    Delivery is AT-LEAST-ONCE per topic: a task failure mid-partition
+    (including an unroutable topic discovered partway through) retries
+    the whole partition, re-sending rows already delivered to other
+    topics in that attempt — same contract as the Kafka producer sink
+    without transactions. Downstream consumers must dedup or tolerate
+    replays (the parquet layer sinks use idempotent batch_id overwrite
+    for exactly this reason, streaming/topology.py).
     """
     if topic is None and topic_col is None:
         raise ValueError("either topic or topic_col is required")
+    if topic is not None and topic not in routes:
+        # fixed-topic coverage is checkable up front, before any row
+        # is sent anywhere
+        raise ValueError(
+            f"socket_sink: fixed topic {topic!r} has no route; "
+            f"known topics: {sorted(routes)}"
+        )
 
     def write_batch(batch_df: DataFrame, _bid: int) -> None:
         env = kafka_envelope(batch_df, topic_col)
@@ -162,6 +177,14 @@ def socket_sink(
                     tp = r["topic"] if fixed is None else fixed
                     conn = conns.get(tp)
                     if conn is None:
+                        if tp not in routes:
+                            raise ValueError(
+                                f"socket_sink: row topic {tp!r} has no "
+                                f"route; known topics: {sorted(routes)} "
+                                f"(rows already sent in this partition "
+                                f"attempt will be re-sent on retry — "
+                                f"at-least-once)"
+                            )
                         conn = _socket.create_connection(routes[tp], timeout=30)
                         conns[tp] = conn
                     conn.sendall((r["value"] + "\n").encode())

@@ -570,3 +570,72 @@ def test_trie_pattern_50k_words_in_spark(spark):
     ]
     assert got_trie == got_flat
     assert any(len(t) > 1 for t in got_trie)  # real segmentation happened
+
+
+def test_simhash16_guard_raises_past_threshold(spark, monkeypatch):
+    """The 16-bit SimHash scale cliff is guarded in CODE, not just
+    docs: >= C(n,2)/2^16 hamming-0 output pairs are forced by
+    pigeonhole on any corpus, so the builder refuses corpora past
+    SIMHASH16_MAX_DOCS unless the measurement-harness override is set
+    (VERDICT r7 task #3)."""
+    from gmall_realtime_flink_spark.plans.datapipe import (
+        SIMHASH16_MAX_DOCS,
+        _guard_simhash16_corpus_size,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_ALLOW_SIMHASH16", raising=False)
+    small = spark.range(10).selectExpr("id AS doc_id", "'t' AS text")
+    _guard_simhash16_corpus_size(small)  # under threshold: no-op
+
+    big = spark.range(SIMHASH16_MAX_DOCS + 1).selectExpr(
+        "id AS doc_id", "'t' AS text"
+    )
+    with pytest.raises(ValueError, match="dedup_simhash_hamming_wide"):
+        _guard_simhash16_corpus_size(big)
+
+    # the moments-tier harness measures the cliff deliberately
+    monkeypatch.setenv("SPARK_GRAFT_ALLOW_SIMHASH16", "1")
+    _guard_simhash16_corpus_size(big)
+
+
+def test_cents_sum_debug_asserts(spark, monkeypatch):
+    """cents_sum precondition (non-negative, <=2dp) is enforceable:
+    with SPARK_GRAFT_DEBUG_ASSERTS=1 a violating row raises instead of
+    silently rounding half-down / quantizing (r7 ADVICE item 1)."""
+    from gmall_realtime_flink_spark.functions.compat import cents_sum
+
+    ok = spark.createDataFrame([(1.25,), (2.50,)], "v double")
+    bad_neg = spark.createDataFrame([(1.25,), (-2.50,)], "v double")
+    bad_3dp = spark.createDataFrame([(1.125,)], "v double")
+
+    # default: pure-codegen path, no checks injected
+    assert ok.agg(cents_sum("v").alias("s")).collect()[0]["s"] == 3.75
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_ASSERTS", "1")
+    assert ok.agg(cents_sum("v").alias("s")).collect()[0]["s"] == 3.75
+    for bad in (bad_neg, bad_3dp):
+        with pytest.raises(Exception, match="cents_sum precondition"):
+            bad.agg(cents_sum("v").alias("s")).collect()
+
+
+def test_cents_sum_headroom_past_int64_cents(spark):
+    """The per-row decimal(18,0) cast means the SUM accumulates in a
+    DECIMAL(28,0) buffer: totals past the int64-cents ceiling
+    (9.2e16 dollars) stay exact instead of wrapping (r7 ADVICE item
+    2). 200 rows x 9.9e14 dollars = 1.98e17 dollars > 2^63 cents."""
+    from gmall_realtime_flink_spark.functions.compat import cents_sum
+
+    df = spark.range(200).selectExpr("cast(990000000000000.0 as double) AS v")
+    got = df.agg(cents_sum("v").alias("s")).collect()[0]["s"]
+    assert got == 200 * 990000000000000.0
+
+
+def test_socket_sink_fixed_topic_route_validated_up_front(spark):
+    """A fixed topic missing from `routes` fails at sink-build time,
+    before any row is sent anywhere (r7 ADVICE item 3)."""
+    from gmall_realtime_flink_spark.streaming.kafka import socket_sink
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="no route"):
+        socket_sink(df, routes={"a": ("localhost", 1)},
+                    checkpoint="/tmp/x", topic="missing")

@@ -317,3 +317,61 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
             orig_app,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bc)
+
+
+INFER_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def test_infer_filters_from_generate_exclusion_is_effective(spark, sf_dir):
+    """The single biggest perf lever in the repo (session.py:
+    excludedRules): InferFiltersFromGenerate would synthesize
+    `size(e)>0 AND isnotnull(e)` below every explode, substituting the
+    generator's FULL expression tree into the filter — a measured 3x
+    tax on the shingle kernel and 13.4x at zipf sf10 on the complete
+    jaccard join, because every computed-array explode (tokenize /
+    shingles / banding) re-evaluates its pipeline per row inside the
+    inferred filter. Pin BOTH halves of the exclusion's validity:
+
+    1. the rule class still exists in the running Spark (a rename on
+       upgrade would make the exclusion a silent no-op);
+    2. the optimized plan of a computed-array explode carries NO
+       Filter node — the tell-tale of the rule re-firing.
+    """
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+
+    # 1. exclusion is set and the excluded rule object still exists
+    assert INFER_RULE in spark.conf.get("spark.sql.optimizer.excludedRules")
+    spark._jvm.java.lang.Class.forName(INFER_RULE + "$")  # raises if renamed
+
+    # 2. no generator-derived inferred Filter in the shingle/tokenize
+    # explode plan (capital-F "Filter (" is the operator node; the
+    # lowercase filter( higher-order function inside tokenize is not)
+    d = load(spark, sf_dir, "documents")
+    df = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter (" not in opt, f"inferred generator filter is back:\n{opt}"
+
+
+def test_auto_bits_count_warns_on_filtered_frame(spark, sf_dir):
+    """auto_bits' corpus count is metadata-only ONLY on the raw
+    parquet frame; a filtered frame silently turns it into a full scan
+    — the helper warns so the cost claim can't rot (VERDICT r7 #8)."""
+    import warnings
+
+    from gmall_realtime_flink_spark.operators.similarity import (
+        corpus_count_for_auto_bits,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # raw frame: NO warning allowed
+        n = corpus_count_for_auto_bits(raw)
+    assert n > 0
+
+    filtered = raw.filter(F.col("vec_id") % 2 == 0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        corpus_count_for_auto_bits(filtered)
+    assert any("full" in str(x.message) for x in w), "filtered frame must warn"

@@ -58,9 +58,23 @@ def _ts_us(lo_day: str, hi_day: str, n, rng):
     return lo + rng.integers(0, days + 1, n) * DAY_US
 
 
-def generate(sf: float, out: str, seed: int = 42) -> None:
+def generate(sf: float, out: str, seed: int = 42, skew: float = 0.0) -> None:
+    """`skew` > 0 reproduces the reference's hot-key scenario (the
+    flash-sale hot sku every ProductStats keyBy sees,
+    RT/app/dws/ProductStatsApp.java:263, and the hot mid through
+    BaseLogAPP.java:80): that fraction of lineitem rows collapse onto
+    l_partkey=0, of events onto user_id=0, and of orders onto
+    o_custkey=0 — one key carrying ~skew of the table while the rest
+    stays uniform. Schemas and all other distributions are unchanged,
+    so every registry query/oracle runs as-is on the skewed corpus."""
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    def _skewed(keys: np.ndarray) -> np.ndarray:
+        if skew > 0:
+            keys = keys.copy()
+            keys[rng.random(len(keys)) < skew] = 0
+        return keys
     n_cust = int(150_000 * sf)
     n_supp = int(10_000 * sf)
     n_part = int(200_000 * sf)
@@ -106,7 +120,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     }))
     _write(out, "orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_custkey": pa.array(_skewed(rng.integers(0, n_cust, n_ord)), pa.int64()),
         "o_orderstatus": pa.array(np.array(["O", "P", "F"])[rng.integers(0, 3, n_ord)]),
         "o_totalprice": pa.array(_money(rng, 1000, 500_000, n_ord)),
         "o_orderdate": pa.array(
@@ -120,7 +134,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     lnum = np.concatenate([np.arange(1, c + 1) for c in lines_per])
     _write(out, "lineitem", pa.table({
         "l_orderkey": pa.array(lkey, pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_partkey": pa.array(_skewed(rng.integers(0, n_part, n_li)), pa.int64()),
         "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
         "l_linenumber": pa.array(lnum, pa.int32()),
         "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
@@ -140,7 +154,7 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     _write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev), pa.int64()),
         "ts": pa.array(ts, pa.timestamp("us")),
-        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "user_id": pa.array(_skewed(rng.integers(0, n_users, n_ev)), pa.int64()),
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]),
         "value": pa.array(np.round(rng.exponential(50.0, n_ev), 2)),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.integers(0, 100, n_ev)]),
@@ -178,7 +192,8 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
     }))
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
-        json.dump({"sf": sf, "seed": seed, "lineitem_rows": int(n_li)}, f)
+        json.dump({"sf": sf, "seed": seed, "lineitem_rows": int(n_li),
+                   "skew": skew}, f)
 
 
 def generate_zipf_docs(
@@ -291,6 +306,11 @@ if __name__ == "__main__":
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument(
+        "--skew", type=float, default=0.0,
+        help="fraction of lineitem/events/orders rows collapsed onto "
+        "one hot key (flash-sale sku / hot mid scenario)",
+    )
+    ap.add_argument(
         "--corpus",
         choices=["driver", "zipf"],
         default="driver",
@@ -305,5 +325,6 @@ if __name__ == "__main__":
         out = a.out or os.path.join(local, f"zipf_sf{a.sf:g}")
         generate_zipf_docs(int(50_000 * a.sf), out, a.seed)
     else:
-        out = a.out or os.path.join(local, f"sf{a.sf:g}")
-        generate(a.sf, out, a.seed)
+        suffix = f"_skew{a.skew:g}" if a.skew > 0 else ""
+        out = a.out or os.path.join(local, f"sf{a.sf:g}{suffix}")
+        generate(a.sf, out, a.seed, skew=a.skew)

@@ -91,6 +91,11 @@ def main() -> int:
             "zipf corpus only if present in checked — otherwise the "
             "capped production path dedup_pagerank_capped is checked"
         )
+    # enforce checked/excluded disjointness for EVERY excluded key, not
+    # just pagerank — if a future artifact verifies an entry ok=true,
+    # the checked row supersedes the exclusion (r7 ADVICE fix)
+    for n in [k for k in excluded if k in checked]:
+        del excluded[n]
 
     # registry entries with NO sf10 row at all (streaming file-form
     # queries etc. were part of the r06 pass; anything left is an

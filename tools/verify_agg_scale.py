@@ -43,6 +43,10 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else ".local/sf1"
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
 
+    # This harness exists to measure output-quadratic entries (the
+    # 16-bit SimHash cliff) deliberately — bypass the builder guard.
+    os.environ.setdefault("SPARK_GRAFT_ALLOW_SIMHASH16", "1")
+
     from pyspark.sql import functions as F
 
     from gmall_realtime_flink_spark.plans import REGISTRY
