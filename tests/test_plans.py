@@ -375,3 +375,57 @@ def test_auto_bits_count_warns_on_filtered_frame(spark, sf_dir):
         warnings.simplefilter("always")
         corpus_count_for_auto_bits(filtered)
     assert any("full" in str(x.message) for x in w), "filtered frame must warn"
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """SCALE.md §Skew: a hot join key (30% of the fact on one key) is
+    split by AQE across reducers — SortMergeJoin(skew=true) — instead
+    of serializing the stage behind one straggler task. Thresholds are
+    scaled to the synthetic corpus (local shuffles are KBs where the
+    production defaults are 100s of MB); the skew FACTOR (hot >= 5x
+    median) stays at its default, because that is the definition of
+    skew. Complements tools/measure_skew.py, which measures the same
+    plan on the generated hot-key corpus with wall-clock timings."""
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64k",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k"
+        )
+        # 50% of 400k fact rows on key 0, rest uniform over 20k keys;
+        # multiple range partitions = multiple mapper blocks, which is
+        # what AQE splits a skewed reduce partition by. 50% (not 30%):
+        # the test session shuffles into 8 partitions, so the hot
+        # partition must clear 5x the median with only 8 buckets of
+        # uniform residue around it
+        big = spark.range(0, 400_000, 1, 8).selectExpr(
+            "CASE WHEN id % 10 < 5 THEN CAST(0 AS LONG) "
+            "ELSE id % 20000 END AS k",
+            "id AS payload",
+        )
+        small = spark.range(0, 20_000, 1, 4).selectExpr(
+            "id AS k2", "id * 2 AS attr"
+        )
+        j = big.join(small, big["k"] == small["k2"]).agg(
+            F.sum("payload").alias("s"), F.count("*").alias("n")
+        )
+        [row] = j.collect()
+        assert row["n"] == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the hot-key join:\n" + plan
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

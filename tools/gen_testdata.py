@@ -43,7 +43,14 @@ DAY_US = 86_400_000_000
 
 
 def _write(out: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+    # bounded row groups, like any real multi-writer table. One giant
+    # row group would also make the whole file a single mapper block,
+    # and AQE's skew-join splits a skewed reduce partition at mapper-
+    # block boundaries — a 1-block file is unsplittable no matter how
+    # hot the key (bit the round-8 skew measurements before this).
+    pq.write_table(
+        table, os.path.join(out, f"{name}.parquet"), row_group_size=65536
+    )
     print(f"{name}: {table.num_rows} rows")
 
 
