@@ -74,6 +74,17 @@ from gmall_realtime_flink_spark.streaming.state import (
 JUMP_GAP_MS = 600_000
 
 
+# Crash-injection seam: when set, called with (out_dir, batch_id)
+# AFTER a layer's parquet commit and BEFORE foreachBatch returns —
+# i.e. inside the at-least-once window where the data is durable but
+# the source offset is NOT yet committed. Raising here is exactly the
+# crash the batch_id-partition overwrite exists for;
+# tests/test_topology.py::test_topology_crash_between_write_and_commit
+# detonates it once and asserts the restarted DAG's DWS outputs are
+# identical to a clean run's. Never set outside tests.
+FAULT_AFTER_WRITE = None
+
+
 def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     """Effectively-once layer write: foreachBatch is at-least-once (a
     crash between the parquet write and the offset commit replays the
@@ -88,6 +99,8 @@ def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
         .partitionBy("batch_id")
         .parquet(out_dir)
     )
+    if FAULT_AFTER_WRITE is not None:
+        FAULT_AFTER_WRITE(out_dir, batch_id)
 
 
 # Wall-clock seconds per topology job from the most recent

@@ -171,3 +171,64 @@ def test_topology_rerun_is_idempotent(spark, sf_dir, layers):
         name: spark.read.parquet(d).count() for name, d in layers2.items()
     }
     assert after == before
+
+
+def test_topology_crash_between_write_and_commit(spark, sf_dir, layers):
+    """Crash-inject the WHOLE DAG at its weakest point: a layer job is
+    killed after its parquet data committed but before the streaming
+    checkpoint committed the source offset (the at-least-once window).
+    On restart the micro-batch is replayed; the batch_id-partition
+    dynamic overwrite must replace the orphaned data instead of
+    appending a duplicate, and every downstream layer must come out
+    identical to a clean run — the whole-topology effectively-once
+    claim, previously only tested per-sink and for clean restarts."""
+    import tempfile
+
+    dws = (
+        "dws_visitor_stats",
+        "dws_product_stats",
+        "dws_province_stats",
+        "dws_keyword_stats",
+    )
+
+    def dws_rows(layer_dirs):
+        return {
+            layer: sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(layer_dirs[layer])
+                    .drop("batch_id")
+                    .collect(),
+                )
+            )
+            for layer in dws
+        }
+
+    want = dws_rows(layers)  # clean-run reference from the fixture
+
+    base = tempfile.mkdtemp(prefix="warehouse_crash_")
+    state = {"detonated": False}
+
+    def bomb(out_dir, batch_id):
+        # detonate ONCE, on the first order_wide batch: the data for
+        # this batch is already durable in the layer; raising before
+        # foreachBatch returns means its offset is never committed
+        if not state["detonated"] and out_dir.endswith("dwm_order_wide"):
+            state["detonated"] = True
+            raise RuntimeError(
+                "injected crash between parquet write and offset commit"
+            )
+
+    tp.FAULT_AFTER_WRITE = bomb
+    try:
+        with pytest.raises(Exception):
+            tp.build_warehouse_layers(spark, sf_dir, base=base)
+    finally:
+        tp.FAULT_AFTER_WRITE = None
+    assert state["detonated"], "fault hook never fired"
+
+    # restart the DAG against the same base: completed jobs find no new
+    # input; the killed job replays its uncommitted batch over its own
+    # partition; downstream jobs then run for the first time
+    layers2 = tp.build_warehouse_layers(spark, sf_dir, base=base)
+    assert dws_rows(layers2) == want
