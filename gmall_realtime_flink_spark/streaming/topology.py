@@ -92,13 +92,22 @@ def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     dynamically overwritten — a replayed batch replaces its OWN
     partition instead of appending duplicates. Same pattern as
     streaming_dedup_minhash's admission sink (streaming/jobs.py)."""
-    (
-        batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(out_dir)
-    )
+    out = batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+    if os.environ.get("SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER"):
+        # steady-flow replay mode: ONE file per batch partition, so a
+        # downstream file-per-trigger consumer replays batches whole
+        # and in order. Splitting a multi-file batch partition across
+        # micro-batches hands a 0 s-watermark consumer files in
+        # arbitrary sub-order — rows older than the already-advanced
+        # watermark are dropped (W6 doing its job on input that broke
+        # the ordered-arrival contract; measured: chained
+        # visitor/province stats lose rows under maxFilesPerTrigger=4
+        # without this). Production default keeps full write
+        # parallelism — its consumers take each batch in one trigger.
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(out_dir)
     if FAULT_AFTER_WRITE is not None:
         FAULT_AFTER_WRITE(out_dir, batch_id)
 
@@ -107,6 +116,84 @@ def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
 # build_warehouse_layers run (job name -> sec) — the per-layer cost
 # record the scale artifacts report; populated as each job completes.
 LAYER_SECONDS: dict[str, float] = {}
+
+# Per-batch trigger latency percentiles per topology job from the most
+# recent run (job name -> {n, p50_ms, p95_ms, max_ms}). Wall seconds
+# say what a layer COSTS; batch percentiles say what a consumer WAITS
+# — the reference's whole point is sub-window-latency continuous
+# results, so the 10 s-tumble SLA story needs the batch distribution,
+# not the total. Captured by a StreamingQueryListener
+# (onQueryProgress.durationMs.triggerExecution), the same numbers the
+# Spark UI's structured-streaming page reports.
+LAYER_BATCH_MS: dict[str, dict] = {}
+
+
+def _percentiles(samples: list[float]) -> dict:
+    s = sorted(samples)
+    idx = lambda q: s[min(len(s) - 1, int(q * len(s)))]  # noqa: E731
+    return {
+        "n": len(s),
+        "p50_ms": idx(0.50),
+        "p95_ms": idx(0.95),
+        "max_ms": s[-1],
+    }
+
+
+class _BatchLatencyListener:
+    """Collects per-query trigger-execution durations. Defined without
+    inheriting StreamingQueryListener at import time so importing this
+    module never requires an active Spark context; `attach` builds the
+    real listener lazily."""
+
+    def __init__(self) -> None:
+        self.durations: dict[str, list[float]] = {}
+        self._listener = None
+
+    def attach(self, spark: SparkSession) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                name = p.name
+                ms = (p.durationMs or {}).get("triggerExecution")
+                if name and ms is not None:
+                    outer.durations.setdefault(name, []).append(float(ms))
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._listener = L()
+        spark.streams.addListener(self._listener)
+
+    def detach_into(self, spark: SparkSession, out: dict) -> None:
+        import time as _time
+
+        # listener delivery is async — wait for the event stream to
+        # drain (stable sample count across one poll interval)
+        prev = -1
+        for _ in range(20):
+            cur = sum(len(v) for v in self.durations.values())
+            if cur == prev:
+                break
+            prev = cur
+            _time.sleep(0.25)
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+        # merge per job (latest run wins per key) rather than clear:
+        # a restart run against an already-built base processes no new
+        # data for completed jobs and must not erase their stats
+        out.update(
+            {name: _percentiles(ms) for name, ms in self.durations.items()}
+        )
 
 
 def _run(stream_df: DataFrame, out_dir: str, ckpt: str) -> None:
@@ -119,12 +206,29 @@ def _run(stream_df: DataFrame, out_dir: str, ckpt: str) -> None:
         stream_df.writeStream.foreachBatch(
             lambda b, bid: _write_batch(b, bid, out_dir)
         )
+        .queryName(os.path.basename(out_dir))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     LAYER_SECONDS[os.path.basename(out_dir)] = round(_time.time() - t0, 1)
+
+
+def _reader(spark: SparkSession, schema, path: str):
+    """readStream with the optional steady-flow knob: when
+    SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER is set, every layer/fact
+    consumer processes at most that many files per micro-batch —
+    availableNow then replays the backlog as a SEQUENCE of small
+    batches instead of 1-2 giant ones, which is what makes the
+    per-batch latency percentiles (LAYER_BATCH_MS) a real steady-state
+    distribution rather than one sample. Unset (production default):
+    fewest, largest batches — lowest total cost."""
+    r = spark.readStream.schema(schema)
+    mft = os.environ.get("SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER")
+    if mft:
+        r = r.option("maxFilesPerTrigger", int(mft))
+    return r.parquet(path)
 
 
 def _layer_stream(
@@ -135,7 +239,7 @@ def _layer_stream(
     written footers, event-time column re-derived where the layer
     stores it as a formatted string."""
     schema = spark.read.parquet(layer_dir).schema
-    df = spark.readStream.schema(schema).parquet(layer_dir).drop("batch_id")
+    df = _reader(spark, schema, layer_dir).drop("batch_id")
     if ts_col is not None:
         df = df.withColumn("ts", F.to_timestamp(ts_col)).withWatermark(
             "ts", "0 seconds"
@@ -166,6 +270,8 @@ def build_warehouse_layers(
     """
     if base is None:
         base = tempfile.mkdtemp(prefix="warehouse_")
+    _latency = _BatchLatencyListener()
+    _latency.attach(spark)
     layers = {
         name: os.path.join(base, name)
         for name in (
@@ -264,6 +370,7 @@ def build_warehouse_layers(
     _t0 = _time.time()
     q = (
         events.writeStream.foreachBatch(split_log)
+        .queryName("base_log_app")
         .option("checkpointLocation", ckpt("base_log_app"))
         .trigger(availableNow=True)
         .start()
@@ -278,7 +385,7 @@ def build_warehouse_layers(
     # directories (dynamic topic sink, :96-113).
     # ------------------------------------------------------------------
     def envelope(topic: str, schema: T.StructType) -> DataFrame:
-        raw = spark.readStream.schema(schema).parquet(ods[topic])
+        raw = _reader(spark, schema, ods[topic])
         return raw.select(
             F.lit(topic).alias("table"),
             F.to_json(F.struct("*")).alias("data"),
@@ -309,6 +416,7 @@ def build_warehouse_layers(
     _t0 = _time.time()
     q = (
         cdc.writeStream.foreachBatch(route_db)
+        .queryName("base_db_app")
         .option("checkpointLocation", ckpt("base_db_app"))
         .trigger(availableNow=True)
         .start()
@@ -378,8 +486,7 @@ def build_warehouse_layers(
     def fact_stream(table: str, key_ts: str, alias: str) -> DataFrame:
         schema = spark.read.parquet(layers[f"dwd_{table}"]).schema
         return (
-            spark.readStream.schema(schema)
-            .parquet(layers[f"dwd_{table}"])
+            _reader(spark, schema, layers[f"dwd_{table}"])
             .drop("batch_id")
             .withColumn(f"{alias}_ts", ts_as_timestamp(schema, key_ts))
             .withWatermark(f"{alias}_ts", "0 seconds")
@@ -520,8 +627,7 @@ def build_warehouse_layers(
     # ------------------------------------------------------------------
     oi_schema = spark.read.parquet(layers["dwd_order_info"]).schema
     oi = (
-        spark.readStream.schema(oi_schema)
-        .parquet(layers["dwd_order_info"])
+        _reader(spark, oi_schema, layers["dwd_order_info"])
         .drop("batch_id")
         .withColumn("o_ts", ts_as_timestamp(oi_schema, "o_orderdate"))
         .withWatermark("o_ts", "0 seconds")
@@ -579,6 +685,7 @@ def build_warehouse_layers(
     ).select("stt", "edt", "keyword", "ct", F.lit("SEARCH").alias("source"))
     _run(kw, layers["dws_keyword_stats"], ckpt("keyword_stats_app"))
 
+    _latency.detach_into(spark, LAYER_BATCH_MS)
     return layers
 
 

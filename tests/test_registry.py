@@ -26,32 +26,36 @@ def test_head_entries_all_have_oracles():
 
 def test_head_covers_every_operator_family():
     head = list(REGISTRY)[:HEAD]
-    # one streaming representative per stateful family + routing + SQL
-    # (round-7 rotation: families keep coverage through DIFFERENT
-    # members where one exists, so never-driver-checked forms get an
-    # independent-process hash check)
+    # Round-8 rotation policy (VERDICT r7 task #1): the head keeps the
+    # 11 headline-bench entries and spends the other 39 slots burning
+    # down the never-driver-checked backlog. Family coverage is
+    # therefore maintained across ROUNDS (union of CORRECTNESS_r*
+    # heads), not within a single head; what each head must still
+    # guarantee per-round is the headline set plus at least one
+    # independent-process check per macro-family (streaming stateful,
+    # dedup, similarity, text-quality, sketch, OLAP).
     for required in (
-        "streaming_visitor_repair",     # ST1
-        "streaming_uv_dropdup_wm",      # ST2 (dropDuplicatesWithinWatermark form)
-        "streaming_user_jump",          # ST3 (CEP + timers)
-        "streaming_order_wide_left",    # ST4/J1 stream-stream interval (left-outer form)
-        "streaming_payment_wide",       # J2 asymmetric band
-        "streaming_cdc_route",          # S3/R1/R2 sink-in-the-loop
-        "streaming_product_stats",      # ST5/A1 windowed agg
-        "streaming_stats_sql",          # S4 SQL-over-stream
-        # datapipe core: dedup (exact/LSH/capped-production/cluster-
-        # derived), similarity (brute/ANN-graph/filtered), text/quality,
-        # split/decontamination, multimodal (streaming form)
-        "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
-        "dedup_survivors", "similarity_topk", "knn_graph",
-        "similarity_topk_filtered", "doc_curation_funnel",
-        "doc_decontaminate", "streaming_multimodal_features",
-        # gmall pipeline core + the chained deployment shape
-        "visitor_stats", "product_stats", "order_wide", "cdc_route_config",
-        "keyword_stats_cjk_dict", "serving_gmv", "chained_visitor_stats",
-        "chained_product_stats",
+        # headline bench set — bench.py tracks these every round
+        "visitor_stats", "order_wide", "order_enriched", "product_stats",
+        "province_stats", "product_stats_union", "keyword_stats",
+        "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
+        "pricing_summary",
+        # rotated family representatives (never driver-checked pre-r8)
+        "streaming_product_stats_enriched",  # ST5/A1 windowed agg
+        "streaming_uv_dropdup",              # ST2 dedup state
+        "streaming_dedup_minhash",           # streaming near-dup admission
+        "streaming_token_countmin",          # streaming sketch
+        "dedup_simhash_hamming",             # SimHash (guarded 16-bit form)
+        "dedup_pagerank",                    # canonical selection
+        "dedup_jaccard_complete_capped",     # PPJoin production path
+        "doc_lm_surprisal",                  # text-quality tail
+        "doc_hll_cardinality",               # sketches
+        "market_share",                      # TPC-H/olap batch
     ):
         assert required in head, f"{required} fell out of the driver window"
+    # every non-headline slot is spent on the rotation, none wasted on
+    # an entry with multi-round driver-green history
+    assert len(head) == HEAD
 
 
 def test_every_entry_is_well_formed():

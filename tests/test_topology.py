@@ -232,3 +232,28 @@ def test_topology_crash_between_write_and_commit(spark, sf_dir, layers):
     # partition; downstream jobs then run for the first time
     layers2 = tp.build_warehouse_layers(spark, sf_dir, base=base)
     assert dws_rows(layers2) == want
+
+
+def test_layer_batch_latency_percentiles_captured(spark, sf_dir, layers):
+    """Every topology job reports its per-batch trigger latency
+    distribution (p50/p95/max ms) via the StreamingQueryListener —
+    wall seconds say what a layer costs, batch percentiles say what a
+    consumer waits, and the 10 s-tumble SLA claim needs the latter."""
+    stats = tp.LAYER_BATCH_MS
+    expected = {
+        "base_log_app",
+        "base_db_app",
+        "dwm_unique_visit",
+        "dwm_user_jump",
+        "dwm_order_wide",
+        "dwm_payment_wide",
+        "dws_visitor_stats",
+        "dws_product_stats",
+        "dws_province_stats",
+        "dws_keyword_stats",
+    }
+    assert expected <= set(stats), sorted(stats)
+    for job in expected:
+        s = stats[job]
+        assert s["n"] >= 1, (job, s)
+        assert 0 < s["p50_ms"] <= s["p95_ms"] <= s["max_ms"], (job, s)

@@ -203,6 +203,201 @@ def generate(sf: float, out: str, seed: int = 42, skew: float = 0.0) -> None:
                    "skew": skew}, f)
 
 
+def generate_chunked(
+    sf: float,
+    out: str,
+    seed: int = 42,
+    slab_orders: int = 10_000_000,
+    slab_events: int = 20_000_000,
+) -> None:
+    """sf>=100-capable generator: same schemas and distributions as
+    `generate`, but the three big tables (orders, lineitem, events)
+    stream to parquet in slabs through pq.ParquetWriter — at sf100 the
+    whole-table numpy arrays would be ~50 GB resident (600M lineitem
+    rows x 11 columns). Dims, documents, and embeddings are still
+    single-shot (<= a few GB at sf100). Values are NOT draw-for-draw
+    identical to `generate` at the same sf (slab-wise rng draws) —
+    they don't need to be: every scale gate compares Spark vs DuckDB
+    on the SAME generated files."""
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_ord = int(1_500_000 * sf)
+    n_ev = int(1_000_000 * sf)
+    n_doc = int(50_000 * sf)
+    n_emb = int(20_000 * sf)
+    n_users = int(15_000 * sf)
+
+    _write(out, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(REGIONS),
+    }))
+    _write(out, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+    _write(out, "customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": pa.array(_money(rng, -1000, 10000, n_cust)),
+        "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
+    }))
+    _write(out, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": pa.array(_money(rng, -1000, 10000, n_supp)),
+    }))
+    keys = np.arange(n_part)
+    _write(out, "part", pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_name": pa.array([
+            f"{ADJS[a]} {NOUNS[b]}"
+            for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
+        ]),
+        "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(0, 25, n_part)]),
+        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, n_part)]),
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": pa.array(np.round(900.0 + (keys % 1000) / 10.0, 2)),
+    }))
+    del keys
+
+    # orders + lineitem: slab over the order-key range; lineitem rows
+    # for an order are generated inside the same slab so l_orderkey
+    # stays consistent without any cross-slab state beyond the offset
+    n_li_total = 0
+    ow = lw = None
+    try:
+        for lo_k in range(0, n_ord, slab_orders):
+            n = min(slab_orders, n_ord - lo_k)
+            okeys = np.arange(lo_k, lo_k + n)
+            t_orders = pa.table({
+                "o_orderkey": pa.array(okeys, pa.int64()),
+                "o_custkey": pa.array(rng.integers(0, n_cust, n), pa.int64()),
+                "o_orderstatus": pa.array(
+                    np.array(["O", "P", "F"])[rng.integers(0, 3, n)]),
+                "o_totalprice": pa.array(_money(rng, 1000, 500_000, n)),
+                "o_orderdate": pa.array(
+                    _ts_us("1995-01-01", "2001-08-01", n, rng),
+                    pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    np.array(PRIORITIES)[rng.integers(0, 5, n)]),
+            })
+            if ow is None:
+                ow = pq.ParquetWriter(
+                    os.path.join(out, "orders.parquet"), t_orders.schema)
+            ow.write_table(t_orders, row_group_size=65536)
+            del t_orders
+
+            lines_per = rng.integers(1, 8, n)
+            lkey = np.repeat(okeys, lines_per)
+            n_li = len(lkey)
+            n_li_total += n_li
+            lnum = np.concatenate([np.arange(1, c + 1) for c in lines_per])
+            t_li = pa.table({
+                "l_orderkey": pa.array(lkey, pa.int64()),
+                "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+                "l_linenumber": pa.array(lnum, pa.int32()),
+                "l_quantity": pa.array(
+                    rng.integers(1, 51, n_li).astype(np.float64)),
+                "l_extendedprice": pa.array(_money(rng, 900, 105_000, n_li)),
+                "l_discount": pa.array(
+                    np.round(rng.integers(0, 11, n_li) / 100.0, 2)),
+                "l_tax": pa.array(np.round(rng.integers(0, 9, n_li) / 100.0, 2)),
+                "l_returnflag": pa.array(
+                    np.array(["R", "N", "A"])[rng.integers(0, 3, n_li)]),
+                "l_linestatus": pa.array(
+                    np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
+                "l_shipdate": pa.array(
+                    _ts_us("1995-01-02", "2001-11-04", n_li, rng),
+                    pa.timestamp("us")),
+            })
+            if lw is None:
+                lw = pq.ParquetWriter(
+                    os.path.join(out, "lineitem.parquet"), t_li.schema)
+            lw.write_table(t_li, row_group_size=65536)
+            del t_li, lkey, lnum, lines_per
+            print(f"orders/lineitem slab @{lo_k}: +{n}/+{n_li}", flush=True)
+    finally:
+        if ow is not None:
+            ow.close()
+        if lw is not None:
+            lw.close()
+    print(f"orders: {n_ord} rows\nlineitem: {n_li_total} rows")
+
+    # events: the GLOBAL sorted 30-day timeline needs the full ts array
+    # (n_ev * 8B — 800 MB at sf100, fine); everything else slabs
+    lo = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    ts_all = np.sort(lo + rng.integers(0, 30 * DAY_US, n_ev))
+    ew = None
+    try:
+        for lo_i in range(0, n_ev, slab_events):
+            n = min(slab_events, n_ev - lo_i)
+            t_ev = pa.table({
+                "event_id": pa.array(np.arange(lo_i, lo_i + n), pa.int64()),
+                "ts": pa.array(ts_all[lo_i:lo_i + n], pa.timestamp("us")),
+                "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+                "event_type": pa.array(
+                    np.array(EVENT_TYPES)[rng.integers(0, 5, n)]),
+                "value": pa.array(np.round(rng.exponential(50.0, n), 2)),
+                "props": pa.array(
+                    [f'{{"k": {k}}}' for k in rng.integers(0, 100, n)]),
+            })
+            if ew is None:
+                ew = pq.ParquetWriter(
+                    os.path.join(out, "events.parquet"), t_ev.schema)
+            ew.write_table(t_ev, row_group_size=65536)
+            del t_ev
+            print(f"events slab @{lo_i}: +{n}", flush=True)
+    finally:
+        if ew is not None:
+            ew.close()
+    del ts_all
+    print(f"events: {n_ev} rows")
+
+    # documents: same dup structure as `generate` (back-references keep
+    # all texts resident: ~2-3 GB at sf100's 5M docs — acceptable)
+    texts: list[str] = []
+    vocab = np.array(VOCAB)
+    for i in range(n_doc):
+        r = rng.random()
+        if i > 10 and r < 0.002:
+            texts.append(texts[int(rng.integers(0, i))])
+        elif i > 10 and r < 0.05:
+            words = texts[int(rng.integers(0, i))].split()
+            idx = rng.integers(0, len(words), max(1, len(words) // 10))
+            for j in idx:
+                words[j] = vocab[rng.integers(0, len(vocab))]
+            texts.append(" ".join(words))
+        else:
+            texts.append(" ".join(
+                vocab[rng.integers(0, len(vocab), rng.integers(10, 101))]))
+    langs = np.array(LANGS)[rng.choice(5, n_doc, p=LANG_W)]
+    _write(out, "documents", pa.table({
+        "doc_id": pa.array(np.arange(n_doc), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array([f"src{s}" for s in rng.integers(0, 20, n_doc)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+    del texts
+    emb = rng.standard_normal((n_emb, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    _write(out, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
+    }))
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump({"sf": sf, "seed": seed, "lineitem_rows": int(n_li_total),
+                   "chunked": True}, f)
+
+
 def generate_zipf_docs(
     n_doc: int,
     out: str,
@@ -313,6 +508,11 @@ if __name__ == "__main__":
     ap.add_argument("--out", default=None)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument(
+        "--chunked", action="store_true",
+        help="stream big tables to parquet in slabs (required ~sf100: "
+        "whole-table arrays would be ~50 GB resident)",
+    )
+    ap.add_argument(
         "--skew", type=float, default=0.0,
         help="fraction of lineitem/events/orders rows collapsed onto "
         "one hot key (flash-sale sku / hot mid scenario)",
@@ -334,4 +534,8 @@ if __name__ == "__main__":
     else:
         suffix = f"_skew{a.skew:g}" if a.skew > 0 else ""
         out = a.out or os.path.join(local, f"sf{a.sf:g}{suffix}")
-        generate(a.sf, out, a.seed, skew=a.skew)
+        if a.chunked:
+            assert a.skew == 0, "--chunked does not implement --skew"
+            generate_chunked(a.sf, out, a.seed)
+        else:
+            generate(a.sf, out, a.seed, skew=a.skew)

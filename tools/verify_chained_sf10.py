@@ -84,6 +84,9 @@ def _dump(json_out, sf_dir, bad, results, topology, t_all):
                 "bad": bad,
                 "results": results,
                 "layer_seconds": topology.LAYER_SECONDS,
+                # per-batch trigger latency percentiles per job (r8):
+                # what a layer consumer WAITS, vs what the layer costs
+                "layer_batch_ms": topology.LAYER_BATCH_MS,
                 "checkpoint_bytes": state,
                 "total_sec": round(time.time() - t_all, 1),
             },
