@@ -79,6 +79,18 @@ def main() -> None:
 
     headline = {n: s for n, s in REGISTRY.items() if s.headline}
 
+    # Scale-tier escape hatch: the uncapped md5 LSH path is OUTPUT-
+    # quadratic on the degenerate 31-word corpus (candidates grew
+    # 100× per 10× docs: 4.0M @ sf1 → 399.6M @ sf10 → ~40B @ sf100,
+    # measured two decades, BASELINE.md). At sf100 the entry is
+    # excluded from the curve and the capped production path (still
+    # benched below) carries the posture. The driver's sf0.1 gate
+    # never sets this.
+    skip = set(filter(None, os.environ.get(
+        "SPARK_GRAFT_BENCH_SKIP", "").split(",")))
+    skipped = sorted(skip & set(headline))
+    headline = {n: s for n, s in headline.items() if n not in skip}
+
     # warm-up: JVM classloading + codegen on a scan-and-agg
     run_query(REGISTRY["pricing_summary"].builder(spark, sf_dir))
 
@@ -92,6 +104,7 @@ def main() -> None:
             run_query(df)
             reps.append(time.perf_counter() - t0)
         times[name] = round(min(reps), 3)
+        print(f"{name} {min(reps):.3f}s", file=sys.stderr, flush=True)
         # per-query dispersion so an n-of-2 driver run is comparable
         # to the min-of-3 BASELINE table: max-min IS the local-mode
         # GC/scheduling jitter band, not a plan regression
@@ -103,7 +116,9 @@ def main() -> None:
         }
 
     production: dict[str, float] = {}
-    for name, builder in _production().items():
+    prod = {n: b for n, b in _production().items() if n not in skip}
+    skipped += sorted(skip & set(_production()))
+    for name, builder in prod.items():
         df = builder(spark, sf_dir)
         reps = []
         for _ in range(REPS):
@@ -111,6 +126,7 @@ def main() -> None:
             run_query(df)
             reps.append(time.perf_counter() - t0)
         production[name] = round(min(reps), 3)
+        print(f"{name} {min(reps):.3f}s", file=sys.stderr, flush=True)
         detail[name] = {
             "n": len(reps),
             "min": round(min(reps), 3),
@@ -128,6 +144,8 @@ def main() -> None:
         "detail": detail,
         "sf": sf_from_dir(sf_dir),
     }
+    if skipped:
+        out["skipped"] = skipped
     print(json.dumps(out))
 
 

@@ -50,7 +50,16 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", cpus)
+        # default = cpu count (right for the driver's sf0.1 gate); the
+        # env override exists for scale-tier runs (sf100: 600M-row
+        # shuffles at 32 partitions are ~1 GB/partition hash-agg state
+        # — start at 256 and let AQE coalesce DOWN, mirroring how a
+        # cluster sets initialPartitionNum high and lets
+        # advisoryPartitionSizeInBytes govern)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

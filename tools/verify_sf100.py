@@ -1,0 +1,112 @@
+"""sf100 scale gate for the headline set — moments tier, one
+subprocess per query.
+
+Third verification decade (sf0.1 driver gate → sf1 → sf10 → sf100:
+600M lineitem / 100M events / 5M docs, 24 GB parquet from
+``gen_testdata.py --sf 100 --chunked``). Every query runs through
+``tools/verify_agg_scale.py`` in a FRESH process: at this scale a
+shared JVM/DuckDB accumulates enough heap/buffer state across queries
+to turn one query's spill into the next query's OOM, and a wedged
+entry must not take the whole artifact down with it.
+
+Membership = the 11-query headline set with ONE documented swap:
+``dedup_minhash_lsh`` (uncapped md5 path) is replaced by its capped
+registry twin. The uncapped form is OUTPUT-quadratic on the
+degenerate 31-word corpus — candidates measured 4.0M @ sf1 →
+399.6M @ sf10 (100× per 10× docs, BASELINE.md round-5), so sf100
+projects ~40B candidate pairs: infeasible to emit in EITHER engine,
+and intrinsic to the corpus+operator, not to the plan (same
+arithmetic class as the 16-bit SimHash sf10 exclusion, r7). The
+capped form IS the production posture and keeps the banded-join plan
+under verification at 5M docs.
+
+Usage: python tools/verify_sf100.py [sf_dir] [json_out]
+Exit 0 iff every query's moments match DuckDB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+HEADLINE_SF100 = [
+    "visitor_stats",
+    "order_wide",
+    "order_enriched",
+    "product_stats",
+    "province_stats",
+    "product_stats_union",
+    "keyword_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh_capped",  # see module docstring
+    "similarity_topk",
+    "pricing_summary",
+]
+
+EXCLUDED = {
+    "dedup_minhash_lsh": (
+        "uncapped md5 LSH is output-quadratic on the degenerate "
+        "31-word corpus: 4.0M candidates @ sf1 -> 399.6M @ sf10 "
+        "(measured, BASELINE.md) -> ~40B projected @ sf100; "
+        "capped twin dedup_minhash_lsh_capped verified instead"
+    ),
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".local/sf100"
+    json_out = sys.argv[2] if len(sys.argv) > 2 else "VERIFY_SF100_r08.json"
+
+    results: dict[str, dict] = {}
+    bad: list[str] = []
+    t_all = time.time()
+    for name in HEADLINE_SF100:
+        per_q = f"/tmp/verify_sf100_{name}.json"
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "verify_agg_scale.py"),
+             name, sf_dir, per_q],
+            capture_output=True, text=True, timeout=7200,
+        )
+        sec = round(time.time() - t0, 1)
+        if proc.returncode == 0 and os.path.exists(per_q):
+            with open(per_q) as f:
+                rep = json.load(f)
+            results[name] = {
+                "ok": rep["ok"], "rows": rep["rows"],
+                "spark_sec": rep["spark_sec"],
+                "oracle_sec": rep["oracle_sec"],
+            }
+            if not rep["ok"]:
+                results[name]["mismatch"] = rep.get("mismatch")
+                bad.append(name)
+        else:
+            results[name] = {
+                "ok": False, "sec": sec,
+                "err": (proc.stderr or proc.stdout)[-2000:],
+            }
+            bad.append(name)
+        print(name, json.dumps(results[name])[:200], flush=True)
+
+    with open(json_out, "w") as f:
+        json.dump({
+            "sf_dir": sf_dir,
+            "tier": "aggregate moments (count/sum/sumsq/min/max/"
+                    "countDistinct vs DuckDB, O(1) driver memory)",
+            "checked": len(results),
+            "bad": bad,
+            "excluded": EXCLUDED,
+            "results": results,
+            "total_sec": round(time.time() - t_all, 1),
+        }, f, indent=1)
+    print("TOTAL", round(time.time() - t_all, 1), "BAD:", bad)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
