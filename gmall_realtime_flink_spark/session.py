@@ -108,6 +108,18 @@ def get_spark(
             ],
         )
     )
+    # Generic env-gated conf for scale-tier runs, ';'-separated k=v.
+    # Motivating case: a multi-query sf100 bench in ONE JVM accumulates
+    # every query's shuffle files until the driver GCs the shuffle
+    # dependencies — spark.cleaner.periodicGC.interval defaults to
+    # 30min, longer than the whole run, so ~50 GB of dead shuffle data
+    # piled up and the 11th query died spilling ("No space left on
+    # device"). SPARK_GRAFT_CONF="spark.cleaner.periodicGC.interval=60s"
+    # bounds that to one query's working set. Never set by the driver's
+    # sf0.1 gate.
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
