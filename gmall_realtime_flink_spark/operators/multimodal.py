@@ -62,9 +62,16 @@ def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": pdf["n_bytes"],
+                # NULL payload (undecodable media) -> NULL feature;
+                # empty payload -> -1, mirroring DuckDB's unicode('').
+                # Nullable Int32 so Arrow carries the NA as a real null.
                 "first_cp": pdf["payload"]
-                .map(lambda b: ord(b.decode("utf-8")[0]) if len(b) else -1)
-                .astype("int32"),
+                .map(
+                    lambda b: None
+                    if b is None
+                    else (ord(b.decode("utf-8")[0]) if len(b) else -1)
+                )
+                .astype("Int32"),
                 "payload_md5": pdf["payload_md5"],
             }
         )
@@ -97,6 +104,17 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_md5": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # NULL payload: keep the 1->FRAME_N fan-out shape.
+                # Offsets degrade like an empty stream (span 0 ->
+                # off 1 — DuckDB's greatest() IGNORES the NULL length,
+                # giving the same), hashes are NULL (md5(NULL)).
+                for i in range(FRAME_N):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_off"].append(1)
+                    out["frame_md5"].append(None)
+                continue
             text = bytes(payload).decode("utf-8")
             span = max(len(text) - FRAME_W, 0)
             for i in range(FRAME_N):

@@ -52,7 +52,14 @@ def _cosine(df: DataFrame) -> DataFrame:
     dot = F.expr(DOT.format(a="emb", b="q_emb"))
     na = F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
     nb = F.sqrt(F.expr(DOT.format(a="q_emb", b="q_emb")))
-    return df.withColumn("cos_sim", F.round(dot / (na * nb), 6) + F.lit(0.0))
+    # try_divide: cosine of a zero-norm vector is undefined -> NULL
+    # (DuckDB's x/0 is NULL natively; a plain `/` is an ANSI
+    # ArithmeticException). NULL cos_sim never enters a top-k (sorts
+    # last) and never passes a >= threshold filter — both engines
+    # agree. Null embeddings propagate NULL through the same path.
+    return df.withColumn(
+        "cos_sim", F.round(F.try_divide(dot, na * nb), 6) + F.lit(0.0)
+    )
 
 
 def _ranked_topk(
@@ -218,7 +225,11 @@ def embedding_near_dup_pairs(
     na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
     nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
     scored = pairs.select(
-        "vec_a", "vec_b", (F.round(dot / (na * nb), 6) + F.lit(0.0)).alias("cos_sim")
+        "vec_a",
+        "vec_b",
+        # try_divide: zero-norm vectors -> NULL cos_sim -> filtered out
+        # below, matching DuckDB's NULL-on-/0 (see _cosine)
+        (F.round(F.try_divide(dot, na * nb), 6) + F.lit(0.0)).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
@@ -227,7 +238,9 @@ def _centroid_sim(df: DataFrame, vec: str) -> DataFrame:
     dot = F.expr(DOT.format(a=vec, b="cvec"))
     na = F.sqrt(F.expr(DOT.format(a=vec, b=vec)))
     nc = F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
-    return df.withColumn("c_sim", F.round(dot / (na * nc), 6) + F.lit(0.0))
+    return df.withColumn(
+        "c_sim", F.round(F.try_divide(dot, na * nc), 6) + F.lit(0.0)
+    )
 
 
 def kmeans_centroids(
@@ -446,6 +459,10 @@ def knn_self_join(
         )
         .withColumn("bucket", sign_bucket("emb", bits))
         .withColumn("nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb"))))
+        # invalid vectors (NULL array, zero norm) have no defined
+        # cosine to anything — excluded from BOTH graph sides. A NULL
+        # nrm fails `> 0` too. Mirrored in the registry oracles.
+        .filter(F.col("nrm") > 0)
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
@@ -462,7 +479,9 @@ def knn_self_join(
     pairs = a.join(b, "bucket").filter(F.col("vec_a") != F.col("vec_b"))
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
     scored = pairs.withColumn(
-        "cos_sim", F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6) + F.lit(0.0)
+        "cos_sim",
+        F.round(F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b")), 6)
+        + F.lit(0.0),
     )
     w = Window.partitionBy("vec_a").orderBy(
         F.col("cos_sim").desc(), F.col("vec_b")
@@ -503,6 +522,8 @@ def hard_negative_pairs(
         )
         .withColumn("bucket", sign_bucket("emb", bits))
         .withColumn("nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb"))))
+        # see knn_self_join: zero-norm / NULL vectors excluded
+        .filter(F.col("nrm") > 0)
     )
     a = e.select(
         F.col("vec_id").alias("anchor_id"),
@@ -524,7 +545,8 @@ def hard_negative_pairs(
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
     scored = pairs.withColumn(
         "cos_sim",
-        F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6) + F.lit(0.0),
+        F.round(F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b")), 6)
+        + F.lit(0.0),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("neg_id")

@@ -359,9 +359,13 @@ def hll_cardinality(
             (F.round(raw, 4) + F.lit(0.0)).alias("raw_estimate"),
             "exact_distinct",
             (
+                # try_divide: an empty corpus has exact_distinct 0 —
+                # relative error is undefined -> NULL (DuckDB x/0)
                 F.round(
-                    (raw - F.col("exact_distinct"))
-                    / F.col("exact_distinct"),
+                    F.try_divide(
+                        raw - F.col("exact_distinct"),
+                        F.col("exact_distinct"),
+                    ),
                     4,
                 )
                 + F.lit(0.0)

@@ -70,6 +70,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs WITHOUT all-pairs: split each
     fingerprint into `bands` contiguous bit bands; two fingerprints at
@@ -81,6 +82,20 @@ def simhash_near_pairs(
     band-then-verify shape as MinHash-LSH, ops/dedup.py).
 
     Requires max_hamming <= bands - 1 for the pigeonhole guarantee.
+
+    `max_bucket` is the production guard against degenerate corpora —
+    the same cap as `lsh_candidates` (ops/dedup.py): a band bucket of
+    k fingerprints emits k(k-1)/2 join rows, so pair volume is
+    quadratic in bucket size. Fingerprint ENTROPY comes from token
+    content: the synthetic 31-word corpus collapses 5M docs onto few
+    distinct fingerprints, and the uncapped band join spilled >50 GB
+    of shuffle at sf100 (signature pass itself: 46 s / 0.3 GB — the
+    docstring's |docs|-rows claim held; the JOIN OUTPUT is what
+    explodes). Hot buckets at that density are near-identical
+    boilerplate, not pairs worth emitting; buckets larger than
+    `max_bucket` are dropped before the join, reusing the banding
+    exchange (no extra shuffle). None (default) keeps oracle-exact
+    behavior.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -108,6 +123,15 @@ def simhash_near_pairs(
             )
         ).alias("band", "bv"),
     )
+    banded = banded.repartition("band", "bv")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "bv")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .drop("count")
+        )
+        banded = banded.join(small, ["band", "bv"])
     a = banded.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),
@@ -204,9 +228,13 @@ def quality_score(
     )
     punct_ct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
     digit_ct = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    stop_ratio = F.round(stop_ct / n_tokens, 6)
-    punct_ratio = F.round(punct_ct / F.length(text), 6)
-    digit_ratio = F.round(digit_ct / F.length(text), 6)
+    # try_divide: an empty document (0 tokens / 0 chars) has undefined
+    # ratios -> NULL, matching DuckDB's NULL-on-/0; a plain `/` is an
+    # ANSI ArithmeticException. The composite score goes NULL with
+    # them (NULL arithmetic propagates identically in both engines).
+    stop_ratio = F.round(F.try_divide(stop_ct, n_tokens), 6)
+    punct_ratio = F.round(F.try_divide(punct_ct, F.length(text)), 6)
+    digit_ratio = F.round(F.try_divide(digit_ct, F.length(text)), 6)
     score = F.round(
         0.4 * stop_ratio
         + 0.3 * (F.least(n_tokens, F.lit(100)) / 100.0)

@@ -400,7 +400,7 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH nb AS (
-      SELECT greatest(4, least(16, ceil(log2(count(*) / 1024.0))::INT))
+      SELECT greatest(4, least(16, ceil(log2(greatest(count(*), 1) / 1024.0))::INT))
         AS bits
       FROM embeddings),
     e AS (
@@ -1033,6 +1033,69 @@ def dedup_simhash_hamming_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(simhash(d, bits=48), bits=48, bands=4)
 
 
+SIMHASH_CAP = 200  # same production cap as the LSH xxh path
+
+
+@register(
+    "dedup_simhash_hamming_wide_capped",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+    s AS (
+      SELECT doc_id,
+        {_simhash_sums(48)}
+      FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({_simhash_fp(48)})::BIGINT AS simhash FROM s),
+    banded AS (
+      SELECT doc_id, simhash, i AS band,
+             (simhash >> (i * 12)) & 4095 AS bv
+      FROM fp, generate_series(0, 3) AS g(i)),
+    -- the symbolic cap: only buckets of <= {SIMHASH_CAP} fingerprints join
+    small AS (
+      SELECT band, bv FROM banded
+      GROUP BY band, bv HAVING count(*) <= {SIMHASH_CAP}),
+    capped AS (
+      SELECT x.* FROM banded x JOIN small USING (band, bv)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    doc="Production posture of the 48-bit SimHash pass: band buckets "
+    f"larger than {SIMHASH_CAP} fingerprints are dropped before the "
+    "self-join (operators/textstats.simhash_near_pairs max_bucket — "
+    "the same guard as lsh_candidates). Fingerprint entropy comes "
+    "from token content, so a low-entropy corpus collapses millions "
+    "of docs onto few fingerprints and the UNCAPPED band join's "
+    "output goes quadratic: measured at sf100 (5M docs, 31-word "
+    "vocabulary) the uncapped join spilled >50 GB of shuffle while "
+    "the signature pass ran 46 s / 0.3 GB. Hot buckets at that "
+    "density are boilerplate, not near-dups worth emitting. The cap "
+    "is mirrored symbolically in the oracle (HAVING count <= cap), "
+    "so the entry stays hash-exact at every SF.",
+    tags=("dedup", "simhash", "lsh", "production", "scale"),
+)
+def dedup_simhash_hamming_wide_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        simhash_near_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        simhash(d, bits=48), bits=48, bands=4, max_bucket=SIMHASH_CAP
+    )
+
+
 @register(
     "doc_redact_pii",
     oracle="""
@@ -1162,10 +1225,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = df.withColumn("lo", F.array_min("emb")).withColumn(
         "scale", (F.array_max("emb") - F.array_min("emb")) / F.lit(255.0)
     )
-    code = F.expr("transform(emb, x -> cast(round((x - lo) / scale) as int))")
+    # try_divide: a constant vector (max == min, e.g. all-zero) has
+    # scale 0 -> codes/mse NULL, matching DuckDB's NULL-on-/0 in the
+    # oracle; a plain `/` is an ANSI ArithmeticException.
+    code = F.expr(
+        "transform(emb, x -> cast(round(try_divide(x - lo, scale)) as int))"
+    )
     mse = F.expr(
         "aggregate(transform(emb, "
-        "x -> pow(x - (lo + round((x - lo) / scale) * scale), 2)), "
+        "x -> pow(x - (lo + round(try_divide(x - lo, scale)) * scale), 2)), "
         "cast(0.0 as double), (a, v) -> a + v) / size(emb)"
     )
     df = df.withColumn("code", code).withColumn("mse", mse)
@@ -1360,7 +1428,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_graph",
     oracle="""
     WITH nb AS (
-      SELECT greatest(4, least(16, ceil(log2(count(*) / 1024.0))::INT))
+      SELECT greatest(4, least(16, ceil(log2(greatest(count(*), 1) / 1024.0))::INT))
         AS bits
       FROM embeddings),
     e AS (
@@ -1369,7 +1437,14 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
                i -> CASE WHEN embedding[i] >= 0
                     THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
-      FROM embeddings)
+      FROM embeddings
+      -- invalid vectors (NULL array, zero norm) excluded from both
+      -- graph sides (mirrors knn_self_join; engines otherwise
+      -- disagree: list_cosine_similarity gives -1.0 on a zero vector,
+      -- Spark try_divide gives NULL)
+      WHERE embedding IS NOT NULL
+        AND list_sum(list_transform(embedding,
+              x -> (x::DOUBLE)*(x::DOUBLE))) > 0)
     SELECT vec_a, vec_b, cos_sim, rk FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim,
@@ -1407,6 +1482,12 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS token_sum
     FROM documents
     GROUP BY ROLLUP(source, lang)
+    -- Spark emits NO grand-total row over empty input (grouping
+    -- sets expand per-row; zero rows -> zero groups), ANSI/DuckDB
+    -- emit one all-NULL/0 row. HAVING count(*) > 0 is a no-op on
+    -- any non-empty input (every real group has >= 1 row) and
+    -- pins Spark's empty-input semantics cross-engine.
+    HAVING count(*) > 0
     """,
     doc="Corpus composition dashboard: doc / char / token totals at "
     "(source, lang), per-source, and grand-total grain in ONE pass "
@@ -1645,7 +1726,7 @@ def _pq_sql_code(sub: int) -> str:
       FROM e, c)
     SELECT vec_id,
       {" || ".join(f"({_pq_sql_code(j)})::VARCHAR" for j in range(8))} AS codes,
-      ({" + ".join(f"round(least(d{j}_0, d{j}_1, d{j}_2, d{j}_3) * 1000000)::BIGINT" for j in range(8))})::DOUBLE / 64 / 1000000 AS mse
+      ({" + ".join(f"round(least(d{j}_0, d{j}_1, d{j}_2, d{j}_3) * 1000000)::HUGEINT" for j in range(8))})::DOUBLE / 64 / 1000000 AS mse
     FROM d
     """,
     doc="Product quantization: the 64-dim embedding split into 8 "
@@ -1703,10 +1784,14 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each rounded d2 becomes exact integer millionths before the sum:
     # a final round(sum/64, 6) can land on a half-boundary where the
     # engines' double-rounding implementations disagree in the last
-    # digit; integer arithmetic + power-of-two division is bit-exact
-    total = F.round(chosen[0] * 1_000_000).cast("long")
+    # digit; integer arithmetic + power-of-two division is bit-exact.
+    # DECIMAL(38,0) (HUGEINT oracle-side), not LONG: a ~1e6-magnitude
+    # outlier vector puts each subvector's millionths near 8e18 and
+    # the 8-way sum past int64 — long overflow is an ANSI
+    # ArithmeticException here and a BIGINT range error in DuckDB.
+    total = F.round(chosen[0] * 1_000_000).cast("decimal(38,0)")
     for c in chosen[1:]:
-        total = total + F.round(c * 1_000_000).cast("long")
+        total = total + F.round(c * 1_000_000).cast("decimal(38,0)")
     return df.select(
         "vec_id",
         F.concat(*codes).alias("codes"),
@@ -2790,7 +2875,7 @@ def dedup_jaccard_complete_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     "contrastive_hard_negatives",
     oracle="""
     WITH nb AS (
-      SELECT greatest(4, least(16, ceil(log2(count(*) / 1024.0))::INT))
+      SELECT greatest(4, least(16, ceil(log2(greatest(count(*), 1) / 1024.0))::INT))
         AS bits
       FROM embeddings),
     e AS (
@@ -2799,7 +2884,11 @@ def dedup_jaccard_complete_capped(spark: SparkSession, sf_dir: str) -> DataFrame
              list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
                i -> CASE WHEN embedding[i] >= 0
                     THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
-      FROM embeddings)
+      FROM embeddings
+      -- zero-norm / NULL vectors excluded (see knn_graph oracle note)
+      WHERE embedding IS NOT NULL
+        AND list_sum(list_transform(embedding,
+              x -> (x::DOUBLE)*(x::DOUBLE))) > 0)
     SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rk
     FROM (
       SELECT a.vec_id AS anchor_id, a.label AS anchor_label,

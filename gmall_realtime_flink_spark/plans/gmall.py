@@ -645,6 +645,11 @@ def visitor_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
+    -- a row with NULL event time cannot be assigned to a window:
+    -- Spark's window() generator filters it (TimeWindowing emits an
+    -- isnotnull guard), Flink would never watermark it. time_bucket
+    -- would instead form a NULL group — exclude explicitly.
+    WHERE o.o_orderdate IS NOT NULL
     GROUP BY 1, 2, 3
     """,
     doc="A4 full form: ProvinceStatsSqlApp re-expressed through spark.sql "
@@ -1384,6 +1389,12 @@ def discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY ROLLUP (n.n_name, strftime(o.o_orderdate, '%Y'))
+    -- Spark emits NO grand-total row over empty input (grouping
+    -- sets expand per-row; zero rows -> zero groups), ANSI/DuckDB
+    -- emit one all-NULL/0 row. HAVING count(*) > 0 is a no-op on
+    -- any non-empty input (every real group has >= 1 row) and
+    -- pins Spark's empty-input semantics cross-engine.
+    HAVING count(*) > 0
     """,
     doc="A8 extension: hierarchical ROLLUP (nation, year) revenue — "
     "grouping-sets family, absent from the reference, native in both "
@@ -1645,6 +1656,12 @@ def top_products_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS order_ct
     FROM orders o
     GROUP BY CUBE (o.o_orderstatus, strftime(o.o_orderdate, '%Y'))
+    -- Spark emits NO grand-total row over empty input (grouping
+    -- sets expand per-row; zero rows -> zero groups), ANSI/DuckDB
+    -- emit one all-NULL/0 row. HAVING count(*) > 0 is a no-op on
+    -- any non-empty input (every real group has >= 1 row) and
+    -- pins Spark's empty-input semantics cross-engine.
+    HAVING count(*) > 0
     """,
     doc="A8 extension: full CUBE (status x year) — all 2^n grouping "
     "sets in ONE Expand + one shuffle (Catalyst), vs n separate "
@@ -2072,6 +2089,11 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(CAST(o.o_totalprice AS DECIMAL(28,4))), 2)::DOUBLE
                  AS month_rev
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        -- undated orders excluded: a NULL month otherwise enters the
+        -- running total at engine-specific positions (Spark windows
+        -- sort NULLS FIRST ascending, DuckDB NULLS LAST), skewing
+        -- every cumulative value after it
+        WHERE o.o_orderdate IS NOT NULL
         GROUP BY 1, 2))
     """,
     doc="Cumulative (running-total) window family: monthly revenue per "
@@ -2084,7 +2106,12 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def segment_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load(spark, sf_dir, "orders").alias("o")
+    o = (
+        load(spark, sf_dir, "orders")
+        # undated orders excluded from the time series (see oracle note)
+        .filter(F.col("o_orderdate").isNotNull())
+        .alias("o")
+    )
     c = load(spark, sf_dir, "customer").alias("c")
     monthly = (
         o.join(F.broadcast(c), F.col("o.o_custkey") == F.col("c.c_custkey"))
@@ -2123,6 +2150,9 @@ def segment_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY GROUPING SETS ((strftime(o.o_orderdate, '%Y'), n.n_name),
                             (strftime(o.o_orderdate, '%Y')), (n.n_name), ())
+    -- no-op on non-empty input; pins Spark's zero-rows-from-empty
+    -- grouping-sets semantics (see revenue_rollup oracle note)
+    HAVING count(*) > 0
     """,
     doc="Explicit GROUPING SETS with the grouping-id bit vector "
     "(completes the grouping family next to rollup/cube): four "
@@ -2719,7 +2749,11 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT date_trunc('day', o_orderdate) AS day,
              sum(CAST(o_totalprice AS DECIMAL(28,4))) AS gmv
-      FROM orders GROUP BY 1)
+      -- undated orders cannot sit on a time axis; engines also
+      -- genuinely disagree on NULL keys inside RANGE frames (DuckDB
+      -- folds the NULL-day group into every frame, Spark excludes
+      -- it) — exclude explicitly on BOTH sides
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
     SELECT strftime(day, '%Y-%m-%d') AS day,
            round(gmv, 2)::DOUBLE AS gmv,
            round(sum(gmv) OVER (ORDER BY day
@@ -2738,7 +2772,8 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("olap", "window", "timeseries"),
 )
 def daily_gmv_moving_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
+    # undated orders are excluded from the time series (see oracle note)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("gmv"))

@@ -457,6 +457,11 @@ def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON o.o_orderkey = l.l_orderkey
      AND l.l_shipdate >= o.o_orderdate
      AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAYS
+    -- a stream-stream join row without event time has no watermark
+    -- position: Spark never emits it (state/eviction are keyed on
+    -- o_ts), Flink would NPE on a null rowtime. Batch LEFT JOIN would
+    -- emit it null-padded — exclude to pin the STREAMING semantics.
+    WHERE o.o_orderdate IS NOT NULL
     """,
     doc="J1 as a stream-stream LEFT OUTER interval join (beyond the "
     "reference: Flink intervalJoin is inner-only) — unmatched orders "

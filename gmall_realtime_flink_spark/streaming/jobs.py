@@ -140,7 +140,10 @@ def events_with_sentinel(
     src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     ts_col = pq.read_table(src, columns=["ts"])["ts"]
     ts_type = ts_col.type
-    raw_max = max(ts_col.cast("int64").to_pylist())
+    # empty source: no real event time to exceed — the fixed far-future
+    # sentinel alone still advances the watermark so the (empty) run
+    # terminates instead of crashing on max() of nothing
+    raw_max = max(ts_col.cast("int64").to_pylist(), default=0)
     if pa.types.is_timestamp(ts_type):
         unit_mul = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[ts_type.unit]
         max_ns = raw_max * unit_mul
@@ -201,7 +204,11 @@ def streaming_user_jump(
     out = run_bounded(
         jump_detect_stream(events, key="user_id", gap_ms=gap_ms), spark
     )
-    return out.filter(F.col("user_id") >= 0)
+    # drop ONLY the sentinel key (-1). A plain `>= 0` also swallows
+    # NULL user_ids (NULL comparison -> NULL -> filtered), silently
+    # deleting the null-key group the stateful operator correctly
+    # processed — caught by the adversarial-corpus gate (r8).
+    return out.filter(~F.col("user_id").eqNullSafe(-1))
 
 
 def warehouse_stream_schema(
@@ -356,6 +363,18 @@ def streaming_cdc_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # empty input -> route_writer never fired -> no parquet to infer a
+    # schema from; an empty route run is still a valid (empty) result
+    if not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(fact_dir)
+        for f in fs
+    ):
+        return spark.createDataFrame(
+            [],
+            "event_id long, event_type string, cdc_type string, "
+            "sink_table string",
+        )
     return spark.read.parquet(fact_dir).select(
         "event_id", "event_type", "cdc_type", "sink_table"
     )
@@ -744,7 +763,9 @@ def streaming_uv_dropdup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id"
     )
     out = run_bounded(dedup, spark)
-    return out.filter(F.col("user_id") >= 0)
+    # null-safe sentinel drop: NULL is a real dedup key (one NULL-user
+    # row emits, matching batch DISTINCT); `>= 0` would swallow it
+    return out.filter(~F.col("user_id").eqNullSafe(-1))
 
 
 def streaming_order_wide_left(spark: SparkSession, sf_dir: str) -> DataFrame:

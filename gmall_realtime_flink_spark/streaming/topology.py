@@ -212,7 +212,30 @@ def _run(stream_df: DataFrame, out_dir: str, ckpt: str) -> None:
         .start()
     )
     q.awaitTermination()
+    _seed_empty_layer(stream_df.sparkSession, stream_df.schema, out_dir)
     LAYER_SECONDS[os.path.basename(out_dir)] = round(_time.time() - t0, 1)
+
+
+def _seed_empty_layer(spark: SparkSession, schema, out_dir: str) -> None:
+    """A layer that saw ZERO batches (empty upstream) must still be
+    schema-probeable by its consumers — a Kafka topic with no messages
+    still has a schema. Leave one zero-row footer-only file under a
+    reserved `batch_id=-2` hive partition, the SAME layout
+    _write_batch's partitionBy produces (a root-level bare file would
+    conflict with partition discovery the moment any batch_id=N dir
+    appears, e.g. the user_jump sentinel partition)."""
+    if any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(out_dir)
+        for f in fs
+    ):
+        return
+    (
+        spark.createDataFrame([], schema)
+        .repartition(1)
+        .write.mode("append")
+        .parquet(os.path.join(out_dir, "batch_id=-2"))
+    )
 
 
 def _reader(spark: SparkSession, schema, path: str):
@@ -376,6 +399,8 @@ def build_warehouse_layers(
         .start()
     )
     q.awaitTermination()
+    for lyr in ("dwd_page_log", "dwd_start_log", "dwd_display_log"):
+        _seed_empty_layer(spark, events.schema, layers[lyr])
     LAYER_SECONDS["base_log_app"] = round(_time.time() - _t0, 1)
 
     # ------------------------------------------------------------------
@@ -422,6 +447,8 @@ def build_warehouse_layers(
         .start()
     )
     q.awaitTermination()
+    for table, schema in table_schemas.items():
+        _seed_empty_layer(spark, schema, layers[f"dwd_{table}"])
     LAYER_SECONDS["base_db_app"] = round(_time.time() - _t0, 1)
 
     # ------------------------------------------------------------------

@@ -754,3 +754,39 @@ def test_simhash_guards():
         simhash_near_pairs(None, bits=50, bands=4)
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_pairs(None, max_hamming=4, bands=4)
+
+
+def test_simhash_max_bucket_cap_drops_only_hot_buckets(spark):
+    """The production cap (max_bucket) must be loss-free when every
+    band bucket fits under it, and must drop exactly the hot-bucket
+    pairs when it bites: 6 byte-identical docs share every band
+    (bucket size 6 > cap 5 -> all their pairs vanish), while a
+    distinct near-dup pair in small buckets survives any cap >= 2."""
+    from gmall_realtime_flink_spark.operators.textstats import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    rows = [(i, "alpha beta gamma delta") for i in range(6)]
+    rows += [(10, "omega psi chi phi"), (11, "omega psi chi rho")]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = simhash(frame, bits=48)
+
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(fps, bits=48).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(fps, bits=48, max_bucket=100).collect()
+    }
+    tight = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(fps, bits=48, max_bucket=5).collect()
+    }
+    assert loose == uncapped  # cap above every bucket: loss-free
+    clone_pairs = {(a, b) for a in range(6) for b in range(6) if a < b}
+    assert clone_pairs <= uncapped
+    assert tight.isdisjoint(clone_pairs)  # hot bucket dropped whole
+    if (10, 11) in uncapped:  # near-dup pair lives in size-2 buckets
+        assert (10, 11) in tight
