@@ -66,6 +66,12 @@ def _production() -> dict:
         "dedup_simhash_hamming_wide": REGISTRY[
             "dedup_simhash_hamming_wide"
         ].builder,
+        # bucket-capped twin — the only simhash form that survives a
+        # low-entropy corpus at sf100 (uncapped band join output goes
+        # quadratic there; see the entry's doc)
+        "dedup_simhash_hamming_wide_capped": REGISTRY[
+            "dedup_simhash_hamming_wide_capped"
+        ].builder,
     }
 
 
