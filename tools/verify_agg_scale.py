@@ -87,10 +87,26 @@ def main() -> int:
             )
     o_aggs = ["count(*) AS n"]
     for c in num_cols:
-        d = f'CAST("{c}" AS DECIMAL(38,6))'
+        if dtypes[c] in ("float", "double"):
+            # Align the float->decimal CAST with Spark's: Spark goes
+            # through the double's SHORTEST round-trip string
+            # (BigDecimal(Double.toString(d))), DuckDB scales the
+            # exact binary value. Identical doubles then diverge at
+            # 6dp once |x| > ~1e9 (double ulp > 1e-6) — measured at
+            # sf100: province_stats order_amount sums differed
+            # .470000 vs .470848 on bit-identical per-row values.
+            # Casting DuckDB's side through VARCHAR reproduces
+            # Spark's semantics exactly (verified incl. the
+            # 0.0000005 rounding boundary).
+            d = f'CAST(CAST("{c}" AS VARCHAR) AS DECIMAL(38,6))'
+        else:
+            d = f'CAST("{c}" AS DECIMAL(38,6))'
         o_aggs += [
             f'sum({d}) AS "sum_{c}"',
-            f'sum({d} * {d}) AS "sumsq_{c}"',
+            # round(.,6) mirrors Spark's precision-loss HALF_UP on the
+            # (38,6)x(38,6) product (squares are non-negative, so
+            # half-away == half-up; exact-half probe agrees engines)
+            f'sum(round({d} * {d}, 6)) AS "sumsq_{c}"',
             f'min("{c}") AS "min_{c}"',
             f'max("{c}") AS "max_{c}"',
         ]

@@ -65,13 +65,23 @@ def main() -> int:
     results: dict[str, dict] = {}
     bad: list[str] = []
     t_all = time.time()
+    # the sf100 session knobs (bench-identical): 256 shuffle
+    # partitions + AQE coalesce-down, 64g driver, 60 s shuffle GC —
+    # without them product_stats' ~500M-group aggregate lands ~16M
+    # groups on each of 32 reducers and the subprocess dies
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SHUFFLE_PARTITIONS="256",
+        SPARK_DRIVER_MEM="64g",
+        SPARK_GRAFT_CONF="spark.cleaner.periodicGC.interval=60s",
+    )
     for name in HEADLINE_SF100:
         per_q = f"/tmp/verify_sf100_{name}.json"
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, os.path.join(HERE, "verify_agg_scale.py"),
              name, sf_dir, per_q],
-            capture_output=True, text=True, timeout=7200,
+            capture_output=True, text=True, timeout=7200, env=env,
         )
         sec = round(time.time() - t0, 1)
         if proc.returncode == 0 and os.path.exists(per_q):
