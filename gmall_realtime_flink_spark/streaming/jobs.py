@@ -877,7 +877,17 @@ def streaming_token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_probe(cells, batch_toks, item_col="item")
 
 
-def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Crash-injection seam for the admission sink, same contract as
+# topology.FAULT_AFTER_WRITE: when set, called with (out_dir,
+# batch_id) AFTER the batch's parquet commit and BEFORE foreachBatch
+# returns — the at-least-once window where data is durable but the
+# source offset is not. Never set outside tests.
+ADMISSION_FAULT = None
+
+
+def streaming_dedup_minhash(
+    spark: SparkSession, sf_dir: str, base: str | None = None
+) -> DataFrame:
     """Incremental NEAR-dup admission under Structured Streaming: new
     documents (source = src0) arrive as a file stream; each
     micro-batch is MinHash-banded against the STATIC corpus
@@ -911,9 +921,21 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-executes the md5-heavy signature lineage over the whole
     # corpus (N re-signings for N micro-batches)
     corpus_sigs = minhash_signatures(corpus).persist()
-    out_dir = os.path.join(
-        tempfile.mkdtemp(prefix="dedup_minhash_stream_"), "admitted"
-    )
+    # `base` (tests): stable out/checkpoint/staging dirs so a crashed
+    # run can RESTART and resume from its committed offsets — the
+    # crash-replay path the batch_id overwrite exists for. Default:
+    # fresh dirs per call (a normal bounded run).
+    if base is None:
+        base = tempfile.mkdtemp(prefix="dedup_minhash_stream_")
+    out_dir = os.path.join(base, "admitted")
+    ckpt_dir = os.path.join(base, "ckpt")
+    src_dir = os.path.join(base, "src")
+    if not os.path.isdir(src_dir):
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+            os.path.join(src_dir, "part-000.parquet"),
+        )
     # pre-create so the final read succeeds (as typed-empty) even if
     # no micro-batch contained any src0 doc
     os.makedirs(out_dir, exist_ok=True)
@@ -950,15 +972,17 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(
             out_dir
         )
+        if ADMISSION_FAULT is not None:
+            ADMISSION_FAULT(out_dir, batch_id)
 
     stream = (
         spark.readStream.schema(docs_schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(stage_table_dir(sf_dir, "documents"))
+        .parquet(src_dir)
     )
     q = (
         stream.writeStream.foreachBatch(write)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )

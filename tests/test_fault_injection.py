@@ -20,6 +20,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 RETRY_SCRIPT = r"""
 import os, sys
 sys.path.insert(0, os.environ["REPO_DIR"])
@@ -113,3 +115,46 @@ def test_results_identical_under_task_retry(sf_dir):
     # the injected failures actually happened (stderr carries the task
     # retry noise) — guard against the harness silently not retrying
     assert "injected failure" in (proc.stderr + proc.stdout)
+
+
+def test_admission_sink_crash_between_write_and_commit(spark, sf_dir, tmp_path):
+    """The streaming near-dup admission sink claims effectively-once
+    via batch_id-partitioned dynamic overwrite. Detonate the claim:
+    crash AFTER the batch's parquet commit but BEFORE the source
+    offset commits (the at-least-once window), restart against the
+    SAME checkpoint/sink dirs, and require the final admitted set to
+    equal a clean run's — the replayed batch must REPLACE its own
+    partition, not append duplicates."""
+    from gmall_realtime_flink_spark.streaming import jobs
+    from pyspark.errors import StreamingQueryException
+
+    clean = sorted(
+        r["doc_id"]
+        for r in jobs.streaming_dedup_minhash(spark, sf_dir).collect()
+    )
+    assert clean, "clean run admitted nothing — test corpus unusable"
+
+    base = str(tmp_path / "admission")
+    detonated = {"n": 0}
+
+    def bomb(out_dir: str, batch_id: int) -> None:
+        detonated["n"] += 1
+        raise RuntimeError("injected crash between write and commit")
+
+    jobs.ADMISSION_FAULT = bomb
+    try:
+        with pytest.raises(StreamingQueryException):
+            jobs.streaming_dedup_minhash(spark, sf_dir, base=base)
+    finally:
+        jobs.ADMISSION_FAULT = None
+    assert detonated["n"] == 1
+    # data IS on disk from the crashed attempt (that's the hazard)
+    import glob
+
+    assert glob.glob(os.path.join(base, "admitted", "batch_id=*/*.parquet"))
+
+    # restart: offsets were never committed, the batch REPLAYS, and
+    # dynamic overwrite replaces its own partition
+    out = jobs.streaming_dedup_minhash(spark, sf_dir, base=base)
+    replayed = sorted(r["doc_id"] for r in out.collect())
+    assert replayed == clean
