@@ -83,3 +83,91 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for `spark.sql` queries."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """The pre-bucketed layout of a testdata table — built ONCE per
+    (corpus, table, bucketing spec), then reused by every caller.
+
+    This is the 100 TB warehouse layout decision made executable: one
+    up-front shuffle at ingest (the bucketed write) buys every
+    downstream aggregate/join grouped on a superset of `bucket_cols`
+    an exchange-free plan (HashPartitioning on a SUBSET of the
+    grouping keys satisfies ClusteredDistribution — including the
+    two-phase countDistinct). Proven 1.78x at sf100 with 2→0
+    exchanges by tools/bench_bucketed_product_stats.py; this helper
+    promotes that layout from a bench experiment to a queryable path
+    (VERDICT r8 item 3).
+
+    Idempotency across sessions: the metastore here is per-session
+    derby, but the bucketed FILES survive in spark.sql.warehouse.dir.
+    A fingerprint sidecar (source file size+mtime) decides reuse:
+      - fingerprint matches -> re-register the existing files as a
+        bucketed table (CREATE TABLE ... CLUSTERED BY ... LOCATION) —
+        no data movement;
+      - stale/missing -> rewrite via bucketBy(saveAsTable).
+    """
+    import hashlib
+    import json
+    import shutil
+
+    src = table_path(sf_dir, name)
+    st = os.stat(src)
+    want_fp = f"{st.st_size}:{st.st_mtime_ns}:{n_buckets}:{','.join(bucket_cols)}"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{name}".encode()
+    ).hexdigest()[:10]
+    tname = f"{name}_b{n_buckets}_{key}"
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    tdir = os.path.join(wh, tname)
+    marker = os.path.join(wh, f"{tname}.fingerprint.json")
+
+    def _fp_on_disk() -> str | None:
+        try:
+            with open(marker) as f:
+                return json.load(f)["fp"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    if spark.catalog.tableExists(tname) and _fp_on_disk() == want_fp:
+        return spark.table(tname)
+
+    df = load(spark, sf_dir, name)
+    if _fp_on_disk() == want_fp and os.path.isdir(tdir):
+        # files are current; only the per-session catalog entry is
+        # missing — re-register without rewriting
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+        spark.sql(
+            f"CREATE TABLE `{tname}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{tdir}'"
+        )
+        return spark.table(tname)
+
+    spark.sql(f"DROP TABLE IF EXISTS `{tname}`")
+    shutil.rmtree(tdir, ignore_errors=True)
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    (
+        df.write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .mode("overwrite")
+        .saveAsTable(tname)
+    )
+    os.makedirs(wh, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"fp": want_fp, "src": src}, f)
+    return spark.table(tname)

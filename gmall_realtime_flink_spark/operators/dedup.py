@@ -644,3 +644,85 @@ def prefix_filter_candidates(
         )
         .distinct()
     )
+
+
+def repeated_substring_spans(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact substring dedup, suffix-array grade (the Lee et al. 2022
+    ExactSubstr design, arXiv:2107.06499): for every document, the
+    MAXIMAL token spans covered by some length->=k token gram that
+    occurs >= 2 times anywhere in the corpus (including a second time
+    in the same document — self-repetition is memorizable too).
+
+    Equivalence to the suffix-array formulation: a substring of
+    length >= k occurs twice iff each of its k-grams occurs twice, so
+    the union of duplicated-k-gram coverage intervals IS the set of
+    positions a suffix-array pass would mark; merging overlapping /
+    contiguous intervals per document yields the maximal removable
+    spans. No suffix array needs to be materialized — the corpus-wide
+    duplicate detection is one groupBy on the gram digest.
+
+    Output: (doc_id, span_start, span_end, span_len) with 1-based
+    inclusive token positions, one row per maximal span.
+
+    Scale (100 TB): three shuffles, all linear in corpus token count —
+    (1) gram-digest groupBy for the >=2 occurrence count (uniform
+    128-bit md5 key, map-side partial count), (2) LEFT SEMI join of
+    gram occurrences against the duplicated digests (same key — AQE
+    reuses the exchange; output is |duplicated occurrences|, never a
+    pair product, so degenerate all-identical corpora stay LINEAR
+    where banded self-joins explode), (3) the per-document
+    gaps-and-islands window partitioned by doc_id (state bounded by
+    tokens-per-doc). Reference analogue: none — beyond-reference
+    LLM-pipeline tier; the 8-gram `span_dedup` reports which spans
+    repeat, this reports where each document must be cut."""
+    from pyspark.sql import Window
+
+    toks = documents.select(
+        "doc_id", tokenize(F.col(text_col)).alias("toks")
+    )
+    grams = toks.filter(
+        F.col("toks").isNotNull() & (F.size("toks") >= k)
+    ).select(
+        "doc_id",
+        F.posexplode(shingles("toks", k)).alias("pos0", "gram"),
+    )
+    occ = grams.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based token position
+        F.md5("gram").alias("gh"),
+    )
+    dup = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("ct"))
+        .filter(F.col("ct") >= 2)
+        .select("gh")
+    )
+    hits = occ.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    # every hit covers tokens [pos, pos+k-1]; same-length intervals
+    # sorted by pos merge iff pos - prev_pos <= k (overlap or
+    # contiguous coverage) — gaps-and-islands with a running break sum
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))  # NULL lag (first row) starts an island
+    islands = hits.withColumn(
+        "island",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

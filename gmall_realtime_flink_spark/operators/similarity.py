@@ -32,9 +32,23 @@ DOT = (
 AS_DOUBLE = "transform({c}, x -> cast(x as double))"
 
 
+def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Rows whose vector is usable: a non-NULL array with no NULL
+    element. The engines disagree on NULL-element arithmetic (DuckDB
+    list_sum SKIPS NULL elements and list_cosine_similarity raises;
+    Spark's aggregate/zip_with folds propagate NULL), so the data
+    model excludes such vectors from every vector operator at the
+    scan — pinned by the adversarial corpus row vec_id=67. The
+    predicate is NULL for a whole-NULL array, so those rows drop too
+    (zero-NORM vectors stay: their elements are valid, and both
+    engines agree on NULL-on-divide-by-zero cosine)."""
+    return df.filter(F.expr(f"NOT exists({col}, x -> x IS NULL)"))
+
+
 def _with_query(
     embeddings: DataFrame, query_id: int, where=None
 ) -> DataFrame:
+    embeddings = valid_embeddings(embeddings)
     q = embeddings.filter(F.col("vec_id") == query_id).select(
         F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
     )
@@ -201,6 +215,7 @@ def embedding_near_dup_pairs(
     """
     if bits is None:
         bits = auto_bits(corpus_count_for_auto_bits(embeddings))
+    embeddings = valid_embeddings(embeddings)
     e = embeddings.select(
         "vec_id",
         F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
@@ -265,7 +280,7 @@ def kmeans_centroids(
     map-side max_by partial agg) + one posexplode mean whose exchange
     carries |cells|×|dims| per map partition — both linear in N.
     """
-    e = embeddings.select(
+    e = valid_embeddings(embeddings).select(
         "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
     )
     cent = e.filter(F.col("vec_id") < n_cells).select(
@@ -332,6 +347,7 @@ def cosine_topk_ivf(
     IVF. Candidate scoring reuses the brute-force kernel on the pruned
     set.
     """
+    embeddings = valid_embeddings(embeddings)
     cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
 
     def centroid_sim(df: DataFrame, vec: str) -> DataFrame:
@@ -387,6 +403,7 @@ def ivf_recall_curve(
     a sampled query set to pick nprobe before trusting the index
     (same audit FAISS users run offline).
     """
+    embeddings = valid_embeddings(embeddings)
     exact = cosine_topk(embeddings, query_id=query_id, k=k).select("vec_id")
     cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
     e = embeddings.filter(F.col("vec_id") != query_id).withColumn(

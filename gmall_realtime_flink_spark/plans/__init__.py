@@ -29,54 +29,49 @@ from gmall_realtime_flink_spark.plans import olap  # noqa: E402,F401
 # routing, S4 SQL-over-stream). Everything NOT in the head is still
 # oracle-gated locally: tests/test_oracle.py runs ALL registry
 # entries dtype-strict against DuckDB.
-# ROUND-8 HEAD ROTATION: after r7, 61 of 165 registry entries had
-# never had an independent-process driver hash check (measured across
-# CORRECTNESS_r01-r07 in git history). Per VERDICT r7 task #1, this
-# head keeps ONLY the 11 headline-bench queries and fills the other
-# 39 slots with never-driver-checked entries: the whole TPC-H/olap
-# batch, the text-quality tail, sketches, the dedup tail (incl. the
-# 16-bit simhash reference-parity form, now guard-protected), and the
-# rotated streaming family members. The 22 entries still never
-# checked after this round (dirty_split, keyword_stats_udtf,
-# integrity_checks, order_customer_salted, user_sessions_native,
-# key_skew_report, daily_gmv_moving_7d, purchase_dim_temporal_join,
-# repeat_buyer_intersect, churned_buyers_except, doc_sample_uniform_k,
-# label_centroids, embedding_quantize_int8, embedding_pq_codes,
-# split_leakage_check, corpus_shuffle, doc_pack, doc_chunk_pack,
-# similarity_recall_curve, doc_sample_per_group, events_anomaly_zscore,
-# corpus_mix_budget) are queued for the round-9 rotation. Everything
-# rotated OUT retains multi-round driver-green history and stays
-# oracle-gated locally every test run (tests/test_oracle.py: 165/165).
+# ROUND-9 HEAD ROTATION (VERDICT r8 item 8): after r8, 25 of 168
+# registry entries had never had an independent-process driver hash
+# check (measured across artifacts/r01-r07 + CORRECTNESS_r08 —
+# audit artifact: DRIVER_COVERAGE_r09.json, emitted by
+# tools/audit_driver_coverage.py). This head spends every
+# non-headline, non-family-representative slot on that backlog:
+# 11 headline + ALL 25 never-checked (including this round's new
+# product_stats_bucketed and dedup_substring_spans) + 10 macro-family
+# representatives (so each family keeps a per-round independent
+# check) + the 4 stalest r03-last-checked olap entries = 50. If the
+# driver head runs green this round, every registry entry will have
+# at least one driver check on record. Everything rotated OUT retains
+# multi-round driver-green history and stays oracle-gated locally
+# every test run (tests/test_oracle.py: 168/168, plus the standing
+# adversarial/empty gates pinned by test_registry.py).
 _DRIVER_PRIORITY = [
     # headline bench set (bench.py tracks these per round)
     "visitor_stats", "order_wide", "order_enriched", "product_stats",
     "province_stats", "product_stats_union", "keyword_stats",
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "pricing_summary",
-    # TPC-H / OLAP batch — never driver-checked before this round
-    "market_share", "product_profit", "important_parts",
-    "customer_distribution", "top_supplier", "small_qty_revenue",
-    "bracket_revenue", "waiting_suppliers", "dominant_suppliers",
-    "returned_revenue_customers", "parts_supplier_relationship",
-    "brand_price_iqr_udaf", "basket_part_pairs",
-    "event_transition_matrix",
-    # text-quality tail — never driver-checked
-    "doc_lm_surprisal", "doc_novelty_score", "doc_tfidf_top_terms",
-    "doc_quality_tiers", "doc_repetition", "doc_common_token_score",
-    "doc_redact_pii", "doc_chunk",
-    # sketches — never driver-checked
-    "doc_hll_cardinality", "token_countmin", "streaming_token_countmin",
-    # dedup tail — never driver-checked (16-bit simhash kept for
-    # reference parity; scale guard added r8, inert at driver sf0.01)
-    "dedup_simhash_hamming", "dedup_edit_distance",
-    "dedup_semantic_verify", "span_dedup", "dedup_pagerank",
-    "dedup_jaccard_complete_capped", "dedup_incremental_minhash",
-    # streaming rotation — never driver-checked family members
-    "streaming_product_stats_enriched", "streaming_visitor_stats_sliding",
-    "streaming_keyword_stats", "streaming_uv_dropdup",
-    "streaming_dedup_minhash",
-    # gmall/olap misc — never driver-checked
-    "page_flow", "user_retention_cohorts",
+    # never driver-checked backlog (the complete list as of r08)
+    "product_stats_bucketed", "dedup_substring_spans",
+    "dedup_simhash_hamming_wide_capped",
+    "dirty_split", "keyword_stats_udtf", "integrity_checks",
+    "order_customer_salted", "user_sessions_native", "key_skew_report",
+    "daily_gmv_moving_7d", "purchase_dim_temporal_join",
+    "repeat_buyer_intersect", "churned_buyers_except",
+    "doc_sample_uniform_k", "label_centroids", "embedding_quantize_int8",
+    "embedding_pq_codes", "split_leakage_check", "corpus_shuffle",
+    "doc_pack", "doc_chunk_pack", "similarity_recall_curve",
+    "doc_sample_per_group", "events_anomaly_zscore", "corpus_mix_budget",
+    # macro-family representatives (keep one per-round independent
+    # check per family: streaming stateful, streaming dedup/sketch,
+    # dedup, text-quality, sketches, OLAP)
+    "streaming_product_stats_enriched", "streaming_uv_dropdup",
+    "streaming_dedup_minhash", "streaming_token_countmin",
+    "dedup_simhash_hamming", "dedup_pagerank",
+    "dedup_jaccard_complete_capped", "doc_lm_surprisal",
+    "doc_hll_cardinality", "market_share",
+    # stalest multi-round entries (last driver check: r03)
+    "cheapest_supplier_per_part", "customers_no_orders",
+    "discount_revenue", "keyword_stats_mixed",
 ]
 
 

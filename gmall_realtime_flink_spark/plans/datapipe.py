@@ -333,12 +333,15 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
-      FROM embeddings WHERE vec_id = 0),
+      FROM embeddings WHERE vec_id = 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     scored AS (
       SELECT e.vec_id,
              round(list_cosine_similarity(
                list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) + 0.0 AS cos_sim
-      FROM embeddings e, q WHERE e.vec_id != 0)
+      FROM embeddings e, q WHERE e.vec_id != 0
+        -- NULL/per-element-NULL excluded (valid_embeddings rule)
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0)
     SELECT vec_id, cos_sim, rk FROM (
       SELECT vec_id, cos_sim,
              row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
@@ -362,7 +365,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
-      FROM embeddings WHERE vec_id = 0),
+      FROM embeddings WHERE vec_id = 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     b AS (
       SELECT e.vec_id,
              list_transform(e.embedding, x -> x::DOUBLE) AS de, q.qe,
@@ -374,7 +378,9 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CASE WHEN q.qe[2] >= 0 THEN 2 ELSE 0 END
               + CASE WHEN q.qe[3] >= 0 THEN 4 ELSE 0 END
               + CASE WHEN q.qe[4] >= 0 THEN 8 ELSE 0 END) AS q_bucket
-      FROM embeddings e, q WHERE e.vec_id != 0),
+      FROM embeddings e, q WHERE e.vec_id != 0
+        -- NULL/per-element-NULL excluded (valid_embeddings rule)
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0),
     scored AS (
       SELECT vec_id, round(list_cosine_similarity(de, qe), 6) + 0.0 AS cos_sim
       FROM b WHERE bucket = q_bucket)
@@ -409,7 +415,9 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(range(1, (SELECT bits FROM nb) + 1),
                i -> CASE WHEN embedding[i] >= 0
                     THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
-      FROM embeddings)
+      FROM embeddings
+      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim
@@ -672,7 +680,9 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-      FROM embeddings),
+      FROM embeddings
+      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
     cent0 AS (SELECT vec_id AS cid, emb AS cvec FROM eall WHERE vec_id < 8),
     -- Lloyd iteration 1: argmax-cosine assignment, exact-decimal means
     a1 AS (
@@ -1208,7 +1218,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / 255.0 AS scale
         FROM (
           SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-          FROM embeddings)))
+          FROM embeddings
+          -- NULL/per-element-NULL vectors excluded (valid_embeddings
+          -- rule: DuckDB list_aggregate skips NULL elements, Spark's
+          -- fold propagates — recon_mse would diverge)
+          WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)))
     """,
     doc="Int8 embedding quantization (the PQ-lite storage path for "
     "100 TB vector corpora: 4x smaller than float32, scan-friendly): "
@@ -1219,7 +1233,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "embedding", "quantization"),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    from gmall_realtime_flink_spark.operators.similarity import (
+        valid_embeddings,
+    )
+
+    e = valid_embeddings(load(spark, sf_dir, "embeddings"))
     emb = F.expr("transform(embedding, x -> cast(x as double))")
     df = e.select("vec_id", emb.alias("emb"))
     df = df.withColumn("lo", F.array_min("emb")).withColumn(
@@ -1425,6 +1443,62 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> length(x) > 0) AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 8 + 1),
+               i -> {'pos': i,
+                     'gh': md5(array_to_string(toks[i:i+8-1], ' '))})) AS u
+      FROM d WHERE len(toks) >= 8),
+    occ AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM s),
+    dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+    hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos)
+                  <= 8 THEN 0 ELSE 1 END AS brk
+      FROM hits),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl)
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + 8 - 1)::BIGINT AS span_end,
+           (max(pos) + 8 - min(pos))::BIGINT AS span_len
+    FROM grp GROUP BY doc_id, island
+    """,
+    doc="Exact substring dedup (suffix-array grade, the Lee et al. "
+    "2022 ExactSubstr design): per-document MAXIMAL token spans "
+    "covered by an 8-token gram occurring >= 2 times corpus-wide "
+    "(including within-document repeats) — the positions a "
+    "suffix-array pass would mark for removal, without materializing "
+    "a suffix array (operators/dedup.repeated_substring_spans). "
+    "span_dedup reports WHICH spans repeat; this reports WHERE each "
+    "document must be cut — 1-based inclusive token positions. Plan: "
+    "three linear shuffles (gram-digest count, LEFT SEMI occurrence "
+    "join — no pair product even on an all-identical corpus — and a "
+    "per-doc gaps-and-islands window), no self-join anywhere.",
+    tags=("datapipe", "dedup", "text", "window"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    return repeated_substring_spans(
+        load(spark, sf_dir, "documents"), k=8
+    )
+
+
+@register(
     "knn_graph",
     oracle="""
     WITH nb AS (
@@ -1438,11 +1512,14 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CASE WHEN embedding[i] >= 0
                     THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
       FROM embeddings
-      -- invalid vectors (NULL array, zero norm) excluded from both
-      -- graph sides (mirrors knn_self_join; engines otherwise
-      -- disagree: list_cosine_similarity gives -1.0 on a zero vector,
-      -- Spark try_divide gives NULL)
+      -- invalid vectors (NULL array, per-element NULL, zero norm)
+      -- excluded from both graph sides (mirrors knn_self_join;
+      -- engines otherwise disagree: list_cosine_similarity gives
+      -- -1.0 on a zero vector, Spark try_divide gives NULL; DuckDB
+      -- list_sum SKIPS a NULL element while Spark aggregate
+      -- propagates it, so per-element NULLs are excluded explicitly)
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND list_sum(list_transform(embedding,
               x -> (x::DOUBLE)*(x::DOUBLE))) > 0)
     SELECT vec_a, vec_b, cos_sim, rk FROM (
@@ -1655,12 +1732,15 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
-      FROM embeddings WHERE vec_id = 0),
+      FROM embeddings WHERE vec_id = 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     scored AS (
       SELECT e.vec_id, e.label,
              round(list_cosine_similarity(
                list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) + 0.0 AS cos_sim
-      FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = 3)
+      FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = 3
+        -- NULL/per-element-NULL excluded (valid_embeddings rule)
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0)
     SELECT vec_id, label, cos_sim, rk FROM (
       SELECT vec_id, label, cos_sim,
              row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
@@ -1716,10 +1796,13 @@ def _pq_sql_code(sub: int) -> str:
     WITH c AS (
       SELECT
         {", ".join(f"max(CASE WHEN vec_id = {i} THEN list_transform(embedding, x -> x::DOUBLE) END) AS c{i}" for i in range(4))}
-      FROM embeddings WHERE vec_id < 4),
+      FROM embeddings WHERE vec_id < 4
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      FROM embeddings),
+      FROM embeddings
+      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
     d AS (
       SELECT vec_id,
         {", ".join(f"{_pq_sql_dist(j, i)} AS d{j}_{i}" for j in range(8) for i in range(4))}
@@ -1742,7 +1825,11 @@ def _pq_sql_code(sub: int) -> str:
     tags=("datapipe", "similarity", "quantization"),
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
+    from gmall_realtime_flink_spark.operators.similarity import (
+        valid_embeddings,
+    )
+
+    e = valid_embeddings(load(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
@@ -1805,7 +1892,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_MINHASH_CTES},
     ev AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-      FROM embeddings)
+      FROM embeddings
+      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
     SELECT c.doc_a, c.doc_b,
            round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim,
            (round(list_cosine_similarity(a.v, b.v), 6) >= 0.2) AS is_dup
@@ -1830,9 +1919,13 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         DOT,
     )
 
+    from gmall_realtime_flink_spark.operators.similarity import (
+        valid_embeddings,
+    )
+
     d = load(spark, sf_dir, "documents")
     cand = lsh_candidates(minhash_signatures(d))
-    ev = load(spark, sf_dir, "embeddings").select(
+    ev = valid_embeddings(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("v")
     )
     a = ev.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
@@ -2285,12 +2378,15 @@ def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
-      FROM embeddings WHERE vec_id = 0),
+      FROM embeddings WHERE vec_id = 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
     scored_e AS (
       SELECT e.vec_id,
              round(list_cosine_similarity(
                list_transform(e.embedding, x -> x::DOUBLE), q.qe), 6) + 0.0 AS cos_sim
-      FROM embeddings e, q WHERE e.vec_id != 0),
+      FROM embeddings e, q WHERE e.vec_id != 0
+        -- NULL/per-element-NULL excluded (valid_embeddings rule)
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0),
     exact AS (
       SELECT vec_id FROM (
         SELECT vec_id,
@@ -2307,7 +2403,8 @@ def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
               + CASE WHEN q.qe[2] >= 0 THEN 2 ELSE 0 END
               + CASE WHEN q.qe[3] >= 0 THEN 4 ELSE 0 END
               + CASE WHEN q.qe[4] >= 0 THEN 8 ELSE 0 END) AS q_bucket
-      FROM embeddings e, q WHERE e.vec_id != 0),
+      FROM embeddings e, q WHERE e.vec_id != 0
+        AND len(list_filter(e.embedding, x -> x IS NULL)) = 0),
     scored_b AS (
       SELECT vec_id, round(list_cosine_similarity(de, qe), 6) + 0.0 AS cos_sim
       FROM bkt WHERE bucket = q_bucket),
@@ -2350,7 +2447,9 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_TRAINED_CENT_SQL = """
     eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-      FROM embeddings),
+      FROM embeddings
+      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
     cent0 AS (SELECT vec_id AS cid, emb AS cvec FROM eall WHERE vec_id < 8),
     a1 AS (
       SELECT vec_id, emb, cid AS cell FROM (
@@ -2885,8 +2984,10 @@ def dedup_jaccard_complete_capped(spark: SparkSession, sf_dir: str) -> DataFrame
                i -> CASE WHEN embedding[i] >= 0
                     THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
       FROM embeddings
-      -- zero-norm / NULL vectors excluded (see knn_graph oracle note)
+      -- zero-norm / NULL / per-element-NULL vectors excluded
+      -- (see knn_graph oracle note)
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND list_sum(list_transform(embedding,
               x -> (x::DOUBLE)*(x::DOUBLE))) > 0)
     SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rk

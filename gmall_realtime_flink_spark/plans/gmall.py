@@ -337,6 +337,10 @@ def order_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").alias("p")
+    return _product_stats_over(l, p)
+
+
+def _product_stats_over(l: DataFrame, p: DataFrame) -> DataFrame:
     # money aggregation in integer cents (the pricing_summary pattern,
     # sf10-proven): the 4dp revenue product becomes a codegen-pure
     # double->long half-up round buffered in DECIMAL(18,0) — exact to
@@ -376,6 +380,43 @@ def product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g.quantity",
         "g.revenue",
     )
+
+
+@register(
+    "product_stats_bucketed",
+    oracle="""
+    SELECT g.l_partkey AS sku_id, p.p_name AS sku_name, p.p_brand AS tm_name,
+           g.ship_month, g.order_ct, g.quantity, g.revenue
+    FROM (
+      SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+             count(DISTINCT l_orderkey) AS order_ct,
+             round(sum(CAST(l_quantity AS DECIMAL(28,4))), 2)::DOUBLE AS quantity,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))), 2)::DOUBLE
+               AS revenue
+      FROM lineitem
+      GROUP BY 1, 2
+    ) g
+    LEFT JOIN part p ON g.l_partkey = p.p_partkey
+    """,
+    doc="product_stats over the PRE-BUCKETED lineitem layout "
+    "(catalog.bucketed_table: bucketBy l_partkey, built once per "
+    "corpus, fingerprint-reused across sessions): HashPartitioning on "
+    "l_partkey satisfies ClusteredDistribution(l_partkey, ship_month) "
+    "so the whole aggregate — including the two-phase countDistinct — "
+    "is EXCHANGE-FREE (0 exchanges vs 2, plan-pinned by "
+    "tests/test_plans.py; 1.78x at sf100 per "
+    "BUCKETED_AGG_SF100_r08.json). Identical output to product_stats "
+    "(same oracle); this is the 100 TB layout answer to the "
+    "~|rows| group cardinality that defeats partial aggregation on "
+    "the unbucketed scan.",
+    tags=("agg", "distinct", "join", "layout", "scale"),
+)
+def product_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.catalog import bucketed_table
+
+    l = bucketed_table(spark, sf_dir, "lineitem", ("l_partkey",))
+    p = load(spark, sf_dir, "part").alias("p")
+    return _product_stats_over(l, p)
 
 
 @register(

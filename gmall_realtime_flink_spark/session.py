@@ -117,8 +117,14 @@ def get_spark(
     # device"). SPARK_GRAFT_CONF="spark.cleaner.periodicGC.interval=60s"
     # bounds that to one query's working set. Never set by the driver's
     # sf0.1 gate.
+    # (values containing ';' cannot be expressed in this format)
     for pair in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
-        k, _, v = pair.partition("=")
+        k, sep, v = pair.partition("=")
+        if not sep:
+            raise ValueError(
+                f"SPARK_GRAFT_CONF pair {pair!r} has no '='; "
+                "expected ';'-separated key=value pairs"
+            )
         builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

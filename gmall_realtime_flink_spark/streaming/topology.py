@@ -275,6 +275,25 @@ def build_warehouse_layers(
 ) -> dict[str, str]:
     """Run the full 10-job chained topology; returns layer name -> dir.
 
+    See _build_warehouse_layers_impl for the layer DAG semantics. This
+    wrapper owns the latency listener's lifecycle: detach runs in a
+    finally so a crash mid-DAG (e.g. the crash-injection test) can't
+    leave the listener registered on the shared SparkSession, where it
+    would accumulate durations and pay dispatch on every later query.
+    """
+    _latency = _BatchLatencyListener()
+    _latency.attach(spark)
+    try:
+        return _build_warehouse_layers_impl(spark, sf_dir, base)
+    finally:
+        _latency.detach_into(spark, LAYER_BATCH_MS)
+
+
+def _build_warehouse_layers_impl(
+    spark: SparkSession, sf_dir: str, base: str | None = None
+) -> dict[str, str]:
+    """The 10-job chained topology body (listener managed by caller).
+
     Execution order follows the layer DAG; every job has its own
     checkpoint directory, so any job can restart from its offsets
     exactly as the independent reference jobs do. Re-invoking with the
@@ -293,8 +312,6 @@ def build_warehouse_layers(
     """
     if base is None:
         base = tempfile.mkdtemp(prefix="warehouse_")
-    _latency = _BatchLatencyListener()
-    _latency.attach(spark)
     layers = {
         name: os.path.join(base, name)
         for name in (
@@ -712,7 +729,6 @@ def build_warehouse_layers(
     ).select("stt", "edt", "keyword", "ct", F.lit("SEARCH").alias("source"))
     _run(kw, layers["dws_keyword_stats"], ckpt("keyword_stats_app"))
 
-    _latency.detach_into(spark, LAYER_BATCH_MS)
     return layers
 
 

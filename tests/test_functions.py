@@ -618,6 +618,26 @@ def test_cents_sum_debug_asserts(spark, monkeypatch):
             bad.agg(cents_sum("v").alias("s")).collect()
 
 
+def test_cents_sum_asserts_hold_on_money_entries(spark, sf_dir, monkeypatch):
+    """The cents_sum precondition guard RUNS routinely (r8 VERDICT
+    item 7): every registry entry that aggregates money through
+    cents_sum is executed with SPARK_GRAFT_DEBUG_ASSERTS=1, so a
+    violating row in real testdata (negative or >2dp money) raises
+    here instead of silently rounding half-down in CI-silent paths.
+    The entry set is derived by grep over plans/gmall.py call sites —
+    update it when a new entry adopts cents_sum."""
+    from gmall_realtime_flink_spark.plans import REGISTRY
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_ASSERTS", "1")
+    for name in ("visitor_stats", "province_stats",
+                 "visitor_stats_union", "visitor_stats_4d"):
+        # builders read the env at plan-build time, so rebuild inside
+        # the monkeypatched scope; any precondition violation raises
+        # at collect
+        rows = REGISTRY[name].builder(spark, sf_dir).collect()
+        assert rows, f"{name} returned no rows under debug asserts"
+
+
 def test_cents_sum_headroom_past_int64_cents(spark):
     """The per-row decimal(18,0) cast means the SUM accumulates in a
     DECIMAL(28,0) buffer: totals past the int64-cents ceiling
@@ -639,3 +659,44 @@ def test_socket_sink_fixed_topic_route_validated_up_front(spark):
     with pytest.raises(ValueError, match="no route"):
         socket_sink(df, routes={"a": ("localhost", 1)},
                     checkpoint="/tmp/x", topic="missing")
+
+
+def test_repeated_substring_spans_semantics(spark):
+    """Exact-substring dedup semantics on a constructed corpus: a
+    cross-doc repeated 12-token span yields ONE maximal interval (not
+    five overlapping 8-gram hits), a within-doc repeat is detected,
+    unique text yields nothing, and short docs are skipped."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    rep = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            # doc 0/1: the 12-token span repeated verbatim cross-doc,
+            # embedded at different offsets
+            (0, "zero one two " + rep + " tail words here"),
+            (1, rep + " completely different ending text now"),
+            # doc 2: within-doc repetition of an 8-token run
+            (2, "pad " + "w1 w2 w3 w4 w5 w6 w7 w8" + " mid filler "
+                + "w1 w2 w3 w4 w5 w6 w7 w8" + " end"),
+            # doc 3: unique text, nothing repeated
+            (3, "entirely unique tokens qq ww ee rr tt yy uu ii oo pp"),
+            # doc 4: too short for an 8-gram
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in repeated_substring_spans(docs, k=8).collect()
+    }
+    # doc 0: rep occupies tokens 4..15 (1-based, after 3 prefix tokens)
+    assert (0, 4, 15, 12) in rows
+    # doc 1: rep occupies tokens 1..12
+    assert (1, 1, 12, 12) in rows
+    # doc 2: both occurrences marked (tokens 2..9 and 12..19)
+    assert (2, 2, 9, 8) in rows and (2, 12, 19, 8) in rows
+    assert not any(d == 3 or d == 4 for d, *_ in rows)
+    # exactly the four spans above — maximality: no sub-spans emitted
+    assert len(rows) == 4

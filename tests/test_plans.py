@@ -471,3 +471,28 @@ def test_bucketed_aggregate_is_exchange_free(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS buckagg.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS buckagg")
+
+
+def test_substring_spans_semi_join_no_pair_product(spark, sf_dir):
+    """Exact substring dedup stays linear by construction: duplicated
+    gram occurrences come from a LEFT SEMI join against the digest
+    counts — never a self equi-join that could go quadratic on an
+    all-identical corpus — and the only window is per-doc
+    gaps-and-islands (no global/unpartitioned WindowExec)."""
+    plan = plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_product_stats_bucketed_is_exchange_free(spark, sf_dir):
+    """The bucketed layout twin delivers the promise it exists for:
+    HashPartitioning(l_partkey) from the bucketed scan satisfies the
+    aggregate's ClusteredDistribution(l_partkey, ship_month), so the
+    whole plan — including the two-phase countDistinct — has ZERO
+    hash exchanges (vs 2 on the plain parquet scan). The broadcast
+    dim join adds a BroadcastExchange, which is not a shuffle."""
+    plan = plan_of(spark, sf_dir, "product_stats_bucketed")
+    assert plan.count("Exchange hashpartitioning") == 0
+    plain = plan_of(spark, sf_dir, "product_stats")
+    assert plain.count("Exchange hashpartitioning") >= 1

@@ -156,3 +156,51 @@ def test_oracle_gate_catches_corruption(spark, sf_dir):
     for kind, mutate in corruptions.items():
         res = compare_query(spark, spec_with(mutate), sf_dir)
         assert not res.ok, f"gate failed to catch {kind} corruption"
+
+
+def test_standing_gates_cover_full_registry():
+    """Gate-coverage drift guard (r8 VERDICT item 1): every REGISTRY
+    entry must appear in the latest adversarial-corpus and
+    empty-corpus gate artifacts (ADVERSARIAL_r*.json /
+    ADVERSARIAL_EMPTY_r*.json at the repo root), or in the declared
+    exclusion list below with a reason. In r8 one entry
+    (dedup_simhash_hamming_wide_capped) was registered after the
+    hostile-rows run and silently skipped the standing gate; this
+    test makes that impossible — registering a new entry forces a
+    gate refresh (tools/verify_adversarial.py) before the suite goes
+    green again."""
+    import glob
+    import json
+    import os
+    import re
+
+    # name -> reason; empty today: every entry runs under both gates
+    EXCLUDED: dict[str, str] = {}
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def latest(pattern: str) -> str:
+        paths = glob.glob(os.path.join(root, pattern))
+        assert paths, f"no gate artifact matching {pattern}"
+        # rounds sort numerically (r08 < r09 < r10); artifacts are
+        # committed per-round so lexical-with-zero-pad works, but
+        # parse the number to survive r9 vs r10
+        def rnum(p: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        return max(paths, key=rnum)
+
+    want = set(REGISTRY) - set(EXCLUDED)
+    for pattern in ("ADVERSARIAL_r*.json", "ADVERSARIAL_EMPTY_r*.json"):
+        path = latest(pattern)
+        with open(path) as f:
+            art = json.load(f)
+        checked = set(art["results"])
+        missing = sorted(want - checked)
+        assert not missing, (
+            f"{os.path.basename(path)} is stale: registry entries never "
+            f"run under this gate: {missing} — refresh with "
+            "tools/verify_adversarial.py (and gen_adversarial.py)"
+        )
+        assert not art["bad"], f"{path} records failures: {art['bad']}"

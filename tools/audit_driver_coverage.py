@@ -1,0 +1,63 @@
+"""Driver-head rotation audit (VERDICT r8 item 8).
+
+Emits DRIVER_COVERAGE_r{N}.json: for every registry entry, which
+driver CORRECTNESS_r*.json artifacts (the per-round independent
+hash checks over the first-50 head) it has appeared in, plus the
+never-checked backlog the next head rotation should burn down. The
+builder's own tiers (tests/test_oracle.py, adversarial/empty gates,
+SF ladder) already cover all entries every round — this audit tracks
+only the DRIVER's independent-process checks.
+
+Usage: python tools/audit_driver_coverage.py [json_out]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gmall_realtime_flink_spark.plans import REGISTRY, _DRIVER_PRIORITY  # noqa: E402
+
+
+def main() -> int:
+    json_out = sys.argv[1] if len(sys.argv) > 1 else "DRIVER_COVERAGE_r09.json"
+    seen: dict[str, list[int]] = {}
+    arts = sorted(
+        glob.glob("artifacts/r*/CORRECTNESS_r*.json")
+        + glob.glob("CORRECTNESS_r*.json")
+    )
+    for p in arts:
+        rnd = int(p.split("_r")[-1].split(".")[0])
+        for k in json.load(open(p)):
+            rounds = seen.setdefault(k, [])
+            if rnd not in rounds:
+                rounds.append(rnd)
+    never = sorted(n for n in REGISTRY if n not in seen)
+    out = {
+        "artifacts_scanned": arts,
+        "registry_total": len(REGISTRY),
+        "driver_checked": sum(1 for n in REGISTRY if n in seen),
+        "never_checked": never,
+        "head_covers_backlog": sorted(
+            set(never) - set(_DRIVER_PRIORITY)
+        ),  # empty = current head closes the backlog
+        "last_checked_round": {
+            n: max(seen[n]) for n in sorted(REGISTRY) if n in seen
+        },
+    }
+    with open(json_out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        f"{out['driver_checked']}/{out['registry_total']} driver-checked; "
+        f"never: {len(never)}; not in current head: "
+        f"{out['head_covers_backlog']}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

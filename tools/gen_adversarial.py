@@ -209,12 +209,16 @@ def gen_adversarial(out: str) -> None:
     _append(out, "embeddings", {
         # 60/61: byte-identical pair (top-k tie); 62: zero norm
         # (cosine 0/0); 63: 1e-30 norm (underflow); 64: 1e6 magnitude;
-        # 65: null array; 66: null label
-        "vec_id": [60, 61, 62, 63, 64, 65, 66],
+        # 65: null array; 66: null label; 67: per-element NULL (a
+        # non-null array with one NULL float — DuckDB list_sum skips
+        # NULL elements while Spark aggregate propagates them, so
+        # every embedding consumer must pin down which semantics wins)
+        "vec_id": [60, 61, 62, 63, 64, 65, 66, 67],
         "embedding": [unit.tolist(), unit.tolist(),
                       [0.0] * 64, [1e-30] * 64, [1e6] * 64,
-                      None, unit.tolist()],
-        "label": [0, 0, 1, 2, 3, 4, None],
+                      None, unit.tolist(),
+                      [None] + unit.tolist()[1:]],
+        "label": [0, 0, 1, 2, 3, 4, None, 5],
     })
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
         json.dump({"corpus": "adversarial", "seed": 7, "base_sf": 0.003}, f)
