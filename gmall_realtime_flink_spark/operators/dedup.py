@@ -726,3 +726,40 @@ def repeated_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def remove_repeated_substrings(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """The cut half of exact substring dedup (Lee et al. 2022): every
+    token covered by a `repeated_substring_spans` interval is removed
+    and the survivors re-joined in order — (doc_id, clean_text,
+    n_kept). Documents with zero tokens, or fully covered by
+    repeated spans, emit NO row (nothing survives to train on).
+
+    Plan: the spans frame is tiny relative to the corpus (maximal
+    intervals, not occurrences), so the coverage test is a LEFT ANTI
+    join equi-keyed on doc_id with the BETWEEN as residual; the
+    re-join is one per-doc sort_array fold (no window)."""
+    spans = repeated_substring_spans(documents, k=k, text_col=text_col)
+    t = (
+        documents.select("doc_id", tokenize(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept = t.alias("t").join(
+        spans.alias("s"),
+        (F.col("t.doc_id") == F.col("s.doc_id"))
+        & F.col("t.pos").between(F.col("s.span_start"), F.col("s.span_end")),
+        "left_anti",
+    )
+    return kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

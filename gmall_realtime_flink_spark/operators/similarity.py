@@ -160,8 +160,11 @@ def corpus_count_for_auto_bits(embeddings: DataFrame) -> int:
     naming the offending plan node. Pinned by
     tests/test_plans.py::test_auto_bits_count_warns_on_filtered_frame.
     """
-    plan = embeddings._jdf.queryExecution().optimizedPlan().toString()
-    if "Filter (" in plan or "Join " in plan or "Join\n" in plan:
+    # case-insensitive substring match on node names (not exact node
+    # renderings) so a Spark upgrade that reformats plan strings
+    # degrades to over-warning rather than silently never warning
+    plan = embeddings._jdf.queryExecution().optimizedPlan().toString().lower()
+    if "filter" in plan or "join" in plan:
         import warnings
 
         warnings.warn(

@@ -1442,10 +1442,10 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_substring_spans",
-    oracle="""
-    WITH d AS (
+# the exact-substring spans CTE chain, shared by the three
+# dedup_substring_* oracles (detect / ratio / cut)
+_SUBSTR_SPANS_CTES = """
+    d AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                          x -> length(x) > 0) AS toks
@@ -1468,12 +1468,21 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp AS (
       SELECT doc_id, pos,
              sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM isl)
-    SELECT doc_id,
-           min(pos)::BIGINT AS span_start,
-           (max(pos) + 8 - 1)::BIGINT AS span_end,
-           (max(pos) + 8 - min(pos))::BIGINT AS span_len
-    FROM grp GROUP BY doc_id, island
+      FROM isl),
+    spans AS (
+      SELECT doc_id,
+             min(pos)::BIGINT AS span_start,
+             (max(pos) + 8 - 1)::BIGINT AS span_end,
+             (max(pos) + 8 - min(pos))::BIGINT AS span_len
+      FROM grp GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_SUBSTR_SPANS_CTES}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
     """,
     doc="Exact substring dedup (suffix-array grade, the Lee et al. "
     "2022 ExactSubstr design): per-document MAXIMAL token spans "
@@ -1494,6 +1503,98 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return repeated_substring_spans(
+        load(spark, sf_dir, "documents"), k=8
+    )
+
+
+@register(
+    "doc_substring_dup_ratio",
+    oracle=f"""
+    WITH {_SUBSTR_SPANS_CTES},
+    cov AS (
+      SELECT doc_id, sum(span_len)::BIGINT AS covered_tokens
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           len(d.toks)::BIGINT AS n_tokens,
+           coalesce(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+           CASE WHEN len(d.toks) > 0
+                THEN round(coalesce(c.covered_tokens, 0)
+                           / len(d.toks)::DOUBLE, 6) + 0.0
+           END AS dup_ratio
+    FROM d LEFT JOIN cov c USING (doc_id)
+    """,
+    doc="Per-document repeated-substring coverage ratio: the fraction "
+    "of tokens inside some corpus-duplicated >=8-token span — the "
+    "quality-filter signal the substring-dedup family feeds a "
+    "curation pipeline (drop/downweight docs past a boilerplate "
+    "threshold). Spans are maximal and DISJOINT by construction, so "
+    "coverage is a plain per-doc sum — no interval arithmetic at "
+    "read time. One extra groupBy over the spans frame (tiny) plus "
+    "a broadcastable left join back to the corpus.",
+    tags=("datapipe", "dedup", "text", "quality"),
+)
+def doc_substring_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        repeated_substring_spans,
+        tokenize,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(d, k=8)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("covered_tokens")
+    )
+    toks = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    out = toks.join(cov, "doc_id", "left")
+    covered = F.coalesce("covered_tokens", F.lit(0)).cast("long")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        covered.alias("covered_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(covered / F.col("n_tokens"), 6) + F.lit(0.0),
+        ).alias("dup_ratio"),
+    )
+
+
+@register(
+    "dedup_substring_clean",
+    oracle=f"""
+    WITH {_SUBSTR_SPANS_CTES},
+    toks2 AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM d),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks2 t LEFT JOIN spans s
+        ON t.doc_id = s.doc_id
+       AND t.pos BETWEEN s.span_start AND s.span_end
+      WHERE s.doc_id IS NULL)
+    SELECT doc_id,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           count(*)::BIGINT AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+    doc="The CUT half of exact substring dedup (Lee et al. 2022): "
+    "every token covered by a duplicated >=8-token span removed, "
+    "survivors re-joined in order "
+    "(operators/dedup.remove_repeated_substrings). Zero-token and "
+    "fully-covered documents emit no row. Plan: spans are maximal "
+    "intervals (tiny vs the corpus) so coverage is a LEFT ANTI join "
+    "equi-keyed on doc_id with BETWEEN residual; reassembly is one "
+    "per-doc sort_array fold, no window.",
+    tags=("datapipe", "dedup", "text"),
+)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    return remove_repeated_substrings(
         load(spark, sf_dir, "documents"), k=8
     )
 

@@ -700,3 +700,31 @@ def test_repeated_substring_spans_semantics(spark):
     assert not any(d == 3 or d == 4 for d, *_ in rows)
     # exactly the four spans above — maximality: no sub-spans emitted
     assert len(rows) == 4
+
+
+def test_remove_repeated_substrings_semantics(spark):
+    """The cutter removes exactly the covered tokens: doc 0 loses its
+    embedded 12-token repeated span but keeps prefix+suffix; a
+    fully-repeated doc emits no row; unique docs come back verbatim
+    (tokenized form)."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    rep = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (0, "zero one two " + rep + " tail words here"),
+            (1, rep),  # fully covered -> no row
+            (2, "entirely unique tokens qq ww ee rr tt yy uu ii oo pp"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept)
+        for r in remove_repeated_substrings(docs, k=8).collect()
+    }
+    assert got[0] == ("zero one two tail words here", 6)
+    assert 1 not in got
+    assert got[2] == (
+        "entirely unique tokens qq ww ee rr tt yy uu ii oo pp", 13)

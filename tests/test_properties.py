@@ -790,3 +790,68 @@ def test_simhash_max_bucket_cap_drops_only_hot_buckets(spark):
     assert tight.isdisjoint(clone_pairs)  # hot bucket dropped whole
     if (10, 11) in uncapped:  # near-dup pair lives in size-2 buckets
         assert (10, 11) in tight
+
+
+# --- exact substring dedup: operator vs brute-force reference ---------
+
+_substr_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),  # tiny alphabet ->
+        min_size=0, max_size=14,                    # collisions likely
+    ),
+    min_size=1, max_size=6,
+)
+
+
+def _brute_spans(docs: list[list[str]], k: int) -> set[tuple]:
+    """Reference semantics, O(n^2): mark every position covered by a
+    k-gram occurring >= 2 times corpus-wide, merge contiguous
+    coverage into maximal per-doc spans (1-based inclusive)."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i:i + k])] += 1
+    out = set()
+    for doc_id, toks in enumerate(docs):
+        covered = sorted({
+            p
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i:i + k])] >= 2
+            for p in range(i + 1, i + k + 1)  # 1-based coverage
+        })
+        if not covered:
+            continue
+        start = prev = covered[0]
+        for p in covered[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            out.add((doc_id, start, prev, prev - start + 1))
+            start = prev = p
+        out.add((doc_id, start, prev, prev - start + 1))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=_substr_corpus)
+def test_repeated_substring_spans_matches_bruteforce(spark, docs):
+    """repeated_substring_spans == the quadratic reference definition
+    on random tiny-alphabet corpora (the collision-heavy regime where
+    island merging, within-doc repeats, and cross-doc repeats all
+    interact)."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in repeated_substring_spans(df, k=k).collect()
+    }
+    assert got == _brute_spans(docs, k)

@@ -9,16 +9,16 @@ shared JVM/DuckDB accumulates enough heap/buffer state across queries
 to turn one query's spill into the next query's OOM, and a wedged
 entry must not take the whole artifact down with it.
 
-Membership = the 11-query headline set with ONE documented swap:
-``dedup_minhash_lsh`` (uncapped md5 path) is replaced by its capped
-registry twin. The uncapped form is OUTPUT-quadratic on the
-degenerate 31-word corpus — candidates measured 4.0M @ sf1 →
-399.6M @ sf10 (100× per 10× docs, BASELINE.md round-5), so sf100
-projects ~40B candidate pairs: infeasible to emit in EITHER engine,
-and intrinsic to the corpus+operator, not to the plan (same
-arithmetic class as the 16-bit SimHash sf10 exclusion, r7). The
-capped form IS the production posture and keeps the banded-join plan
-under verification at 5M docs.
+Membership (round 9, VERDICT r8 item 6): the 11-query headline set
+with ONE documented swap — ``dedup_minhash_lsh`` (uncapped md5 path)
+replaced by its capped registry twin (the uncapped form is
+OUTPUT-quadratic on the degenerate 31-word corpus: candidates
+measured 4.0M @ sf1 → 399.6M @ sf10, 100× per 10× docs, BASELINE.md
+round-5, so sf100 projects ~40B pairs — infeasible in EITHER engine
+and intrinsic to corpus+operator, not the plan) — PLUS the
+production datapipe/layout shapes (DATAPIPE_SF100 below): the sf100
+run is what discovered the r8 simhash spill, so the dedup / pack /
+shuffle / quality / quantization shapes get the same decade.
 
 Usage: python tools/verify_sf100.py [sf_dir] [json_out]
 Exit 0 iff every query's moments match DuckDB.
@@ -48,6 +48,26 @@ HEADLINE_SF100 = [
     "pricing_summary",
 ]
 
+# round-9 extension: production datapipe + layout shapes
+DATAPIPE_SF100 = [
+    "product_stats_bucketed",    # exchange-free layout twin (one-time
+                                 # bucketed write, fingerprint-cached)
+    "dedup_substring_spans",     # new r9 operator: 3 linear shuffles
+    "dedup_jaccard_complete_capped",
+    "dedup_simhash_hamming_wide_capped",
+    "dedup_embedding_cosine",    # designed-linear: auto_bits keeps
+                                 # ~1024 rows/cell -> ~n*512 pair evals
+    "doc_pack",
+    "corpus_shuffle",
+    "doc_quality_tiers",
+    "doc_split",
+    "doc_tfidf_top_terms",
+    "doc_lm_surprisal",
+    "label_centroids",
+    "embedding_quantize_int8",
+    "similarity_topk_bucketed",
+]
+
 EXCLUDED = {
     "dedup_minhash_lsh": (
         "uncapped md5 LSH is output-quadratic on the degenerate "
@@ -55,12 +75,31 @@ EXCLUDED = {
         "(measured, BASELINE.md) -> ~40B projected @ sf100; "
         "capped twin dedup_minhash_lsh_capped verified instead"
     ),
+    "dedup_simhash_hamming_wide": (
+        "uncapped 48-bit band join spills at sf100 (measured r8: the "
+        "band-join output on the low-entropy corpus exceeds local "
+        "disk); capped twin verified instead (67 s at sf100, r8)"
+    ),
+    "knn_graph": (
+        "every-vector top-3 at 2M vectors: auto_bits=11 -> 2048 "
+        "cells x ~977 rows -> ~0.95B candidate pairs; Spark folds "
+        "them with a partial-agg max_by, but the DuckDB oracle's "
+        "row_number() needs a ~1B-row partitioned sort (~100+ GB "
+        "spill > the 53 GB free local disk). Verified at sf10 "
+        "(200k vectors) by tools/verify_knn_scale.py; the plan is "
+        "scale-safe (bucketed equi-join, plan-pinned non-cartesian)"
+    ),
+    "contrastive_hard_negatives": (
+        "same pair volume and oracle row_number sort as knn_graph "
+        "(label != residual does not reduce the candidate set); "
+        "sf10-verified, same plan family"
+    ),
 }
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".local/sf100"
-    json_out = sys.argv[2] if len(sys.argv) > 2 else "VERIFY_SF100_r08.json"
+    json_out = sys.argv[2] if len(sys.argv) > 2 else "VERIFY_SF100_r09.json"
 
     results: dict[str, dict] = {}
     bad: list[str] = []
@@ -75,7 +114,7 @@ def main() -> int:
         SPARK_DRIVER_MEM="64g",
         SPARK_GRAFT_CONF="spark.cleaner.periodicGC.interval=60s",
     )
-    for name in HEADLINE_SF100:
+    for name in HEADLINE_SF100 + DATAPIPE_SF100:
         per_q = f"/tmp/verify_sf100_{name}.json"
         t0 = time.time()
         proc = subprocess.run(
