@@ -77,6 +77,9 @@ def _production() -> dict:
         # reused, so rep 1 may pay the one-time bucketed write; the
         # min-of-reps reports steady state)
         "product_stats_bucketed": REGISTRY["product_stats_bucketed"].builder,
+        # exact substring dedup (r9): linear by construction (semi
+        # join, no banded self-join), so no capped twin needed
+        "dedup_substring_spans": REGISTRY["dedup_substring_spans"].builder,
     }
 
 
