@@ -50,6 +50,17 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # dedup_minhash_lsh_xxh_capped lives in plans.datapipe but outside the
 # oracle registry (xxhash64 has no DuckDB form); the capped PPJoin is a
 # registry entry with an exact symbolic-cap oracle.
+def _embedding_cosine_numpy(spark, sf_dir):
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        embedding_near_dup_pairs_numpy,
+    )
+
+    return embedding_near_dup_pairs_numpy(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def _production() -> dict:
     from gmall_realtime_flink_spark.plans.datapipe import (
         dedup_minhash_lsh_xxh_capped,
@@ -80,6 +91,11 @@ def _production() -> dict:
         # exact substring dedup (r9): linear by construction (semi
         # join, no banded self-join), so no capped twin needed
         "dedup_substring_spans": REGISTRY["dedup_substring_spans"].builder,
+        # Arrow/numpy BLAS kernel for in-cell pairwise cosine — the
+        # production twin of dedup_embedding_cosine (~64-113x at sf10;
+        # parity-pinned within 2e-6 by pytest, expr form stays the
+        # oracle surface)
+        "dedup_embedding_cosine_numpy": _embedding_cosine_numpy,
     }
 
 

@@ -202,6 +202,74 @@ def cosine_topk_bucketed(
     return _ranked_topk(_cosine(pruned), k)
 
 
+def embedding_near_dup_pairs_numpy(
+    embeddings: DataFrame, threshold: float = 0.4, bits: int | None = None
+) -> DataFrame:
+    """The Arrow-batched production kernel for `embedding_near_dup_pairs`:
+    identical bucketing (sign-bit cells, auto-scaled), but the per-cell
+    pairwise cosine is ONE numpy matmul per cell via applyInPandas
+    instead of a JVM scalar fold per pair — the sf10 moments run showed
+    the fold 7.5× slower than DuckDB's vectorized kernel on this exact
+    shape (173 s vs 23 s), and at 100 TB the ANN family runs on batch
+    BLAS, not per-element expressions. Measured 2.7 s vs 173-306 s for
+    the expr path at sf10 (~64-113×, SCALE.md round-9): the fold pays
+    |pairs|x|dim| scalar ops through codegen, the kernel pays one
+    (n x dim)@(dim x n) BLAS call per ~1024-row cell.
+
+    Determinism: float64 matmul per cell, rounded to 6dp — the same
+    arithmetic class as the fold, but a different summation ORDER, so
+    a cosine landing within ~1e-15 of a 6dp boundary may round apart
+    from the oracle-gated path. Hence this is the PRODUCTION twin
+    (benched + parity-pinned by pytest within 2e-6), while the expr
+    form stays the oracle surface — exactly the md5/xxhash64 split
+    the MinHash stack uses."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if bits is None:
+        bits = auto_bits(corpus_count_for_auto_bits(embeddings))
+    e = valid_embeddings(embeddings).select(
+        "vec_id",
+        F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
+    ).withColumn("bucket", sign_bucket("emb", bits))
+
+    out_schema = T.StructType([
+        T.StructField("vec_a", T.LongType()),
+        T.StructField("vec_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64",
+                      "cos_sim": "float64"})
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy())           # (n, dim) float64
+        nrm = np.linalg.norm(m, axis=1)
+        sims = m @ m.T                                 # one BLAS call
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, sims / denom, np.nan)
+        iu, ju = np.triu_indices(n, k=1)
+        # vec_a < vec_b by VALUE (the expr path's join condition),
+        # not by row position
+        a, b = ids[iu], ids[ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        c = np.round(cos[iu, ju], 6) + 0.0
+        keep = ~np.isnan(c) & (c >= threshold)
+        return pd.DataFrame(
+            {"vec_a": lo[keep], "vec_b": hi[keep], "cos_sim": c[keep]}
+        )
+
+    return e.groupBy("bucket").applyInPandas(cell_pairs, out_schema)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.4, bits: int | None = None
 ) -> DataFrame:

@@ -728,3 +728,29 @@ def test_remove_repeated_substrings_semantics(spark):
     assert 1 not in got
     assert got[2] == (
         "entirely unique tokens qq ww ee rr tt yy uu ii oo pp", 13)
+
+
+def test_embedding_near_dup_numpy_matches_expr(spark, sf_dir):
+    """The Arrow/numpy production kernel must agree with the
+    oracle-gated JVM-fold path: identical pair SETS and cosine values
+    within 2e-6 (different float64 summation ORDER, same arithmetic —
+    the xxhash64-vs-md5 split of the ANN family)."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_numpy,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    expr_rows = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_near_dup_pairs(e, threshold=0.4).collect()
+    }
+    np_rows = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in embedding_near_dup_pairs_numpy(e, threshold=0.4).collect()
+    }
+    assert expr_rows.keys() == np_rows.keys()
+    assert expr_rows, "parity test needs a non-empty pair set"
+    for k, v in expr_rows.items():
+        assert abs(v - np_rows[k]) <= 2e-6, (k, v, np_rows[k])
