@@ -647,7 +647,10 @@ def prefix_filter_candidates(
 
 
 def repeated_substring_spans(
-    documents: DataFrame, k: int = 8, text_col: str = "text"
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    target=None,
 ) -> DataFrame:
     """Exact substring dedup, suffix-array grade (the Lee et al. 2022
     ExactSubstr design, arXiv:2107.06499): for every document, the
@@ -677,32 +680,34 @@ def repeated_substring_spans(
     tokens-per-doc). Reference analogue: none — beyond-reference
     LLM-pipeline tier; the 8-gram `span_dedup` reports which spans
     repeat, this reports where each document must be cut."""
-    from pyspark.sql import Window
-
-    toks = documents.select(
-        "doc_id", tokenize(F.col(text_col)).alias("toks")
-    )
-    grams = toks.filter(
-        F.col("toks").isNotNull() & (F.size("toks") >= k)
-    ).select(
-        "doc_id",
-        F.posexplode(shingles("toks", k)).alias("pos0", "gram"),
-    )
-    occ = grams.select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),  # 1-based token position
-        F.md5("gram").alias("gh"),
-    )
+    occ = substring_gram_occurrences(documents, k=k, text_col=text_col)
     dup = (
         occ.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("ct"))
         .filter(F.col("ct") >= 2)
         .select("gh")
     )
-    hits = occ.join(dup, "gh", "left_semi").select("doc_id", "pos")
-    # every hit covers tokens [pos, pos+k-1]; same-length intervals
-    # sorted by pos merge iff pos - prev_pos <= k (overlap or
-    # contiguous coverage) — gaps-and-islands with a running break sum
+    # `target` (a boolean Column over `documents`) restricts which
+    # docs EMIT spans; duplicate counts always see the whole corpus —
+    # the admission-time incremental form (new-batch spans against
+    # old corpus + batch-internal repeats) sets target to the
+    # new-batch predicate
+    emit = occ
+    if target is not None:
+        target_ids = documents.filter(target).select("doc_id")
+        emit = occ.join(target_ids, "doc_id", "left_semi")
+    hits = emit.join(dup, "gh", "left_semi").select("doc_id", "pos")
+    return spans_from_hits(hits, k)
+
+
+def spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
+    """Merge duplicated-gram start positions (doc_id, pos) into
+    maximal per-doc spans: every hit covers tokens [pos, pos+k-1];
+    same-length intervals sorted by pos merge iff pos - prev_pos <= k
+    (overlap or contiguous coverage) — gaps-and-islands with a running
+    break sum, windowed per doc (never global)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
@@ -725,6 +730,29 @@ def repeated_substring_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
+    )
+
+
+def substring_gram_occurrences(
+    documents: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, gh) rows: every k-token gram occurrence with its
+    1-based start position and md5 digest — the shared front half of
+    the substring-dedup family (batch counts them; the streaming
+    admission job probes them against a static corpus index)."""
+    toks = documents.select(
+        "doc_id", tokenize(F.col(text_col)).alias("toks")
+    )
+    grams = toks.filter(
+        F.col("toks").isNotNull() & (F.size("toks") >= k)
+    ).select(
+        "doc_id",
+        F.posexplode(shingles("toks", k)).alias("pos0", "gram"),
+    )
+    return grams.select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5("gram").alias("gh"),
     )
 
 

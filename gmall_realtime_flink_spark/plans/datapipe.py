@@ -1478,6 +1478,18 @@ _SUBSTR_SPANS_CTES = """
 """
 
 
+# incremental variant of the chain: duplicate COUNTS see the whole
+# corpus, but only the new ingest batch (source = 'src0', the
+# dedup_incremental convention) EMITS spans
+_SUBSTR_SPANS_CTES_INCR = _SUBSTR_SPANS_CTES.replace(
+    "hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gh)),",
+    "hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gh)\n"
+    "      JOIN documents dd ON o.doc_id = dd.doc_id\n"
+    "      WHERE dd.source = 'src0'),",
+)
+assert _SUBSTR_SPANS_CTES_INCR != _SUBSTR_SPANS_CTES  # replace anchored
+
+
 @register(
     "dedup_substring_spans",
     oracle=f"""
@@ -1504,6 +1516,37 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return repeated_substring_spans(
         load(spark, sf_dir, "documents"), k=8
+    )
+
+
+@register(
+    "dedup_substring_incremental",
+    oracle=f"""
+    WITH {_SUBSTR_SPANS_CTES_INCR}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+    doc="Admission-time exact substring dedup: spans emitted only for "
+    "the NEW ingest batch (source = 'src0', the dedup_incremental "
+    "convention), but duplicate counts see the WHOLE corpus — a new "
+    "doc is cut where it repeats the existing corpus OR another doc "
+    "of its own batch. Completes the incremental family (exact / "
+    "minhash / substring). Plan: identical three linear shuffles as "
+    "dedup_substring_spans, with the emission side semi-joined to "
+    "the batch's doc ids first — the old corpus contributes only "
+    "gram COUNTS, never window rows, so steady-state ingest cost is "
+    "proportional to the batch, not the corpus "
+    "(operators/dedup.repeated_substring_spans target=...).",
+    tags=("datapipe", "dedup", "text", "incremental"),
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    return repeated_substring_spans(
+        load(spark, sf_dir, "documents"),
+        k=8,
+        target=F.col("source") == "src0",
     )
 
 

@@ -528,6 +528,44 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.streaming_dedup_minhash(spark, sf_dir)
 
 
+# streaming substring admission oracle: new-doc (src0) grams probed
+# against the STATIC corpus's distinct gram set — dup = "present in
+# the old corpus", hits = src0 occurrences only (see the job
+# docstring for why new x new repeats are out of scope here)
+_SUBSTR_STREAM_CTES = datapipe._SUBSTR_SPANS_CTES.replace(
+    "dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),",
+    "dup AS (SELECT DISTINCT o.gh FROM occ o\n"
+    "      JOIN documents dc ON o.doc_id = dc.doc_id\n"
+    "      WHERE dc.source <> 'src0'),",
+).replace(
+    "hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gh)),",
+    "hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gh)\n"
+    "      JOIN documents dd ON o.doc_id = dd.doc_id\n"
+    "      WHERE dd.source = 'src0'),",
+)
+assert _SUBSTR_STREAM_CTES.count("src0") == 2  # both replaces anchored
+
+
+@register(
+    "streaming_dedup_substring",
+    oracle=f"""
+    WITH {_SUBSTR_STREAM_CTES}
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+    doc="Exact-substring admission marking under Structured "
+    "Streaming: new docs stream in, each micro-batch's k-gram "
+    "occurrences probe the static corpus's distinct gram-digest "
+    "index (LEFT SEMI), covered positions merge into maximal spans "
+    "per batch. Verdict depends only on (doc, static corpus), so "
+    "bounded streaming == batch under any slicing — new x new "
+    "repeats are the batch layer's dedup_substring_incremental "
+    "(streaming/jobs.py streaming_dedup_substring).",
+    tags=("streaming", "datapipe", "dedup", "text"),
+)
+def streaming_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_dedup_substring(spark, sf_dir)
+
+
 @register(
     "streaming_dedup_exact",
     oracle="""

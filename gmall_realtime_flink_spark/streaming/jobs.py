@@ -1004,6 +1004,100 @@ def streaming_dedup_minhash(
     return spark.read.schema(out_schema).parquet(out_dir).select("doc_id")
 
 
+def streaming_dedup_substring(
+    spark: SparkSession, sf_dir: str, base: str | None = None, k: int = 8
+) -> DataFrame:
+    """Exact-substring admission marking under Structured Streaming:
+    new documents (source = src0) arrive as a file stream; each
+    micro-batch's k-gram occurrences are probed (LEFT SEMI) against
+    the STATIC corpus's distinct gram-digest index, and the covered
+    positions merge into maximal spans (operators/dedup
+    spans_from_hits) appended per batch.
+
+    Verdict = new-doc grams PRESENT IN THE STATIC CORPUS only —
+    batch-internal (new x new) repeats are deliberately out of scope
+    here so the verdict depends only on (doc, static corpus) and the
+    bounded result equals the batch oracle under ANY micro-batch
+    slicing (the same slicing-invariance contract as
+    streaming_dedup_minhash; new x new repeats are the batch layer's
+    `dedup_substring_incremental`). Islands are computable per batch
+    because a file-stream row (one whole document) never splits
+    across micro-batches.
+
+    At 100 TB the corpus gram index is built ONCE (persisted here;
+    a gh-partitioned table in production) — per-trigger cost is the
+    batch's grams + one semi-join probe, proportional to ingest, not
+    corpus."""
+    from gmall_realtime_flink_spark.operators.dedup import (
+        spans_from_hits,
+        substring_gram_occurrences,
+    )
+
+    docs_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    corpus = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("source") != "src0")
+        .select("doc_id", "text")
+    )
+    corpus_ghs = (
+        substring_gram_occurrences(corpus, k=k).select("gh").distinct()
+        .persist()
+    )
+    if base is None:
+        base = tempfile.mkdtemp(prefix="dedup_substring_stream_")
+    out_dir = os.path.join(base, "spans")
+    ckpt_dir = os.path.join(base, "ckpt")
+    src_dir = os.path.join(base, "src")
+    if not os.path.isdir(src_dir):
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+            os.path.join(src_dir, "part-000.parquet"),
+        )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.filter(F.col("source") == "src0")
+        occ = substring_gram_occurrences(new, k=k)
+        hits = occ.join(corpus_ghs, "gh", "left_semi").select(
+            "doc_id", "pos"
+        )
+        spans_from_hits(hits, k).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        corpus_ghs.unpersist()
+    out_schema = T.StructType([
+        docs_schema["doc_id"],
+        T.StructField("span_start", T.LongType()),
+        T.StructField("span_end", T.LongType()),
+        T.StructField("span_len", T.LongType()),
+        T.StructField("batch_id", T.LongType()),
+    ])
+    return (
+        spark.read.schema(out_schema).parquet(out_dir)
+        .select("doc_id", "span_start", "span_end", "span_len")
+    )
+
+
 def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup under Structured Streaming — the incremental-ingest
     form of the batch `dedup_exact`: documents arrive as a file stream
