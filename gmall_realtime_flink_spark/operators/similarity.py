@@ -211,10 +211,12 @@ def embedding_near_dup_pairs_numpy(
     instead of a JVM scalar fold per pair — the sf10 moments run showed
     the fold 7.5× slower than DuckDB's vectorized kernel on this exact
     shape (173 s vs 23 s), and at 100 TB the ANN family runs on batch
-    BLAS, not per-element expressions. Measured 2.7 s vs 173-306 s for
-    the expr path at sf10 (~64-113×, SCALE.md round-9): the fold pays
-    |pairs|x|dim| scalar ops through codegen, the kernel pays one
-    (n x dim)@(dim x n) BLAS call per ~1024-row cell.
+    BLAS, not per-element expressions. Measured 2.7 s vs 173-306 s at
+    sf10 and 18.4 s vs 1814.7 s at sf100 (99×, exact same 6.07M pairs
+    and bit-identical 6dp sum(cos_sim) as the oracle-verified expr
+    run — SCALE.md round-9): the fold pays |pairs|x|dim| scalar ops
+    through codegen, the kernel pays one (n x dim)@(dim x n) BLAS
+    call per ~1024-row cell.
 
     Determinism: float64 matmul per cell, rounded to 6dp — the same
     arithmetic class as the fold, but a different summation ORDER, so
