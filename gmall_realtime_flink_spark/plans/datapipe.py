@@ -271,6 +271,132 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cand, d, threshold=0.2)
 
 
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH {_MINHASH_CTES},
+    sets AS (SELECT doc_id, list_distinct(sh) AS sset FROM s),
+    sz AS (SELECT doc_id, len(sset)::BIGINT AS n FROM sets),
+    post AS (SELECT doc_id, unnest(sset) AS shg FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+      FROM post a JOIN post b ON a.shg = b.shg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b, round(i::DOUBLE / (x.n + y.n - i), 6) AS j
+        FROM inter JOIN sz x ON inter.doc_a = x.doc_id
+                   JOIN sz y ON inter.doc_b = y.doc_id)
+      WHERE j >= 0.8),
+    lsh AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN inter ON inter.doc_a = c.doc_a AND inter.doc_b = c.doc_b
+      JOIN sz x ON c.doc_a = x.doc_id JOIN sz y ON c.doc_b = y.doc_id
+      WHERE round(inter.i::DOUBLE / (x.n + y.n - inter.i), 6) >= 0.8),
+    h AS (SELECT count(*)::BIGINT AS hits
+          FROM lsh JOIN exact USING (doc_a, doc_b))
+    SELECT 0.8::DOUBLE AS threshold,
+           (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+           h.hits AS hits,
+           CASE WHEN (SELECT count(*) FROM exact) > 0
+                THEN round(h.hits::DOUBLE
+                           / (SELECT count(*) FROM exact), 6) + 0.0
+           END AS recall
+    FROM h
+    """,
+    doc="LSH recall audit through the correctness gate: verified "
+    "MinHash-LSH duplicate pairs (J >= 0.8) measured against the "
+    "COMPLETE prefix-filter ground truth on the same corpus — the "
+    "number that decides whether banding parameters (8 hashes, 4 "
+    "bands) are safe to trust before a 100 TB dedup run, computed "
+    "exactly like similarity_recall_at_k audits the ANN index. Both "
+    "sides reuse the oracle-gated operators (lsh_candidates + "
+    "jaccard_verify; prefix_filter_candidates is recall-1.0 by the "
+    "prefix lemma); the all-pairs product exists only in the DuckDB "
+    "oracle's postings join.",
+    tags=("datapipe", "dedup", "minhash", "diagnostics"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidates,
+        minhash_signatures,
+        prefix_filter_candidates,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    lsh = jaccard_verify(
+        lsh_candidates(minhash_signatures(d)), d, threshold=0.8
+    ).select("doc_a", "doc_b")
+    exact = jaccard_verify(
+        prefix_filter_candidates(d, threshold=0.8), d, threshold=0.8
+    ).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nh = lsh.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nh)
+        .select(
+            F.lit(0.8).alias("threshold"),
+            "n_exact",
+            "n_lsh",
+            "hits",
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("hits") / F.col("n_exact"), 6) + F.lit(0.0),
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle="""
+    WITH n AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM documents
+      GROUP BY source),
+    w AS (SELECT source, n_docs, sqrt(n_docs::DOUBLE) AS wt FROM n),
+    t AS (SELECT sum(CAST(wt AS DECIMAL(38,12)))::DOUBLE AS tot FROM w)
+    SELECT w.source, w.n_docs,
+           round(w.wt, 6) AS weight,
+           round(w.wt / t.tot, 6) + 0.0 AS share,
+           floor(round(w.wt / t.tot, 6) * 1000)::BIGINT AS target_docs
+    FROM w, t
+    """,
+    doc="Temperature-based mixture weights (alpha = 0.5, the "
+    "multilingual-LM upsampling rule p_s proportional to n_s^alpha): "
+    "per-source doc counts re-weighted by sqrt so small sources are "
+    "upsampled relative to raw proportion, with a 1000-doc budget "
+    "allocation. Complements corpus_mix_budget (hard per-source cap) "
+    "with the soft temperature mix. Deterministic cross-engine: "
+    "sqrt is IEEE-exact on identical doubles, the weight sum is an "
+    "exact DECIMAL(38,12) fold (order-independent), shares rounded "
+    "6dp. Plan: one groupBy(source) — |sources| rows ever after.",
+    tags=("datapipe", "sampling", "mixing"),
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.withColumn("wt", F.sqrt(F.col("n_docs").cast("double")))
+    tot = w.agg(
+        F.sum(F.col("wt").cast("decimal(38,12)")).cast("double").alias("tot")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round("wt", 6).alias("weight"),
+        (F.round(F.col("wt") / F.col("tot"), 6) + F.lit(0.0)).alias("share"),
+        F.floor(F.round(F.col("wt") / F.col("tot"), 6) * 1000)
+        .cast("long")
+        .alias("target_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprinting (operators/textstats.py)
 # ---------------------------------------------------------------------------

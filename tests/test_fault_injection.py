@@ -158,3 +158,27 @@ def test_admission_sink_crash_between_write_and_commit(spark, sf_dir, tmp_path):
     out = jobs.streaming_dedup_minhash(spark, sf_dir, base=base)
     replayed = sorted(r["doc_id"] for r in out.collect())
     assert replayed == clean
+
+
+def test_substring_stream_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """streaming_dedup_substring's sink uses the same batch_id dynamic
+    overwrite as the admission sink; a rerun against the SAME base
+    (checkpoint + sink dirs) must find nothing new to process and
+    leave the span set byte-identical — restart idempotency."""
+    from gmall_realtime_flink_spark.streaming import jobs
+
+    base = str(tmp_path / "substr")
+    first = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in jobs.streaming_dedup_substring(
+            spark, sf_dir, base=base
+        ).collect()
+    )
+    rerun = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in jobs.streaming_dedup_substring(
+            spark, sf_dir, base=base
+        ).collect()
+    )
+    assert first == rerun
+    assert first, "no spans at all — corpus unusable for this test"

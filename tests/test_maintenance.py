@@ -229,3 +229,39 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
 
     # layout is a permutation, not a filter
     assert spark.read.parquet(zdir).count() == 256 * 256
+
+
+def test_bucketed_table_rebuilds_on_stale_fingerprint(spark, tmp_path):
+    """catalog.bucketed_table must detect a CHANGED source file (size/
+    mtime fingerprint) and rebuild instead of serving the stale
+    layout; unchanged sources reuse files without rewriting."""
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.catalog import bucketed_table
+
+    sf = str(tmp_path)
+    spark.range(100).select(
+        F.col("id").alias("l_partkey"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = next((tmp_path / "stage").glob("part-*.parquet"))
+    shutil.copy(part, tmp_path / "lineitem.parquet")
+
+    t = bucketed_table(spark, sf, "lineitem", ("l_partkey",), n_buckets=4)
+    assert t.count() == 100
+
+    # same fingerprint -> reuse (no rebuild): table still resolves
+    t2 = bucketed_table(spark, sf, "lineitem", ("l_partkey",), n_buckets=4)
+    assert t2.count() == 100
+
+    # mutate the source -> fingerprint changes -> rebuild sees new data
+    time.sleep(0.05)
+    spark.range(50).select(
+        F.col("id").alias("l_partkey"), (F.col("id") * 3).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage2"))
+    part2 = next((tmp_path / "stage2").glob("part-*.parquet"))
+    shutil.copy(part2, tmp_path / "lineitem.parquet")
+    t3 = bucketed_table(spark, sf, "lineitem", ("l_partkey",), n_buckets=4)
+    assert t3.count() == 50
