@@ -496,3 +496,15 @@ def test_product_stats_bucketed_is_exchange_free(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0
     plain = plan_of(spark, sf_dir, "product_stats")
     assert plain.count("Exchange hashpartitioning") >= 1
+
+
+def test_lsh_recall_audit_no_cartesian(spark, sf_dir):
+    """Both candidate paths inside the recall audit (LSH banding and
+    prefix filtering) are equi-joins; the brute-force product exists
+    only in the DuckDB oracle, never in the engine plan."""
+    plan = plan_of(spark, sf_dir, "dedup_lsh_recall")
+    assert "CartesianProduct" not in plan
+    # the three 1-row count frames combine via broadcast nested loop
+    # (size-1 sides) — that's fine; a *shuffled* NLJ or a cartesian
+    # over data-sized inputs is not
+    assert "SortMergeJoin Cross" not in plan
