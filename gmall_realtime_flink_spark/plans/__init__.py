@@ -69,9 +69,13 @@ _DRIVER_PRIORITY = [
     "dedup_simhash_hamming", "dedup_pagerank",
     "dedup_jaccard_complete_capped", "doc_lm_surprisal",
     "doc_hll_cardinality", "market_share",
-    # stalest multi-round entries (last driver check: r03)
-    "cheapest_supplier_per_part", "customers_no_orders",
-    "discount_revenue", "keyword_stats_mixed",
+    # round-9 additions registered after the rotation was laid out —
+    # driver-check them THIS round rather than queueing a full cycle
+    # (the 4 stalest-r03 olap entries they displace have multi-round
+    # green history; doc_substring_dup_ratio + corpus_mix_temperature
+    # queue for r10, being thin derivations of gated machinery)
+    "dedup_substring_incremental", "streaming_dedup_substring",
+    "dedup_substring_clean", "dedup_lsh_recall",
 ]
 
 

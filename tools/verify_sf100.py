@@ -20,7 +20,12 @@ production datapipe/layout shapes (DATAPIPE_SF100 below): the sf100
 run is what discovered the r8 simhash spill, so the dedup / pack /
 shuffle / quality / quantization shapes get the same decade.
 
-Usage: python tools/verify_sf100.py [sf_dir] [json_out]
+Usage: python tools/verify_sf100.py [sf_dir] [json_out] [--resume]
+--resume: reuse ok-entries from an existing json_out (same sf_dir)
+and re-run only failed/missing ones — a kernel OOM or crash mid-run
+then costs one entry, not the 2-hour tier (r9 lesson: a CONCURRENT
+pytest session got the 503M-group DuckDB oracle OOM-killed; treat
+this tier as an exclusive job).
 Exit 0 iff every query's moments match DuckDB.
 """
 
@@ -98,11 +103,22 @@ EXCLUDED = {
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".local/sf100"
-    json_out = sys.argv[2] if len(sys.argv) > 2 else "VERIFY_SF100_r09.json"
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    sf_dir = args[0] if args else ".local/sf100"
+    json_out = args[1] if len(args) > 1 else "VERIFY_SF100_r09.json"
 
     results: dict[str, dict] = {}
     bad: list[str] = []
+    if resume and os.path.exists(json_out):
+        prev = json.load(open(json_out))
+        if prev.get("sf_dir") == sf_dir:
+            results = {
+                n: r for n, r in prev.get("results", {}).items()
+                if r.get("ok")
+            }
+            print(f"resume: {len(results)} green entries reused "
+                  f"from {json_out}", flush=True)
     t_all = time.time()
     # the sf100 session knobs (bench-identical): 256 shuffle
     # partitions + AQE coalesce-down, 64g driver, 60 s shuffle GC —
@@ -115,6 +131,8 @@ def main() -> int:
         SPARK_GRAFT_CONF="spark.cleaner.periodicGC.interval=60s",
     )
     for name in HEADLINE_SF100 + DATAPIPE_SF100:
+        if name in results:  # --resume: already green
+            continue
         per_q = f"/tmp/verify_sf100_{name}.json"
         t0 = time.time()
         proc = subprocess.run(
