@@ -152,6 +152,51 @@ def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_pair_counts",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> length(x) > 0)) AS w
+      FROM documents),
+    f AS (SELECT w, count(*)::BIGINT AS f FROM t GROUP BY w),
+    p AS (
+      SELECT f.f,
+             unnest(list_transform(generate_series(1, length(w) - 1),
+                                   i -> substr(w, i, 2))) AS pair
+      FROM f WHERE length(w) >= 2)
+    SELECT pair, sum(f)::BIGINT AS pair_count
+    FROM p GROUP BY pair
+    """,
+    doc="BPE merge-step pair frequencies (tokenizer-training prep): "
+    "adjacent character-pair counts weighted by word frequency — "
+    "argmax(pair_count) is the first merge a BPE trainer performs "
+    "(Sennrich et al. 2016). The classic scaling trick is built in: "
+    "the corpus collapses to the word-frequency table FIRST "
+    "(vocab-sized groupBy, map-side combined), and the pair explode "
+    "runs over DISTINCT words weighted by count — pair-pass cost is "
+    "O(vocabulary), not O(corpus tokens), so a 100 TB corpus with a "
+    "1M-word vocab pays the same pair pass as a 1 GB one. Output is "
+    "bounded by the pair alphabet (<= 26^2 at char level).",
+    tags=("datapipe", "text", "tokenizer"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+    f = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = f.filter(F.length("w") >= 2).select(
+        "f",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1, 1), "
+                   "i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup: MinHash-LSH + n-gram Jaccard (operators/dedup.py)
 # ---------------------------------------------------------------------------

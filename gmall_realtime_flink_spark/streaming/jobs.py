@@ -265,6 +265,47 @@ def stage_table_with_sentinel(sf_dir: str, table: str, mutate) -> str:
     return tmp
 
 
+def stage_table_sorted_split(
+    sf_dir: str, table: str, ts_col: str, n_files: int, mutate
+) -> str:
+    """stage_table_with_sentinel's ORDERED form: the table is written
+    as `n_files` event-time-sorted parquet slices (strictly increasing
+    mtimes, so the file source consumes them in time order) plus the
+    far-future sentinel last. This is the monotone-event-time contract
+    a per-key-ordered Kafka topic provides; JOIN_LATENCY_r09 measured
+    it as the 23x per-batch-p95 lever for the stream-stream join
+    layers (watermark advances every batch -> state evicts
+    continuously instead of ballooning toward the whole corpus)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    out = tempfile.mkdtemp(prefix=f"{table}_ordered_")
+    t = pq.read_table(src)
+    t = t.take(pc.sort_indices(t, sort_keys=[(ts_col, "ascending")]))
+    n = t.num_rows
+    per = (n + n_files - 1) // n_files
+    for k in range(n_files):
+        sl = t.slice(k * per, per)
+        if sl.num_rows == 0:
+            break
+        pq.write_table(sl, os.path.join(out, f"part-{k:03d}.parquet"))
+        _time.sleep(0.02)  # distinct mtimes -> deterministic order
+    pf = pq.ParquetFile(src)
+    row = pf.read_row_group(0).slice(0, 1).to_pandas()
+    mutate(row)
+    _time.sleep(0.02)
+    pq.write_table(
+        pa.Table.from_pandas(row, schema=pf.schema_arrow,
+                             preserve_index=False),
+        os.path.join(out, "part-999-sentinel.parquet"),
+    )
+    return out
+
+
 def streaming_order_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/ST4 on the real warehouse tables: orders ⋈ lineitem as two
     file streams, equi-key + [0, 30d] event-time band — the streaming

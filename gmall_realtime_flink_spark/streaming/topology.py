@@ -363,12 +363,39 @@ def _build_warehouse_layers_impl(
 
     ods_manifest = os.path.join(base, "ods.json")
     if not os.path.exists(ods_manifest):
+        # SPARK_GRAFT_TOPOLOGY_ORDERED_SLICES=N stages the two fact
+        # tables as N event-time-sorted slices instead of one file —
+        # the monotone-ingest contract of a per-key-ordered Kafka
+        # topic. Combined with SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER
+        # this keeps the dwm join layers' watermark advancing every
+        # micro-batch, so join state evicts continuously (the 23x
+        # per-batch-p95 lever measured by JOIN_LATENCY_r09). Results
+        # are slicing-invariant: slices are time-sorted, so no row is
+        # ever behind the watermark (nothing drops). Default (unset):
+        # single-file staging, fewest/largest batches.
+        n_slices = os.environ.get("SPARK_GRAFT_TOPOLOGY_ORDERED_SLICES")
+        if n_slices:
+            from gmall_realtime_flink_spark.streaming.jobs import (
+                stage_table_sorted_split,
+            )
+
+            stage_o = lambda: stage_table_sorted_split(  # noqa: E731
+                sf_dir, "orders", "o_orderdate", int(n_slices), _mut_o
+            )
+            stage_l = lambda: stage_table_sorted_split(  # noqa: E731
+                sf_dir, "lineitem", "l_shipdate", int(n_slices), _mut_l
+            )
+        else:
+            stage_o = lambda: stage_table_with_sentinel(  # noqa: E731
+                sf_dir, "orders", _mut_o
+            )
+            stage_l = lambda: stage_table_with_sentinel(  # noqa: E731
+                sf_dir, "lineitem", _mut_l
+            )
         ods = {
             "log": events_with_sentinel(spark, sf_dir, gap_ms=JUMP_GAP_MS),
-            "order_info": stage_table_with_sentinel(sf_dir, "orders", _mut_o),
-            "order_detail": stage_table_with_sentinel(
-                sf_dir, "lineitem", _mut_l
-            ),
+            "order_info": stage_o(),
+            "order_detail": stage_l(),
         }
         tmp = ods_manifest + ".tmp"
         with open(tmp, "w") as f:
