@@ -855,3 +855,35 @@ def test_repeated_substring_spans_matches_bruteforce(spark, docs):
         for r in repeated_substring_spans(df, k=k).collect()
     }
     assert got == _brute_spans(docs, k)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_substr_corpus)
+def test_substring_incremental_is_target_filtered_full(spark, docs):
+    """The incremental form's contract, property-checked: spans for
+    target docs == the FULL-corpus spans restricted to those docs
+    (duplicate counts always see everything; only emission filters).
+    Target = even doc_ids, mimicking the src0 new-batch predicate."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    full = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_substring_spans(df, k=k).collect()
+        if r.doc_id % 2 == 0
+    }
+    incr = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_substring_spans(
+            df, k=k, target=F.col("doc_id") % 2 == 0
+        ).collect()
+    }
+    assert incr == full
