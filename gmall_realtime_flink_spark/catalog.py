@@ -120,8 +120,12 @@ def bucketed_table(
     src = table_path(sf_dir, name)
     st = os.stat(src)
     want_fp = f"{st.st_size}:{st.st_mtime_ns}:{n_buckets}:{','.join(bucket_cols)}"
+    # bucket_cols is part of the key (not just n_buckets via tname):
+    # two different bucketing specs of the same table must get
+    # distinct tables/fingerprints, or alternating callers thrash a
+    # full drop-and-rewrite per call (ADVICE r9)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{name}".encode()
+        f"{os.path.abspath(sf_dir)}|{name}|{','.join(bucket_cols)}".encode()
     ).hexdigest()[:10]
     tname = f"{name}_b{n_buckets}_{key}"
     wh = spark.conf.get(

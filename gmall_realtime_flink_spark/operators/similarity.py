@@ -160,11 +160,7 @@ def corpus_count_for_auto_bits(embeddings: DataFrame) -> int:
     naming the offending plan node. Pinned by
     tests/test_plans.py::test_auto_bits_count_warns_on_filtered_frame.
     """
-    # case-insensitive substring match on node names (not exact node
-    # renderings) so a Spark upgrade that reformats plan strings
-    # degrades to over-warning rather than silently never warning
-    plan = embeddings._jdf.queryExecution().optimizedPlan().toString().lower()
-    if "filter" in plan or "join" in plan:
+    if _plan_has_filter_or_join(embeddings):
         import warnings
 
         warnings.warn(
@@ -175,6 +171,36 @@ def corpus_count_for_auto_bits(embeddings: DataFrame) -> int:
             stacklevel=3,
         )
     return embeddings.count()
+
+
+def _plan_has_filter_or_join(df: DataFrame) -> bool:
+    """True iff the optimized logical plan contains a Filter/Join node.
+
+    Public-API only (ADVICE r8/r9: the old form read the private
+    `_jdf.queryExecution()`): captures `df.explain("extended")` output
+    and matches node names at LINE STARTS of the Optimized Logical
+    Plan section — a relation column named `join_date` or
+    `filtered_at` appears mid-line (`Relation [join_date#1,...]`) and
+    can no longer trigger a permanent false warning. Node-name
+    spelling is pinned by a canary test
+    (tests/test_plans.py::test_plan_sniff_canary) that fails loudly if
+    a Spark upgrade renames Filter/Join in explain output."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    txt = buf.getvalue()
+    m = re.search(
+        r"== Optimized Logical Plan ==\n(.*?)(\n== |\Z)", txt, re.S
+    )
+    section = m.group(1) if m else txt
+    # tree-drawing prefix (spaces, +- :- :) then the node name
+    return bool(
+        re.search(r"^[\s+:\-]*(Filter\b|[A-Za-z]*Join\b)", section, re.M)
+    )
 
 
 def sign_bucket(col_name: str, bits: int = 4) -> F.Column:
@@ -200,6 +226,17 @@ def cosine_topk_bucketed(
         "bucket", "q_bucket"
     )
     return _ranked_topk(_cosine(pruned), k)
+
+
+def _round_half_up6(c):
+    """6dp HALF_UP (round half AWAY from zero) — Spark F.round's
+    rounding mode, emulated so the numpy twin's threshold filter can't
+    flip pair-SET membership against the expr path on a 6dp boundary
+    (np.round is half-to-even; ADVICE r9). sign*floor(|c|*1e6+0.5)/1e6;
+    NaN propagates (floor(NaN)=NaN), -0.0 folds to +0.0 via `+ 0.0`."""
+    import numpy as np
+
+    return np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6 + 0.0
 
 
 def embedding_near_dup_pairs_numpy(
@@ -263,7 +300,7 @@ def embedding_near_dup_pairs_numpy(
         # not by row position
         a, b = ids[iu], ids[ju]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        c = np.round(cos[iu, ju], 6) + 0.0
+        c = _round_half_up6(cos[iu, ju])
         keep = ~np.isnan(c) & (c >= threshold)
         return pd.DataFrame(
             {"vec_a": lo[keep], "vec_b": hi[keep], "cos_sim": c[keep]}

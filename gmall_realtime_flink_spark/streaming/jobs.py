@@ -275,7 +275,13 @@ def stage_table_sorted_split(
     a per-key-ordered Kafka topic provides; JOIN_LATENCY_r09 measured
     it as the 23x per-batch-p95 lever for the stream-stream join
     layers (watermark advances every batch -> state evicts
-    continuously instead of ballooning toward the whole corpus)."""
+    continuously instead of ballooning toward the whole corpus).
+
+    Slice/sentinel ordering is enforced with EXPLICIT os.utime stamps
+    (strictly increasing whole seconds, all in the past), not write
+    timing: on filesystems with coarse (1 s) mtime granularity,
+    back-to-back writes can tie and replay out of order, silently
+    voiding the monotone-event-time contract (ADVICE r9)."""
     import time as _time
 
     import pyarrow as pa
@@ -288,21 +294,24 @@ def stage_table_sorted_split(
     t = t.take(pc.sort_indices(t, sort_keys=[(ts_col, "ascending")]))
     n = t.num_rows
     per = (n + n_files - 1) // n_files
+    base = _time.time() - n_files - 10  # past, 1 s apart, sentinel last
     for k in range(n_files):
         sl = t.slice(k * per, per)
         if sl.num_rows == 0:
             break
-        pq.write_table(sl, os.path.join(out, f"part-{k:03d}.parquet"))
-        _time.sleep(0.02)  # distinct mtimes -> deterministic order
+        p = os.path.join(out, f"part-{k:03d}.parquet")
+        pq.write_table(sl, p)
+        os.utime(p, (base + k,) * 2)
     pf = pq.ParquetFile(src)
     row = pf.read_row_group(0).slice(0, 1).to_pandas()
     mutate(row)
-    _time.sleep(0.02)
+    sp = os.path.join(out, "part-999-sentinel.parquet")
     pq.write_table(
         pa.Table.from_pandas(row, schema=pf.schema_arrow,
                              preserve_index=False),
-        os.path.join(out, "part-999-sentinel.parquet"),
+        sp,
     )
+    os.utime(sp, (base + n_files + 1,) * 2)
     return out
 
 

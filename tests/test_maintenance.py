@@ -265,3 +265,46 @@ def test_bucketed_table_rebuilds_on_stale_fingerprint(spark, tmp_path):
     shutil.copy(part2, tmp_path / "lineitem.parquet")
     t3 = bucketed_table(spark, sf, "lineitem", ("l_partkey",), n_buckets=4)
     assert t3.count() == 50
+
+
+def test_bucketed_table_specs_coexist(spark, tmp_path):
+    """Two DIFFERENT bucketing specs of the same table must land in
+    distinct tables (bucket_cols is part of the key — ADVICE r9:
+    otherwise alternating callers thrash a full drop-and-rewrite per
+    call because the shared fingerprint never matches both specs)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.catalog import bucketed_table
+
+    sf = str(tmp_path)
+    spark.range(60).select(
+        F.col("id").alias("l_partkey"), (F.col("id") % 7).alias("l_suppkey")
+    ).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    part = next((tmp_path / "stage").glob("part-*.parquet"))
+    shutil.copy(part, tmp_path / "lineitem.parquet")
+
+    by_part = bucketed_table(spark, sf, "lineitem", ("l_partkey",), 4)
+    by_supp = bucketed_table(spark, sf, "lineitem", ("l_suppkey",), 4)
+    assert by_part.count() == 60 and by_supp.count() == 60
+
+    # alternate back: the first spec's table must still be current
+    # (reuse, not a rebuild) — its files were never clobbered
+    mtimes_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(
+            os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                    "file:"
+                ),
+                "lineitem_b4_*",
+                "*.parquet",
+            )
+        )
+    }
+    assert mtimes_before, "expected bucketed files on disk"
+    again = bucketed_table(spark, sf, "lineitem", ("l_partkey",), 4)
+    assert again.count() == 60
+    for f, m in mtimes_before.items():
+        assert os.path.getmtime(f) == m, f"rebuild thrash on {f}"

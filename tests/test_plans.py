@@ -377,6 +377,39 @@ def test_auto_bits_count_warns_on_filtered_frame(spark, sf_dir):
     assert any("full" in str(x.message) for x in w), "filtered frame must warn"
 
 
+def test_plan_sniff_canary(spark, sf_dir, tmp_path):
+    """Canary for the public-API plan sniff behind the auto_bits cost
+    warning (ADVICE r8/r9: no `_jdf` in the package). Pins, against a
+    Spark upgrade renaming explain nodes:
+      1. a Filter plan IS detected (a rename makes this fail loudly,
+         not silently disable the warning);
+      2. every join strategy is detected;
+      3. a raw scan whose COLUMNS are named `join_date`/`filtered_at`
+         is NOT detected (the ADVICE r9 false-positive: the old
+         substring match fired on column names inside Relation lines).
+    """
+    from gmall_realtime_flink_spark.operators.similarity import (
+        _plan_has_filter_or_join,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    assert not _plan_has_filter_or_join(raw)
+    assert _plan_has_filter_or_join(raw.filter(F.col("vec_id") > 3))
+    assert _plan_has_filter_or_join(
+        raw.join(raw.select("vec_id"), "vec_id")
+    )
+
+    # raw parquet scan with adversarially-named columns: no warning
+    p = str(tmp_path / "adversarial_cols.parquet")
+    spark.range(5).select(
+        F.col("id").alias("join_date"), F.col("id").alias("filtered_at")
+    ).write.parquet(p)
+    tricky = spark.read.parquet(p)
+    assert not _plan_has_filter_or_join(tricky), (
+        "column named join_date/filtered_at must not read as a plan node"
+    )
+
+
 def test_aqe_skew_join_split_engages(spark):
     """SCALE.md §Skew: a hot join key (30% of the fact on one key) is
     split by AQE across reducers — SortMergeJoin(skew=true) — instead

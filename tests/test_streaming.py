@@ -835,3 +835,34 @@ def test_streaming_distinct_modes_agree(spark, sf_dir, job_name, key):
     for k, ev in exact.items():
         av = approx[k]
         assert abs(av - ev) <= max(2, 0.15 * ev), (k, ev, av)
+
+
+def test_sorted_split_mtimes_strictly_increase(sf_dir):
+    """The ordered-ingestion contract is the mtime order of the staged
+    slices (FileStreamSource replays oldest-first); ADVICE r9: a
+    coarse-mtime filesystem can tie back-to-back writes, so the stamps
+    are now EXPLICIT os.utime values — strictly increasing, sentinel
+    strictly last, regardless of write speed or fs granularity."""
+    import glob
+    import os
+    import shutil
+
+    from gmall_realtime_flink_spark.streaming.jobs import (
+        stage_table_sorted_split,
+    )
+
+    out = stage_table_sorted_split(
+        sf_dir, "orders", "o_orderdate", 8, lambda row: None
+    )
+    try:
+        slices = sorted(glob.glob(os.path.join(out, "part-[0-9][0-9][0-9].parquet")))
+        sentinel = [p for p in slices if p.endswith("999-sentinel.parquet")]
+        slices = [p for p in slices if not p.endswith("sentinel.parquet")]
+        sentinel = os.path.join(out, "part-999-sentinel.parquet")
+        assert os.path.exists(sentinel)
+        assert len(slices) >= 2
+        mtimes = [os.path.getmtime(p) for p in slices]
+        assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:])), mtimes
+        assert os.path.getmtime(sentinel) >= mtimes[-1] + 1.0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
