@@ -61,6 +61,17 @@ def _embedding_cosine_numpy(spark, sf_dir):
     )
 
 
+def _semantic_dedup_numpy(spark, sf_dir):
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup_numpy,
+    )
+
+    return semantic_dedup_numpy(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def _production() -> dict:
     from gmall_realtime_flink_spark.plans.datapipe import (
         dedup_minhash_lsh_xxh_capped,
@@ -96,6 +107,10 @@ def _production() -> dict:
         # parity-pinned within 2e-6 by pytest, expr form stays the
         # oracle surface)
         "dedup_embedding_cosine_numpy": _embedding_cosine_numpy,
+        # SemDeDup production twin (r10): numpy assignment + in-cell
+        # BLAS, hybrid exact-decimal Lloyd means; expr form
+        # dedup_semantic stays the oracle surface
+        "dedup_semantic_numpy": _semantic_dedup_numpy,
     }
 
 

@@ -686,3 +686,256 @@ def hard_negative_pairs(
             "cos_sim", "rk",
         )
     )
+
+
+def auto_cells(
+    n_vectors: int, target_cell: int = 1024, lo: int = 8, hi: int = 4096
+) -> int:
+    """Coarse-cluster count that SCALES with the corpus: ~n/target_cell
+    cells so the per-cell pairwise block stays ~target_cell² regardless
+    of corpus size — the kmeans form of `auto_bits` (a FIXED cell count
+    is exactly the quadratic cliff auto_bits closed at sf10). Mirrored
+    verbatim in the DuckDB oracle:
+    greatest(lo, least(hi, ceil(count(*) / 1024.0)::INT))."""
+    import math
+
+    return max(lo, min(hi, math.ceil(n_vectors / target_cell)))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication — the non-lexical dedup tier. K-means
+    clusters the corpus (the coarse quantizer the IVF index already
+    trains), pairwise cosine runs ONLY within clusters, and of every
+    near-identical group one representative is kept.
+
+    Keep rule (the paper's pruning with a deterministic ordering):
+    vector b is dropped iff some SAME-CELL vector a with a LOWER
+    vec_id has cosine(a, b) >= threshold — i.e. kept iff
+    max_lower_sim < threshold (the paper orders by distance to the
+    centroid; vec_id ordering makes the result engine-reproducible,
+    the same min-id canonicalization the exact-dedup family uses).
+
+    Output: one verdict row per valid vector —
+    (vec_id, cell, max_lower_sim, kept); max_lower_sim is NULL when
+    the vector has no lower-id cell-mate (or only zero-norm ones),
+    and NULL is kept (both engines agree: max skips NULLs,
+    coalesce(NULL < t, TRUE)).
+
+    Scale (100 TB): cluster count auto-scales (`auto_cells`,
+    ~n/1024), so the in-cell pair block stays ~1024² per cell and
+    total pair work is ~n*512 cosines — linear, never all-pairs.
+    The N×K assignment cross is a broadcast of K centroids with a
+    map-side max_by partial agg (linear in N·K); `assigned` is
+    lazily localCheckpoint'd so its three consumers (both self-join
+    sides + the verdict join) share ONE materialization instead of
+    recomputing the cross. The N×K expr fold is the ORACLE surface —
+    the production path is `semantic_dedup_numpy`, which runs both
+    the assignment scan and the in-cell block on batch BLAS (the
+    measured-99× `embedding_near_dup_pairs_numpy` split)."""
+    if n_cells is None:
+        n_cells = auto_cells(corpus_count_for_auto_bits(embeddings))
+    cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=iters)
+    e = valid_embeddings(embeddings).select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    )
+    assigned = (
+        _centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cell"),
+            F.first("emb").alias("emb"),
+        )
+        # materialized ONCE (lazily): three consumers (two self-join
+        # sides + the verdict join) would otherwise each recompute the
+        # N×K assignment cross
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cell").alias("a_cell"),
+        F.col("emb").alias("emb_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("emb").alias("emb_b"),
+    )
+    pairs = a.join(
+        b, (F.col("a_cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id"))
+    )
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
+    nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
+    # try_divide: zero-norm pair cosine is NULL in both engines (the
+    # oracle divides list_dot_products explicitly — DuckDB's native
+    # list_cosine_similarity returns -1.0 on a zero vector, which
+    # would poison the max)
+    s = F.round(F.try_divide(dot, na * nb), 6) + F.lit(0.0)
+    mls = (
+        pairs.select(F.col("b_id").alias("vec_id"), s.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_lower_sim"))
+    )
+    return assigned.drop("emb").join(mls, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "max_lower_sim",
+        F.coalesce(
+            F.col("max_lower_sim") < F.lit(threshold), F.lit(True)
+        ).alias("kept"),
+    )
+
+
+def _np_assign_cells(pdf, cu, cids):
+    """Per-batch nearest-centroid assignment, HALF_UP-6dp rounded sims,
+    ties and all-NULL (zero-norm) to the LOWEST cid — the numpy image
+    of the expr path's max_by((c_sim, -cid)) with try_divide NULLs."""
+    import numpy as np
+
+    m = np.stack(pdf["emb"].to_numpy())
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(nrm > 0, m / np.where(nrm > 0, nrm, 1.0), np.nan) @ cu.T
+    r = _round_half_up6(sims)
+    r = np.where(np.isnan(r), -np.inf, r)  # NULL sims sort last
+    # cids ascend, argmax returns the FIRST max -> lowest cid on ties
+    return cids[np.argmax(r, axis=1)]
+
+
+def semantic_dedup_numpy(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """The BLAS production twin of `semantic_dedup` (the established
+    expr-oracle / numpy-production split of the ANN family): every
+    N×K or in-cell N² scan runs as a numpy matmul inside Arrow
+    batches instead of a JVM scalar fold per element —
+    `embedding_near_dup_pairs_numpy` measured this swap at 99× on the
+    same shape at sf100.
+
+    Training stays HYBRID so centroids are bit-identical to the expr
+    path: assignment per Lloyd iteration is numpy (mapInPandas,
+    broadcast K×d centroid matrix), but the new means are the SAME
+    exact-DECIMAL(38,12) posexplode aggregate kmeans_centroids uses
+    (order-independent — a float64 mean would drift with partition
+    order and flake the parity pin). The per-iteration driver collect
+    is the MODEL, K×d doubles (≤4096×dim, a few MB) — the bounded
+    broadcast-dim exception, independent of corpus size.
+
+    Parity with semantic_dedup is pytest-pinned: identical kept SETS,
+    max_lower_sim within 2e-6 (different float64 summation order,
+    same arithmetic)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if n_cells is None:
+        n_cells = auto_cells(corpus_count_for_auto_bits(embeddings))
+    e = valid_embeddings(embeddings).select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    ).localCheckpoint(eager=False)
+
+    seed_rows = (
+        e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
+    )
+    cids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
+    cent = np.stack([np.asarray(r.emb, dtype=np.float64) for r in seed_rows])
+
+    assign_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("emb", T.ArrayType(T.DoubleType())),
+    ])
+
+    def assign_with(cent_arr):
+        cn = np.linalg.norm(cent_arr, axis=1, keepdims=True)
+        cu = np.where(cn > 0, cent_arr / np.where(cn > 0, cn, 1.0), np.nan)
+
+        def batches(it):
+            for pdf in it:
+                if len(pdf):
+                    pdf = pdf.assign(cell=_np_assign_cells(pdf, cu, cids))
+                else:
+                    pdf = pdf.assign(cell=pd.Series([], dtype="int64"))
+                yield pdf[["vec_id", "cell", "emb"]]
+
+        return e.mapInPandas(batches, assign_schema)
+
+    spark = embeddings.sparkSession
+    for _ in range(iters):
+        assigned = assign_with(cent)
+        # exact decimal means (kmeans_centroids' aggregate, verbatim)
+        means = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mvec")
+            )
+            .collect()
+        )
+        by_cell = {r.cell: np.asarray(r.mvec, dtype=np.float64) for r in means}
+        cent = np.stack(
+            [by_cell.get(c, cent[i]) for i, c in enumerate(cids)]
+        )
+
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("max_lower_sim", T.DoubleType()),
+        T.StructField("kept", T.BooleanType()),
+    ])
+
+    def cell_verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "max_lower_sim": pd.Series([], dtype="float64"),
+                "kept": pd.Series([], dtype="bool"),
+            })
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy())
+        nrm = np.linalg.norm(m, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (m @ m.T) / np.outer(nrm, nrm)
+        r = np.where(np.outer(nrm, nrm) > 0, _round_half_up6(cos), -np.inf)
+        # ids ascend with row index: M_i = max over j < i (lower ids)
+        low = np.where(
+            np.arange(len(ids))[None, :] < np.arange(len(ids))[:, None],
+            r,
+            -np.inf,
+        )
+        mls = low.max(axis=1)
+        has = mls > -np.inf
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cell": pdf["cell"].to_numpy(),
+            "max_lower_sim": np.where(has, mls, np.nan),
+            "kept": ~has | (mls < threshold),
+        })
+
+    return assign_with(cent).groupBy("cell").applyInPandas(
+        cell_verdicts, out_schema
+    )

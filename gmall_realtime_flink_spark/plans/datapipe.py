@@ -2263,6 +2263,114 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dynamic-K kmeans training + assignment, the DuckDB transliteration of
+# operators/similarity.kmeans_centroids with auto_cells(count) cells
+# (the similarity_topk_ivf oracle is the fixed-K=8 form of the same
+# chain). Produces CTEs: eall (valid vectors), nk (cell count), cent
+# (trained centroids after 2 Lloyd iterations), assign (vec_id, emb,
+# cell). Assignment similarity uses list_cosine_similarity like the
+# trained-IVF oracle (its -1.0-on-zero-norm quirk is absorbed by the
+# rank ordering — see semantic_dedup's docstring); VALUE cosines that
+# enter an aggregate use explicit list_dot_product division instead,
+# which is NULL on zero norms in both engines.
+_KMEANS_DYN_CTES = """
+    eall AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+    nk AS (
+      SELECT greatest(8, least(4096, ceil(count(*) / 1024.0)::INT)) AS k
+      FROM embeddings),
+    cent0 AS (
+      SELECT vec_id AS cid, emb AS cvec FROM eall
+      WHERE vec_id < (SELECT k FROM nk)),
+    a1 AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM eall e, cent0 c) WHERE rn = 1),
+    m1 AS (
+      SELECT cell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT cell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM a1)
+      GROUP BY cell, pos),
+    cent1 AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM cent0 c LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS mvec FROM m1 GROUP BY cell
+      ) m ON c.cid = m.cell),
+    a2 AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM eall e, cent1 c) WHERE rn = 1),
+    m2 AS (
+      SELECT cell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT cell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM a2)
+      GROUP BY cell, pos),
+    cent AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM cent1 c LEFT JOIN (
+        SELECT cell, list(m ORDER BY pos) AS mvec FROM m2 GROUP BY cell
+      ) m ON c.cid = m.cell),
+    assign AS (
+      SELECT vec_id, emb, cid AS cell FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
+                          DESC, c.cid) AS rn
+        FROM eall e, cent c) WHERE rn = 1)
+"""
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_KMEANS_DYN_CTES},
+    mls AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0)
+               AS max_lower_sim
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id)
+    SELECT s.vec_id, s.cell, m.max_lower_sim,
+           coalesce(m.max_lower_sim < 0.4, TRUE) AS kept
+    FROM assign s LEFT JOIN mls m ON s.vec_id = m.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): embedding-space semantic dedup "
+    "— kmeans-cluster the corpus (auto-scaled cell count, ~n/1024, "
+    "2 deterministic Lloyd iterations — the IVF training), pairwise "
+    "cosine ONLY within cells, keep one representative per "
+    "near-identical group (dropped iff a lower-id cell-mate has "
+    "cosine >= 0.4). Output is the per-vector verdict (vec_id, cell, "
+    "max_lower_sim, kept). The expr fold is the oracle surface; "
+    "semantic_dedup_numpy is the BLAS production twin (parity-pinned, "
+    "benched). Completes the dedup ladder: exact / MinHash / SimHash "
+    "/ PPJoin / substring are lexical, this is the semantic tier.",
+    tags=("datapipe", "dedup", "similarity", "kmeans"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.4)  # cells auto-scaled
+
+
 @register(
     "split_leakage_check",
     oracle=f"""

@@ -754,3 +754,36 @@ def test_embedding_near_dup_numpy_matches_expr(spark, sf_dir):
     assert expr_rows, "parity test needs a non-empty pair set"
     for k, v in expr_rows.items():
         assert abs(v - np_rows[k]) <= 2e-6, (k, v, np_rows[k])
+
+
+def test_semantic_dedup_numpy_matches_expr(spark):
+    """SemDeDup's BLAS production twin must agree with the oracle-gated
+    expr path: identical cell assignment and kept SETS, max_lower_sim
+    within 2e-6 (different float64 summation order, same arithmetic —
+    the established twin contract). Run at sf0.1 (2000 vectors, 289
+    drops) so the kept set is non-trivial."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_numpy,
+    )
+
+    e = load(spark, "/root/testdata/sf0.1", "embeddings")
+    expr_rows = {
+        r.vec_id: (r.cell, r.max_lower_sim, r.kept)
+        for r in semantic_dedup(e, threshold=0.4).collect()
+    }
+    np_rows = {
+        r.vec_id: (r.cell, r.max_lower_sim, r.kept)
+        for r in semantic_dedup_numpy(e, threshold=0.4).collect()
+    }
+    assert expr_rows.keys() == np_rows.keys()
+    assert sum(1 for c, m, k in expr_rows.values() if not k) > 0
+    for vid, (cell, m, kept) in expr_rows.items():
+        ncell, nm, nkept = np_rows[vid]
+        assert cell == ncell, (vid, cell, ncell)
+        assert kept == nkept, (vid, kept, nkept)
+        if m is None:
+            assert nm is None, (vid, nm)
+        else:
+            assert nm is not None and abs(m - nm) <= 2e-6, (vid, m, nm)
