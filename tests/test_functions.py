@@ -787,3 +787,61 @@ def test_semantic_dedup_numpy_matches_expr(spark):
             assert nm is None, (vid, nm)
         else:
             assert nm is not None and abs(m - nm) <= 2e-6, (vid, m, nm)
+
+
+def test_decode_media_parses_foreign_bytes():
+    """decode_media must be a real parser, not an echo of the payload
+    generator: hand-built payloads (top-down BMP, PPM with commentless
+    multi-digit dims, WAV with an extra chunk BEFORE data) decode
+    correctly, and compressed/unknown magics fail honestly."""
+    import struct
+
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.multimodal import decode_media
+
+    # BMP with NEGATIVE height (top-down row order) and stride padding:
+    # 2x2 px, rows are 6 bytes + 2 padding. Top row pixels 1, bottom 2.
+    w, h = 2, 2
+    stride = 8
+    header = struct.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                       stride * h, 0, 0, 0, 0)
+    rows = bytes([1] * 6) + b"\x00\x00" + bytes([2] * 6) + b"\x00\x00"
+    d = decode_media(header + info + rows)
+    assert (d["width"], d["height"]) == (2, 2)
+    # top-down file: first stored row IS the top row; padding stripped
+    assert d["values"] == bytes([1] * 6 + [2] * 6)
+
+    # PPM with multi-digit dims and newline/space mixing
+    d = decode_media(b"P6\n12 1\n255\n" + bytes(range(36)))
+    assert (d["width"], d["height"]) == (12, 1)
+    assert d["values"] == bytes(range(36))
+
+    # WAV with a LIST chunk between fmt and data (chunk walk, not
+    # fixed offsets) and an odd-sized chunk (word alignment)
+    samples = struct.pack("<3h", 10, -20, 30)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 24 + 12 + 5 + 1 + 14, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + struct.pack("<HHIIHH", 1, 1, 22050, 44100, 2, 16)
+        + struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd+pad
+        + struct.pack("<4sI", b"data", 6) + samples
+    )
+    d = decode_media(wav)
+    assert d["sample_rate"] == 22050 and d["values"] == [10, -20, 30]
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n....")
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00\x00\x18ftypmp42")
+    with _pytest.raises(ValueError):
+        decode_media(b"ZZZZZZZZ")
+    # stereo / non-PCM / deep BMP are named, not silently misread
+    with _pytest.raises(NotImplementedError):
+        decode_media(
+            struct.pack("<4sI4s", b"RIFF", 40, b"WAVE")
+            + struct.pack("<4sI", b"fmt ", 16)
+            + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+            + struct.pack("<4sI", b"data", 0)
+        )
