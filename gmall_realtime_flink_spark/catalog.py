@@ -75,7 +75,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return normalize_timestamps(df)
+        # Measure quarantine: a non-finite `value` becomes NULL at the
+        # scan — the ingestion contract for free-form measure doubles.
+        # Money/ratio consumers (cents_sum, DECIMAL-exact moments)
+        # require finite inputs in BOTH engines (DuckDB RAISES on
+        # CAST(NaN AS DECIMAL) and stddev(NaN); Spark silently casts
+        # NaN->NULL->0 depending on the path), so the engine pins ONE
+        # rule once, here, mirrored in the DuckDB oracle view
+        # (oracle.duckdb_connect). Pinned by the adversarial corpus
+        # NaN/±Inf event rows.
+        return normalize_timestamps(
+            df.withColumn(
+                "value",
+                F.when(
+                    F.isnan("value")
+                    | (F.abs("value") == F.lit(float("inf"))),
+                    F.lit(None).cast("double"),
+                ).otherwise(F.col("value")),
+            )
+        )
     return normalize_timestamps(spark.read.parquet(table_path(sf_dir, name)))
 
 

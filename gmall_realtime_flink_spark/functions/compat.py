@@ -53,7 +53,19 @@ def cents_sum(col: Column | str, scale: int = 2) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     if _os.environ.get("SPARK_GRAFT_DEBUG_ASSERTS") == "1":
-        bad = (c < 0) | (F.round(c, 2) != c)
+        # isnan/inf explicitly: NaN evades BOTH other predicates
+        # (Spark's NaN ordering makes NaN < 0 false, and its SQL
+        # equality treats NaN = NaN as true so round(NaN,2) != NaN is
+        # false too) — yet (NaN*100+0.5) cast long is silently 0.
+        # Money columns are finite BY CONTRACT (free-form measures are
+        # quarantined at the scan instead — catalog.load); the debug
+        # assert is where a contract breach surfaces loudly.
+        bad = (
+            (c < 0)
+            | (F.round(c, 2) != c)
+            | F.isnan(c)
+            | (F.abs(c) == F.lit(float("inf")))
+        )
         c = F.when(
             bad,
             F.raise_error(

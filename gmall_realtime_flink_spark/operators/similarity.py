@@ -33,16 +33,24 @@ AS_DOUBLE = "transform({c}, x -> cast(x as double))"
 
 
 def valid_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
-    """Rows whose vector is usable: a non-NULL array with no NULL
-    element. The engines disagree on NULL-element arithmetic (DuckDB
-    list_sum SKIPS NULL elements and list_cosine_similarity raises;
-    Spark's aggregate/zip_with folds propagate NULL), so the data
-    model excludes such vectors from every vector operator at the
-    scan — pinned by the adversarial corpus row vec_id=67. The
+    """Rows whose vector is usable: a non-NULL array whose elements are
+    all non-NULL and FINITE. The engines disagree on NULL-element
+    arithmetic (DuckDB list_sum SKIPS NULL elements and
+    list_cosine_similarity raises; Spark's aggregate/zip_with folds
+    propagate NULL) and on non-finite arithmetic (NaN ordering,
+    NaN/Inf in aggregates — DuckDB's stddev/DECIMAL casts RAISE on
+    NaN), so the data model excludes such vectors from every vector
+    operator at the scan — pinned by the adversarial corpus rows
+    vec_id=67 (NULL element) and 68-70 (NaN/±Inf elements). The
     predicate is NULL for a whole-NULL array, so those rows drop too
     (zero-NORM vectors stay: their elements are valid, and both
     engines agree on NULL-on-divide-by-zero cosine)."""
-    return df.filter(F.expr(f"NOT exists({col}, x -> x IS NULL)"))
+    return df.filter(
+        F.expr(
+            f"NOT exists({col}, x -> x IS NULL OR isnan(x) "
+            "OR abs(cast(x AS DOUBLE)) = double('Infinity'))"
+        )
+    )
 
 
 def _with_query(
@@ -581,7 +589,12 @@ def knn_self_join(
     if bits is None:
         bits = auto_bits(corpus_count_for_auto_bits(embeddings))
     e = (
-        embeddings.select(
+        # valid_embeddings FIRST: a NaN-element vector folds to a NaN
+        # norm, and Spark's NaN ordering makes `NaN > 0` TRUE — the
+        # norm filter alone would let non-finite vectors into the
+        # graph (caught by the r10 hostile-rows gate)
+        valid_embeddings(embeddings)
+        .select(
             "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
         )
         .withColumn("bucket", sign_bucket("emb", bits))
@@ -642,7 +655,10 @@ def hard_negative_pairs(
     if bits is None:
         bits = auto_bits(corpus_count_for_auto_bits(embeddings))
     e = (
-        embeddings.select(
+        # valid_embeddings first — see knn_self_join: NaN norms pass a
+        # bare `> 0` under Spark's NaN ordering
+        valid_embeddings(embeddings)
+        .select(
             "vec_id",
             "label",
             F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),

@@ -22,6 +22,18 @@ from gmall_realtime_flink_spark.plans.registry import QuerySpec
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        if t == "events":
+            # mirror catalog.load's measure quarantine: non-finite
+            # `value` is NULL at the scan in BOTH engines (DuckDB
+            # raises on CAST(NaN AS DECIMAL)/stddev(NaN); money
+            # consumers require finite inputs by contract)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE ("
+                "CASE WHEN isnan(value) OR isinf(value) THEN NULL "
+                "ELSE value END AS value) "
+                f"FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+            continue
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )

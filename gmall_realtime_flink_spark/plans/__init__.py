@@ -29,53 +29,52 @@ from gmall_realtime_flink_spark.plans import olap  # noqa: E402,F401
 # routing, S4 SQL-over-stream). Everything NOT in the head is still
 # oracle-gated locally: tests/test_oracle.py runs ALL registry
 # entries dtype-strict against DuckDB.
-# ROUND-9 HEAD ROTATION (VERDICT r8 item 8): after r8, 25 of 168
-# registry entries had never had an independent-process driver hash
-# check (measured across artifacts/r01-r07 + CORRECTNESS_r08 —
-# audit artifact: DRIVER_COVERAGE_r09.json, emitted by
-# tools/audit_driver_coverage.py). This head spends every
-# non-headline, non-family-representative slot on that backlog:
-# 11 headline + ALL 25 never-checked (including this round's new
-# product_stats_bucketed and dedup_substring_spans) + 10 macro-family
-# representatives (so each family keeps a per-round independent
-# check) + the 4 stalest r03-last-checked olap entries = 50. If the
-# driver head runs green this round, every registry entry will have
-# at least one driver check on record. Everything rotated OUT retains
-# multi-round driver-green history and stays oracle-gated locally
-# every test run (tests/test_oracle.py: 168/168, plus the standing
-# adversarial/empty gates pinned by test_registry.py).
+# ROUND-10 HEAD ROTATION (VERDICT r9 item 2): the r9 head cleared 29
+# of the 32-entry never-driver-checked backlog; what remains is the
+# 3-entry residue (bpe_pair_counts, corpus_mix_temperature,
+# doc_substring_dup_ratio) plus this round's 2 new entries
+# (dedup_semantic, multimodal_decode_stats) — all 5 are in this head,
+# so a green CORRECTNESS_r10 makes never_checked = [] (audit:
+# DRIVER_COVERAGE_r10.json, tools/audit_driver_coverage.py). The
+# remaining slots burn down STALENESS instead: 23 of the 26 entries
+# whose last driver check was r03 plus the single r05 entry
+# (visitor_stats_4d), then the 10 macro-family representatives
+# test_registry pins (streaming stateful / streaming dedup / sketch /
+# dedup / text-quality / OLAP keep a per-round independent check).
+# 11 headline + 5 + 24 + 10 = 50. The three r03 entries that didn't
+# fit (user_sessions, visitor_stats_sliding, volume_shipping) queue
+# for the r11 rotation.
+# Everything rotated OUT retains multi-round driver-green history and
+# stays oracle-gated locally every test run (tests/test_oracle.py
+# full registry, plus the standing adversarial/empty gates pinned by
+# test_registry.py).
 _DRIVER_PRIORITY = [
     # headline bench set (bench.py tracks these per round)
     "visitor_stats", "order_wide", "order_enriched", "product_stats",
     "province_stats", "product_stats_union", "keyword_stats",
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "pricing_summary",
-    # never driver-checked backlog (the complete list as of r08)
-    "product_stats_bucketed", "dedup_substring_spans",
-    "dedup_simhash_hamming_wide_capped",
-    "dirty_split", "keyword_stats_udtf", "integrity_checks",
-    "order_customer_salted", "user_sessions_native", "key_skew_report",
-    "daily_gmv_moving_7d", "purchase_dim_temporal_join",
-    "repeat_buyer_intersect", "churned_buyers_except",
-    "doc_sample_uniform_k", "label_centroids", "embedding_quantize_int8",
-    "embedding_pq_codes", "split_leakage_check", "corpus_shuffle",
-    "doc_pack", "doc_chunk_pack", "similarity_recall_curve",
-    "doc_sample_per_group", "events_anomaly_zscore", "corpus_mix_budget",
-    # macro-family representatives (keep one per-round independent
-    # check per family: streaming stateful, streaming dedup/sketch,
-    # dedup, text-quality, sketches, OLAP)
+    # never driver-checked: the r9 residue + this round's new entries
+    "bpe_pair_counts", "corpus_mix_temperature",
+    "doc_substring_dup_ratio", "dedup_semantic",
+    "multimodal_decode_stats",
+    # staleness burn-down: 23 of the 26 last-checked-r03 entries + the
+    # one r05 entry (visitor_stats_4d)
+    "cheapest_supplier_per_part", "customers_no_orders",
+    "discount_revenue", "keyword_stats_mixed", "large_orders",
+    "late_shipment_priority", "nation_revenue", "order_priority_semi",
+    "price_quantiles", "price_tier_stats", "promo_revenue_pct",
+    "purchase_attribution", "revenue_cube", "revenue_grouping_sets",
+    "revenue_pivot", "revenue_rollup", "segment_running_total",
+    "session_funnel", "shipping_priority", "top_products",
+    "top_products_per_month", "user_age", "user_dim_scd2",
+    "visitor_stats_4d",
+    # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",
     "dedup_simhash_hamming", "dedup_pagerank",
     "dedup_jaccard_complete_capped", "doc_lm_surprisal",
     "doc_hll_cardinality", "market_share",
-    # round-9 additions registered after the rotation was laid out —
-    # driver-check them THIS round rather than queueing a full cycle
-    # (the 4 stalest-r03 olap entries they displace have multi-round
-    # green history; doc_substring_dup_ratio + corpus_mix_temperature
-    # queue for r10, being thin derivations of gated machinery)
-    "dedup_substring_incremental", "streaming_dedup_substring",
-    "dedup_substring_clean", "dedup_lsh_recall",
 ]
 
 

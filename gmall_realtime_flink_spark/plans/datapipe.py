@@ -505,7 +505,8 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
       FROM embeddings WHERE vec_id = 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     scored AS (
       SELECT e.vec_id,
              round(list_cosine_similarity(
@@ -537,7 +538,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
       FROM embeddings WHERE vec_id = 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     b AS (
       SELECT e.vec_id,
              list_transform(e.embedding, x -> x::DOUBLE) AS de, q.qe,
@@ -587,8 +589,9 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CASE WHEN embedding[i] >= 0
                     THEN (1 << (i - 1)) ELSE 0 END))::INT AS bucket
       FROM embeddings
-      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
+      -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)
     SELECT vec_a, vec_b, cos_sim FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim
@@ -852,8 +855,9 @@ def doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
       FROM embeddings
-      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+      -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     cent0 AS (SELECT vec_id AS cid, emb AS cvec FROM eall WHERE vec_id < 8),
     -- Lloyd iteration 1: argmax-cosine assignment, exact-decimal means
     a1 AS (
@@ -1045,7 +1049,11 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
           SELECT label, unnest(list_transform(embedding, x -> x::DOUBLE)) AS v,
                  unnest(generate_series(1, len(embedding))) AS pos
-          FROM embeddings)
+          FROM embeddings
+          -- NULL/per-element-NULL/NON-FINITE vectors excluded
+          -- (valid_embeddings rule: DuckDB raises on NaN -> DECIMAL)
+          WHERE len(list_filter(embedding,
+            x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)
         GROUP BY label, pos)
       GROUP BY label)
     """,
@@ -1060,7 +1068,11 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "embedding", "agg"),
 )
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    from gmall_realtime_flink_spark.operators.similarity import (
+        valid_embeddings,
+    )
+
+    e = valid_embeddings(load(spark, sf_dir, "embeddings"))
     exploded = e.select(
         "label",
         F.posexplode(
@@ -1461,7 +1473,8 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- NULL/per-element-NULL vectors excluded (valid_embeddings
           -- rule: DuckDB list_aggregate skips NULL elements, Spark's
           -- fold propagates — recon_mse would diverge)
-          WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)))
+          WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)))
     """,
     doc="Int8 embedding quantization (the PQ-lite storage path for "
     "100 TB vector corpora: 4x smaller than float32, scan-friendly): "
@@ -1902,7 +1915,8 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- list_sum SKIPS a NULL element while Spark aggregate
       -- propagates it, so per-element NULLs are excluded explicitly)
       WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         AND list_sum(list_transform(embedding,
               x -> (x::DOUBLE)*(x::DOUBLE))) > 0)
     SELECT vec_a, vec_b, cos_sim, rk FROM (
@@ -2116,7 +2130,8 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
       FROM embeddings WHERE vec_id = 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     scored AS (
       SELECT e.vec_id, e.label,
              round(list_cosine_similarity(
@@ -2180,12 +2195,14 @@ def _pq_sql_code(sub: int) -> str:
       SELECT
         {", ".join(f"max(CASE WHEN vec_id = {i} THEN list_transform(embedding, x -> x::DOUBLE) END) AS c{i}" for i in range(4))}
       FROM embeddings WHERE vec_id < 4
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
-      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+      -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     d AS (
       SELECT vec_id,
         {", ".join(f"{_pq_sql_dist(j, i)} AS d{j}_{i}" for j in range(8) for i in range(4))}
@@ -2276,8 +2293,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
-      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0)
+      -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)
     SELECT c.doc_a, c.doc_b,
            round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cos_sim,
            (round(list_cosine_similarity(a.v, b.v), 6) >= 0.2) AS is_dup
@@ -2345,8 +2363,9 @@ _KMEANS_DYN_CTES = """
     eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
       FROM embeddings
-      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+      -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     nk AS (
       SELECT greatest(8, least(4096, ceil(count(*) / 1024.0)::INT)) AS k
       FROM embeddings),
@@ -2870,7 +2889,8 @@ def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT list_transform(embedding, x -> x::DOUBLE) AS qe
       FROM embeddings WHERE vec_id = 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        AND len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     scored_e AS (
       SELECT e.vec_id,
              round(list_cosine_similarity(
@@ -2939,8 +2959,9 @@ _IVF_TRAINED_CENT_SQL = """
     eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
       FROM embeddings
-      -- NULL/per-element-NULL vectors excluded (valid_embeddings rule)
-      WHERE len(list_filter(embedding, x -> x IS NULL)) = 0),
+      -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
     cent0 AS (SELECT vec_id AS cid, emb AS cvec FROM eall WHERE vec_id < 8),
     a1 AS (
       SELECT vec_id, emb, cid AS cell FROM (
@@ -3478,7 +3499,8 @@ def dedup_jaccard_complete_capped(spark: SparkSession, sf_dir: str) -> DataFrame
       -- zero-norm / NULL / per-element-NULL vectors excluded
       -- (see knn_graph oracle note)
       WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
         AND list_sum(list_transform(embedding,
               x -> (x::DOUBLE)*(x::DOUBLE))) > 0)
     SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rk

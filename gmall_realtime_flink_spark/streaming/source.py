@@ -47,6 +47,17 @@ def stream_events(
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if "value" in raw_schema.fieldNames():
+        # measure quarantine, identical to batch catalog.load: a
+        # non-finite `value` is NULL at the scan (money/ratio
+        # consumers require finite inputs; see catalog.load)
+        df = df.withColumn(
+            "value",
+            F.when(
+                F.isnan("value") | (F.abs("value") == F.lit(float("inf"))),
+                F.lit(None).cast("double"),
+            ).otherwise(F.col("value")),
+        )
     return df.withWatermark("ts", watermark)
 
 

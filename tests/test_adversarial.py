@@ -21,6 +21,7 @@ per-round; ~200 s each).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from gmall_realtime_flink_spark.oracle import compare_query
 from gmall_realtime_flink_spark.plans import REGISTRY
@@ -55,6 +56,15 @@ ONCE_FAILING = [
     "streaming_uv_dropdup_wm",
     "streaming_order_wide_left",
     "chained_province_stats",
+    # round-10 non-finite classes: NaN/±Inf embedding elements (the
+    # r10 hostile-rows gate caught knn/contrastive passing NaN norms
+    # through `nrm > 0` under Spark's NaN ordering, and label
+    # centroids erroring DuckDB's NaN->DECIMAL cast) and NaN/±Inf
+    # event measures (quarantined to NULL at the scan in both engines)
+    "label_centroids",
+    "dedup_semantic",
+    "events_anomaly_zscore",
+    "visitor_stats",
 ]
 
 
@@ -71,3 +81,70 @@ def adv_dir(tmp_path_factory) -> str:
 def test_once_failing_entry_stays_green_on_hostile_rows(spark, adv_dir, name):
     res = compare_query(spark, REGISTRY[name], adv_dir)
     assert res.ok, f"{name}: {res.detail}"
+
+
+def test_nonfinite_embeddings_excluded(spark, adv_dir):
+    """valid_embeddings' finite-vector rule: NaN/±Inf-element vectors
+    (adversarial vec_id 68-71) are excluded at the scan, exactly like
+    NULL-element ones — Spark NaN ordering would otherwise let them
+    through norm filters (NaN > 0 is TRUE) and DuckDB raises on
+    NaN -> DECIMAL."""
+    from gmall_realtime_flink_spark.catalog import load
+    from gmall_realtime_flink_spark.operators.similarity import (
+        valid_embeddings,
+    )
+
+    e = load(spark, adv_dir, "embeddings")
+    kept = {r.vec_id for r in valid_embeddings(e).select("vec_id").collect()}
+    assert {68, 69, 70, 71}.isdisjoint(kept)
+    assert {60, 61, 62}.issubset(kept)  # finite (incl. zero-norm) stay
+
+
+def test_nonfinite_measures_quarantined(spark, adv_dir):
+    """catalog.load / stream_events null a non-finite events.value at
+    the scan (event_id 3009-3011: NaN/+Inf/-Inf) — the measure
+    contract that keeps money/ratio consumers cross-engine safe
+    (DuckDB raises on CAST(NaN AS DECIMAL) and stddev(NaN))."""
+    from gmall_realtime_flink_spark.catalog import load
+
+    e = load(spark, adv_dir, "events")
+    rows = {
+        r.event_id: r.value
+        for r in e.filter(F.col("event_id") >= 3009).collect()
+    }
+    assert rows == {3009: None, 3010: None, 3011: None}
+
+    from gmall_realtime_flink_spark.streaming.jobs import events_path
+    from gmall_realtime_flink_spark.streaming.jobs import run_bounded
+    from gmall_realtime_flink_spark.streaming.source import stream_events
+
+    s = stream_events(spark, events_path(adv_dir))
+    got = run_bounded(
+        s.filter(F.col("event_id") >= 3009).select("event_id", "value"),
+        spark,
+    )
+    srows = {r.event_id: r.value for r in got.collect()}
+    assert srows == rows
+
+
+def test_cents_sum_debug_assert_catches_nonfinite(spark, monkeypatch):
+    """cents_sum's debug assert must catch NaN/Inf explicitly: Spark's
+    NaN semantics make both other predicates pass (NaN < 0 is false;
+    NaN = NaN is true so round(NaN) != NaN is false), yet the long
+    cast silently yields 0 cents."""
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.functions.compat import cents_sum
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_ASSERTS", "1")
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),)], "v double"
+    )
+    with _pytest.raises(Exception, match="precondition"):
+        df.agg(cents_sum("v").alias("s")).collect()
+    df2 = spark.createDataFrame([(1.0,), (float("inf"),)], "v double")
+    with _pytest.raises(Exception, match="precondition"):
+        df2.agg(cents_sum("v").alias("s")).collect()
+    # finite 2dp money still sums clean under the assert
+    ok = spark.createDataFrame([(1.25,), (2.75,)], "v double")
+    assert ok.agg(cents_sum("v").alias("s")).collect()[0].s == 4.0

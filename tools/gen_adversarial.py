@@ -175,17 +175,26 @@ def gen_adversarial(out: str) -> None:
         # boundaries; 3005: null user (keyBy null); 3006: null value +
         # empty props; 3007: event_type outside the reference domain;
         # 3008: props with extra keys. ts stays NON-null by data model.
-        "event_id": [3000 + i for i in range(9)],
+        # 3009-11: NON-FINITE measures (NaN/±Inf value) — quarantined
+        # to NULL at the scan in BOTH engines (catalog.load /
+        # oracle.duckdb_connect; DuckDB raises on CAST(NaN AS DECIMAL)
+        # and stddev(NaN), so a raw NaN reaching a money/ratio
+        # consumer is a cross-engine divergence, not just a bad row).
+        "event_id": [3000 + i for i in range(12)],
         "ts": [t0, t0, t0,
                t0 + 10 * US, t0 + 20 * US,
-               t0 + 1, t0 + 2, t0 + 3, t0 + 4],
-        "user_id": [7, 7, 7, 8, 8, None, 9, 9, 9],
+               t0 + 1, t0 + 2, t0 + 3, t0 + 4,
+               t0 + 5, t0 + 6, t0 + 7],
+        "user_id": [7, 7, 7, 8, 8, None, 9, 9, 9, 10, 10, 10],
         "event_type": ["view", "click", "view", "view", "view",
-                       "click", "view", "mystery_event", "purchase"],
-        "value": [1.0, 1.0, None, 2.0, 2.0, 3.0, None, 4.0, 5.0],
+                       "click", "view", "mystery_event", "purchase",
+                       "view", "click", "purchase"],
+        "value": [1.0, 1.0, None, 2.0, 2.0, 3.0, None, 4.0, 5.0,
+                  float("nan"), float("inf"), float("-inf")],
         "props": ['{"k": 1}', '{"k": 1}', '{"k": 2}', '{}', '{"k": 3}',
                   None, '{"k": 4}', '{"k": 5}',
-                  '{"k": 6, "extra": "ignored"}'],
+                  '{"k": 6, "extra": "ignored"}',
+                  '{"k": 7}', '{"k": 8}', '{"k": 9}'],
     })
     long_doc = "spark " * 1000
     dup_base = "the fast key order sort table scan merge part window"
@@ -212,13 +221,21 @@ def gen_adversarial(out: str) -> None:
         # 65: null array; 66: null label; 67: per-element NULL (a
         # non-null array with one NULL float — DuckDB list_sum skips
         # NULL elements while Spark aggregate propagates them, so
-        # every embedding consumer must pin down which semantics wins)
-        "vec_id": [60, 61, 62, 63, 64, 65, 66, 67],
+        # every embedding consumer must pin down which semantics wins);
+        # 68-70: NON-FINITE elements (NaN / +Inf / -Inf — engines
+        # disagree on NaN ordering/equality and DuckDB raises on
+        # NaN→DECIMAL, so valid_embeddings excludes non-finite vectors
+        # at the scan); 71: NaN AND Inf mixed in one vector
+        "vec_id": [60, 61, 62, 63, 64, 65, 66, 67, 68, 69, 70, 71],
         "embedding": [unit.tolist(), unit.tolist(),
                       [0.0] * 64, [1e-30] * 64, [1e6] * 64,
                       None, unit.tolist(),
-                      [None] + unit.tolist()[1:]],
-        "label": [0, 0, 1, 2, 3, 4, None, 5],
+                      [None] + unit.tolist()[1:],
+                      [float("nan")] + unit.tolist()[1:],
+                      [float("inf")] + unit.tolist()[1:],
+                      unit.tolist()[:-1] + [float("-inf")],
+                      [float("nan"), float("inf")] + unit.tolist()[2:]],
+        "label": [0, 0, 1, 2, 3, 4, None, 5, 6, 7, 8, 9],
     })
     with open(os.path.join(out, "MANIFEST.json"), "w") as f:
         json.dump({"corpus": "adversarial", "seed": 7, "base_sf": 0.003}, f)

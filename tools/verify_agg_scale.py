@@ -52,7 +52,37 @@ def main() -> int:
     from gmall_realtime_flink_spark.plans import REGISTRY
     from gmall_realtime_flink_spark.session import get_spark
 
-    spec = REGISTRY[name]
+    # Production twins verified against their ORACLE SIBLING's SQL:
+    # same output contract (pytest-pinned parity within 2e-6 + same
+    # key sets; 6dp rounding absorbs the summation-order difference
+    # in these moments), different execution kernel. Used by the
+    # sf100 tier where the expr fold is oracle-only cost (r9: the
+    # fold spent 1815 s on what the BLAS twin does in 18 s — the fold
+    # stays cross-engine-verified at sf10, VERDICT r9 item 4).
+    TWINS = {
+        "dedup_embedding_cosine_numpy": "dedup_embedding_cosine",
+        "dedup_semantic_numpy": "dedup_semantic",
+    }
+    if name in TWINS:
+        from gmall_realtime_flink_spark.catalog import load as _load
+        from gmall_realtime_flink_spark.operators import similarity as _sim
+
+        sibling = REGISTRY[TWINS[name]]
+        kernel = {
+            "dedup_embedding_cosine_numpy":
+                lambda s, d: _sim.embedding_near_dup_pairs_numpy(
+                    _load(s, d, "embeddings"), threshold=0.4),
+            "dedup_semantic_numpy":
+                lambda s, d: _sim.semantic_dedup_numpy(
+                    _load(s, d, "embeddings"), threshold=0.4),
+        }[name]
+        spec = type(sibling)(
+            name=name, builder=kernel, oracle=sibling.oracle,
+            doc=f"BLAS production twin of {TWINS[name]}",
+            tags=sibling.tags,
+        )
+    else:
+        spec = REGISTRY[name]
     assert spec.oracle, f"{name} has no SQL oracle"
     spark = get_spark("verify_agg_scale")
 

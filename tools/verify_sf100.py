@@ -60,8 +60,14 @@ DATAPIPE_SF100 = [
     "dedup_substring_spans",     # new r9 operator: 3 linear shuffles
     "dedup_jaccard_complete_capped",
     "dedup_simhash_hamming_wide_capped",
-    "dedup_embedding_cosine",    # designed-linear: auto_bits keeps
-                                 # ~1024 rows/cell -> ~n*512 pair evals
+    "dedup_embedding_cosine_numpy",  # designed-linear (auto_bits keeps
+                                 # ~1024 rows/cell -> ~n*512 pair
+                                 # evals), verified via the BLAS
+                                 # production twin against the SAME
+                                 # oracle (VERDICT r9 item 4: the expr
+                                 # fold spent 1815 s here on work the
+                                 # twin does in 18 s; the fold stays
+                                 # cross-engine-verified at sf10)
     "doc_pack",
     "corpus_shuffle",
     "doc_quality_tiers",
@@ -98,6 +104,23 @@ EXCLUDED = {
         "same pair volume and oracle row_number sort as knn_graph "
         "(label != residual does not reduce the candidate set); "
         "sf10-verified, same plan family"
+    ),
+    "dedup_embedding_cosine": (
+        "expr-fold oracle surface demoted to sf10 (173 s there, "
+        "cross-engine-verified): at sf100 it spends 1815 s computing "
+        "what its parity-pinned BLAS twin does in 18 s (r9 measured, "
+        "bit-identical 6dp sum over the same 6.07M pairs) — "
+        "dedup_embedding_cosine_numpy carries this tier against the "
+        "same oracle SQL"
+    ),
+    "dedup_semantic": (
+        "the ORACLE itself is infeasible at this decade: the SQL "
+        "kmeans chain pays 2M vectors × ~1954 cells × 3 passes ≈ "
+        "11.7B dim-64 cosines plus a 3.9B-row row_number per pass — "
+        "sf10 moments-verified (SEMDEDUP_SF10_r10.json), where the "
+        "identical plan shape runs both engines; at sf100 the BLAS "
+        "twin dedup_semantic_numpy is benched solo (timing + kept-"
+        "count invariants), its kernel parity being pytest-pinned"
     ),
 }
 
