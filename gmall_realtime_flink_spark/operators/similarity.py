@@ -368,9 +368,25 @@ def embedding_near_dup_pairs(
 
 
 def _centroid_sim(df: DataFrame, vec: str) -> DataFrame:
+    """Cosine to the centroid, rounded to 6dp. If the frame carries
+    precomputed `{vec}_nrm` / `cvec_nrm` columns they are used instead
+    of re-folding the norm PER PAIR — norms are per-vector quantities,
+    and inside an N×K cross each inline fold would run K (resp. N)
+    times redundantly (the knn_self_join lesson; measured 3× on the
+    sf10 kmeans assignment). Hoisting does not change the arithmetic:
+    same fold, same operands, same round order."""
+    cols = set(df.columns)
     dot = F.expr(DOT.format(a=vec, b="cvec"))
-    na = F.sqrt(F.expr(DOT.format(a=vec, b=vec)))
-    nc = F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
+    na = (
+        F.col(f"{vec}_nrm")
+        if f"{vec}_nrm" in cols
+        else F.sqrt(F.expr(DOT.format(a=vec, b=vec)))
+    )
+    nc = (
+        F.col("cvec_nrm")
+        if "cvec_nrm" in cols
+        else F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
+    )
     return df.withColumn(
         "c_sim", F.round(F.try_divide(dot, na * nc), 6) + F.lit(0.0)
     )
@@ -400,13 +416,18 @@ def kmeans_centroids(
     """
     e = valid_embeddings(embeddings).select(
         "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    ).withColumn(  # per-vector norm hoisted out of the N×K cross
+        "emb_nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
     )
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
     )
     for _ in range(iters):
+        cent_n = cent.withColumn(  # K rows — cheap
+            "cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
+        )
         assigned = (
-            _centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
+            _centroid_sim(e.crossJoin(F.broadcast(cent_n)), "emb")
             .groupBy("vec_id")
             .agg(
                 F.max_by(
@@ -756,9 +777,15 @@ def semantic_dedup(
     measured-99× `embedding_near_dup_pairs_numpy` split)."""
     if n_cells is None:
         n_cells = auto_cells(corpus_count_for_auto_bits(embeddings))
-    cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=iters)
+    cent = kmeans_centroids(
+        embeddings, n_cells=n_cells, iters=iters
+    ).withColumn(  # K rows — hoisted out of the N×K assignment cross
+        "cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
+    )
     e = valid_embeddings(embeddings).select(
         "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    ).withColumn(
+        "emb_nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
     )
     assigned = (
         _centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
@@ -768,6 +795,9 @@ def semantic_dedup(
                 "cid", F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc"))
             ).alias("cell"),
             F.first("emb").alias("emb"),
+            # per-vector norm rides the checkpoint so the pair stage
+            # pays ONE dot fold per pair, not three
+            F.first("emb_nrm").alias("nrm"),
         )
         # materialized ONCE (lazily): three consumers (two self-join
         # sides + the verdict join) would otherwise each recompute the
@@ -778,18 +808,20 @@ def semantic_dedup(
         F.col("vec_id").alias("a_id"),
         F.col("cell").alias("a_cell"),
         F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
         F.col("cell").alias("b_cell"),
         F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(
         b, (F.col("a_cell") == F.col("b_cell")) & (F.col("a_id") < F.col("b_id"))
     )
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
-    na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
-    nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
+    na = F.col("nrm_a")
+    nb = F.col("nrm_b")
     # try_divide: zero-norm pair cosine is NULL in both engines (the
     # oracle divides list_dot_products explicitly — DuckDB's native
     # list_cosine_similarity returns -1.0 on a zero vector, which
@@ -800,7 +832,7 @@ def semantic_dedup(
         .groupBy("vec_id")
         .agg(F.max("s").alias("max_lower_sim"))
     )
-    return assigned.drop("emb").join(mls, "vec_id", "left").select(
+    return assigned.drop("emb", "nrm").join(mls, "vec_id", "left").select(
         "vec_id",
         "cell",
         "max_lower_sim",
