@@ -419,6 +419,16 @@ def kmeans_centroids(
     ).withColumn(  # per-vector norm hoisted out of the N×K cross
         "emb_nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
     )
+    # REBALANCE before the compute-bound cross: the N×K fold costs
+    # ~K×dim work PER INPUT ROW, but a narrow stage inherits SCAN
+    # parallelism — and parquet can't split a row group, so a
+    # single-row-group table runs the whole corpus on ONE task
+    # (observed at sf10: 12 of 13 byte-range splits were empty).
+    # Values are unaffected: every downstream agg is order-independent
+    # (max_by on a totally-ordered struct, exact decimal means).
+    e = e.repartition(
+        int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
     )
@@ -787,6 +797,11 @@ def semantic_dedup(
     ).withColumn(
         "emb_nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
     )
+    # rebalance the compute-bound assignment cross away from scan
+    # parallelism (see kmeans_centroids: one row group = one task)
+    e = e.repartition(
+        int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     assigned = (
         _centroid_sim(e.crossJoin(F.broadcast(cent)), "emb")
         .groupBy("vec_id")
@@ -890,9 +905,24 @@ def semantic_dedup_numpy(
 
     if n_cells is None:
         n_cells = auto_cells(corpus_count_for_auto_bits(embeddings))
-    e = valid_embeddings(embeddings).select(
-        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
-    ).localCheckpoint(eager=False)
+    e = (
+        valid_embeddings(embeddings)
+        .select(
+            "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+        )
+        # rebalance away from scan parallelism before the checkpoint:
+        # the BLAS assignment maps over these partitions, and a
+        # single-row-group parquet file would pin it to one task
+        # (see kmeans_centroids)
+        .repartition(
+            int(
+                embeddings.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
 
     seed_rows = (
         e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()

@@ -541,3 +541,15 @@ def test_lsh_recall_audit_no_cartesian(spark, sf_dir):
     # (size-1 sides) — that's fine; a *shuffled* NLJ or a cartesian
     # over data-sized inputs is not
     assert "SortMergeJoin Cross" not in plan
+
+
+def test_semantic_dedup_plan_shape(spark, sf_dir):
+    """SemDeDup's in-cell pair stage is an equi-join on `cell` (with
+    the a_id < b_id residual) — never an all-pairs cartesian — and
+    the N×K assignment is materialized ONCE via localCheckpoint
+    (Scan ExistingRDD appears for every consumer; the kmeans cross
+    does not re-run per self-join side)."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "assignment checkpoint missing"
