@@ -334,19 +334,28 @@ def embedding_near_dup_pairs(
     if bits is None:
         bits = auto_bits(corpus_count_for_auto_bits(embeddings))
     embeddings = valid_embeddings(embeddings)
-    e = embeddings.select(
-        "vec_id",
-        F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
-    ).withColumn("bucket", sign_bucket("emb", bits))
+    e = (
+        embeddings.select(
+            "vec_id",
+            F.expr(AS_DOUBLE.format(c="embedding")).alias("emb"),
+        )
+        .withColumn("bucket", sign_bucket("emb", bits))
+        # per-vector norm folded ONCE before the self-join (the
+        # knn_self_join lesson): inside the pair relation each norm
+        # fold would re-run per PAIR — 3× the lambda steps
+        .withColumn("nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb"))))
+    )
     e = e.repartition("bucket")
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
         "bucket",
     ).alias("a")
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
         "bucket",
     ).alias("b")
     pairs = a.join(
@@ -355,8 +364,8 @@ def embedding_near_dup_pairs(
         & (F.col("vec_a") < F.col("vec_b")),
     )
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
-    na = F.sqrt(F.expr(DOT.format(a="emb_a", b="emb_a")))
-    nb = F.sqrt(F.expr(DOT.format(a="emb_b", b="emb_b")))
+    na = F.col("nrm_a")
+    nb = F.col("nrm_b")
     scored = pairs.select(
         "vec_a",
         "vec_b",
