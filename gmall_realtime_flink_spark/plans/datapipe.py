@@ -2372,13 +2372,21 @@ _KMEANS_DYN_CTES = """
     cent0 AS (
       SELECT vec_id AS cid, emb AS cvec FROM eall
       WHERE vec_id < (SELECT k FROM nk)),
-    a1 AS (
-      SELECT vec_id, emb, cid AS cell FROM (
-        SELECT e.vec_id, e.emb, c.cid,
+    -- assignment windows are kept NARROW (vec_id, cid, sim): DuckDB's
+    -- window operator materializes+sorts its whole input, and carrying
+    -- the 64-double emb payload through an N*K-row window spilled
+    -- ~20 GB per Lloyd pass at sf10 (killed the tier on disk); emb is
+    -- joined back AFTER rn=1 instead. Same rows, same semantics.
+    r1 AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
                           DESC, c.cid) AS rn
         FROM eall e, cent0 c) WHERE rn = 1),
+    a1 AS (
+      SELECT e.vec_id, e.emb, r.cell FROM eall e
+      JOIN r1 r ON e.vec_id = r.vec_id),
     m1 AS (
       SELECT cell, pos,
              sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
@@ -2391,13 +2399,16 @@ _KMEANS_DYN_CTES = """
       FROM cent0 c LEFT JOIN (
         SELECT cell, list(m ORDER BY pos) AS mvec FROM m1 GROUP BY cell
       ) m ON c.cid = m.cell),
-    a2 AS (
-      SELECT vec_id, emb, cid AS cell FROM (
-        SELECT e.vec_id, e.emb, c.cid,
+    r2 AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
                           DESC, c.cid) AS rn
         FROM eall e, cent1 c) WHERE rn = 1),
+    a2 AS (
+      SELECT e.vec_id, e.emb, r.cell FROM eall e
+      JOIN r2 r ON e.vec_id = r.vec_id),
     m2 AS (
       SELECT cell, pos,
              sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
@@ -2410,13 +2421,16 @@ _KMEANS_DYN_CTES = """
       FROM cent1 c LEFT JOIN (
         SELECT cell, list(m ORDER BY pos) AS mvec FROM m2 GROUP BY cell
       ) m ON c.cid = m.cell),
-    assign AS (
-      SELECT vec_id, emb, cid AS cell FROM (
-        SELECT e.vec_id, e.emb, c.cid,
+    ra AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
                           DESC, c.cid) AS rn
-        FROM eall e, cent c) WHERE rn = 1)
+        FROM eall e, cent c) WHERE rn = 1),
+    assign AS (
+      SELECT e.vec_id, e.emb, r.cell FROM eall e
+      JOIN ra r ON e.vec_id = r.vec_id)
 """
 
 
