@@ -2372,18 +2372,22 @@ _KMEANS_DYN_CTES = """
     cent0 AS (
       SELECT vec_id AS cid, emb AS cvec FROM eall
       WHERE vec_id < (SELECT k FROM nk)),
-    -- assignment windows are kept NARROW (vec_id, cid, sim): DuckDB's
-    -- window operator materializes+sorts its whole input, and carrying
-    -- the 64-double emb payload through an N*K-row window spilled
-    -- ~20 GB per Lloyd pass at sf10 (killed the tier on disk); emb is
-    -- joined back AFTER rn=1 instead. Same rows, same semantics.
+    -- assignment windows are kept NARROW: DuckDB's window operator
+    -- materializes+sorts its whole INPUT — including every column its
+    -- ORDER BY expression references — so the similarity is computed
+    -- in a projection BELOW the window (the window sees only
+    -- (vec_id, cid, s)) and emb is joined back after rn=1. With the
+    -- sim inline in ORDER BY, the N*K window input carried the
+    -- 64-double emb+cvec payloads: ~39 GB spill at sf10, tier killed
+    -- on disk twice. Same rows, same semantics.
     r1 AS (
       SELECT vec_id, cid AS cell FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
-                          DESC, c.cid) AS rn
-        FROM eall e, cent0 c) WHERE rn = 1),
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.emb, c.cvec), 6) AS s
+              FROM eall e, cent0 c)) WHERE rn = 1),
     a1 AS (
       SELECT e.vec_id, e.emb, r.cell FROM eall e
       JOIN r1 r ON e.vec_id = r.vec_id),
@@ -2401,11 +2405,12 @@ _KMEANS_DYN_CTES = """
       ) m ON c.cid = m.cell),
     r2 AS (
       SELECT vec_id, cid AS cell FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
-                          DESC, c.cid) AS rn
-        FROM eall e, cent1 c) WHERE rn = 1),
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.emb, c.cvec), 6) AS s
+              FROM eall e, cent1 c)) WHERE rn = 1),
     a2 AS (
       SELECT e.vec_id, e.emb, r.cell FROM eall e
       JOIN r2 r ON e.vec_id = r.vec_id),
@@ -2423,11 +2428,12 @@ _KMEANS_DYN_CTES = """
       ) m ON c.cid = m.cell),
     ra AS (
       SELECT vec_id, cid AS cell FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY round(list_cosine_similarity(e.emb, c.cvec), 6)
-                          DESC, c.cid) AS rn
-        FROM eall e, cent c) WHERE rn = 1),
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_cosine_similarity(e.emb, c.cvec), 6) AS s
+              FROM eall e, cent c)) WHERE rn = 1),
     assign AS (
       SELECT e.vec_id, e.emb, r.cell FROM eall e
       JOIN ra r ON e.vec_id = r.vec_id)
