@@ -933,9 +933,21 @@ def semantic_dedup_numpy(
         .localCheckpoint(eager=False)
     )
 
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("max_lower_sim", T.DoubleType()),
+        T.StructField("kept", T.BooleanType()),
+    ])
+
     seed_rows = (
         e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
     )
+    if not seed_rows:
+        # no valid vector with vec_id < n_cells (hostile / empty corpus):
+        # the expr twin degrades to an empty result (empty centroid set
+        # -> empty assignment); np.stack of [] would raise instead
+        return embeddings.sparkSession.createDataFrame([], out_schema)
     cids = np.array([r.vec_id for r in seed_rows], dtype=np.int64)
     cent = np.stack([np.asarray(r.emb, dtype=np.float64) for r in seed_rows])
 
@@ -985,13 +997,6 @@ def semantic_dedup_numpy(
         cent = np.stack(
             [by_cell.get(c, cent[i]) for i, c in enumerate(cids)]
         )
-
-    out_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("cell", T.LongType()),
-        T.StructField("max_lower_sim", T.DoubleType()),
-        T.StructField("kept", T.BooleanType()),
-    ])
 
     def cell_verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(pdf):

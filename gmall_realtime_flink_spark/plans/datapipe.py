@@ -2354,11 +2354,13 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the similarity_topk_ivf oracle is the fixed-K=8 form of the same
 # chain). Produces CTEs: eall (valid vectors), nk (cell count), cent
 # (trained centroids after 2 Lloyd iterations), assign (vec_id, emb,
-# cell). Assignment similarity uses list_cosine_similarity like the
-# trained-IVF oracle (its -1.0-on-zero-norm quirk is absorbed by the
-# rank ordering — see semantic_dedup's docstring); VALUE cosines that
-# enter an aggregate use explicit list_dot_product division instead,
-# which is NULL on zero norms in both engines.
+# cell). ALL cosines — assignment ranking included — use the explicit
+# list_dot_product division, which is NULL on a zero norm exactly like
+# Spark's try_divide (DuckDB's native list_cosine_similarity returns
+# -1.0 on a zero vector: on an exact tie at s = -1.0 the two engines
+# could then pick different cells). NULL sims rank last (NULLS LAST +
+# cid tiebreak = Spark's max_by((c_sim, -cid)) where a NULL struct
+# field always loses).
 _KMEANS_DYN_CTES = """
     eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
@@ -2384,9 +2386,11 @@ _KMEANS_DYN_CTES = """
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id
-                 ORDER BY s DESC, cid) AS rn
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
         FROM (SELECT e.vec_id, c.cid,
-                     round(list_cosine_similarity(e.emb, c.cvec), 6) AS s
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
               FROM eall e, cent0 c)) WHERE rn = 1),
     a1 AS (
       SELECT e.vec_id, e.emb, r.cell FROM eall e
@@ -2407,9 +2411,11 @@ _KMEANS_DYN_CTES = """
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id
-                 ORDER BY s DESC, cid) AS rn
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
         FROM (SELECT e.vec_id, c.cid,
-                     round(list_cosine_similarity(e.emb, c.cvec), 6) AS s
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
               FROM eall e, cent1 c)) WHERE rn = 1),
     a2 AS (
       SELECT e.vec_id, e.emb, r.cell FROM eall e
@@ -2430,9 +2436,11 @@ _KMEANS_DYN_CTES = """
       SELECT vec_id, cid AS cell FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id
-                 ORDER BY s DESC, cid) AS rn
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
         FROM (SELECT e.vec_id, c.cid,
-                     round(list_cosine_similarity(e.emb, c.cvec), 6) AS s
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
               FROM eall e, cent c)) WHERE rn = 1),
     assign AS (
       SELECT e.vec_id, e.emb, r.cell FROM eall e

@@ -83,6 +83,26 @@ def test_once_failing_entry_stays_green_on_hostile_rows(spark, adv_dir, name):
     assert res.ok, f"{name}: {res.detail}"
 
 
+def test_dedup_semantic_adversarial_not_vacuous(spark, adv_dir):
+    """The hostile-rows gate for dedup_semantic must NOT pass on an
+    empty result (r10 ADVICE): the adversarial corpus carries 60 valid
+    base vectors (vec_id 0-59) beneath the attack rows, so the kmeans
+    seed set (vec_id < k=8) is populated and the assignment + in-cell
+    pair stages actually run against the zero-norm / non-finite
+    vectors. Pin that: the verdict set is non-empty, covers every
+    VALID vector (base + finite attack rows 60-64/66), and the
+    byte-identical pair 60/61 produces a real drop verdict."""
+    from gmall_realtime_flink_spark.plans import REGISTRY
+
+    rows = REGISTRY["dedup_semantic"].builder(spark, adv_dir).collect()
+    assert len(rows) >= 60, "vacuous pass: kmeans chain produced no verdicts"
+    by_id = {r.vec_id: r for r in rows}
+    assert {60, 61, 62}.issubset(by_id)  # finite attack rows got verdicts
+    # 61 is byte-identical to 60 -> same cell, cos 1.0 >= 0.4 -> dropped
+    assert by_id[61].kept is False
+    assert by_id[61].max_lower_sim == 1.0
+
+
 def test_nonfinite_embeddings_excluded(spark, adv_dir):
     """valid_embeddings' finite-vector rule: NaN/±Inf-element vectors
     (adversarial vec_id 68-71) are excluded at the scan, exactly like

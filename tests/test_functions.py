@@ -789,6 +789,33 @@ def test_semantic_dedup_numpy_matches_expr(spark):
             assert nm is not None and abs(m - nm) <= 2e-6, (vid, m, nm)
 
 
+def test_semantic_dedup_numpy_empty_seed_degrades_gracefully(spark):
+    """r10 ADVICE: with NO valid vector below n_cells (ids shifted past
+    the seed window) or an empty corpus, the numpy twin must return an
+    empty verdict frame like the expr path — not ValueError on
+    np.stack([])."""
+    from pyspark.sql import types as T
+
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_numpy,
+    )
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    shifted = spark.createDataFrame(
+        [(100 + i, [float(i + 1)] * 4, 0) for i in range(4)], schema
+    )
+    empty = spark.createDataFrame([], schema)
+    for df in (shifted, empty):
+        got_np = semantic_dedup_numpy(df, threshold=0.4, n_cells=8).collect()
+        got_expr = semantic_dedup(df, threshold=0.4, n_cells=8).collect()
+        assert got_np == [] and got_expr == []
+
+
 def test_decode_media_parses_foreign_bytes():
     """decode_media must be a real parser, not an echo of the payload
     generator: hand-built payloads (top-down BMP, PPM with commentless

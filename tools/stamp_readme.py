@@ -80,7 +80,9 @@ def main() -> int:
         for m in re.finditer(
             rf"ADVERSARIAL\w*_r{rtag}\.json[^|\n]*?(\d+)/(\d+)", new
         )
-        if m.group(1) != str(n_adv) and m.group(2) != str(n_adv)
+        # `or`: a HALF-stale row ("175/177 each") is still drift — the
+        # scan exists to loud-fail any count that no longer matches
+        if m.group(1) != str(n_adv) or m.group(2) != str(n_adv)
     ]
     if stale:
         print(f"STALE gate counts near r{rtag} artifact mentions: {stale}",
