@@ -763,6 +763,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     n_cells: int | None = None,
     iters: int = 2,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     semantic deduplication — the non-lexical dedup tier. K-means
@@ -793,7 +794,19 @@ def semantic_dedup(
     recomputing the cross. The N×K expr fold is the ORACLE surface —
     the production path is `semantic_dedup_numpy`, which runs both
     the assignment scan and the in-cell block on batch BLAS (the
-    measured-99× `embedding_near_dup_pairs_numpy` split)."""
+    measured-99× `embedding_near_dup_pairs_numpy` split).
+
+    `max_cell` is the HOT-CELL insurance (the embedding-space
+    analogue of lsh_candidates' max_bucket): auto_cells targets
+    ~1024 vectors/cell, but a boilerplate-dominated corpus piles a
+    dominant template cluster into one cell and the in-cell pair
+    block goes quadratic there (measured on the skewed-emb corpus:
+    the top cell carries >20% of the corpus). With max_cell set,
+    cells above it are EXCLUDED from the pair stage — their members
+    keep a NULL max_lower_sim / kept=TRUE verdict and are flagged
+    `cell_capped=TRUE` (a 5th output column, only in capped mode) so
+    downstream can route them to a re-split or a sampled pass instead
+    of silently treating them as deduped."""
     if n_cells is None:
         n_cells = auto_cells(corpus_count_for_auto_bits(embeddings))
     cent = kmeans_centroids(
@@ -828,13 +841,27 @@ def semantic_dedup(
         # N×K assignment cross
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
+    pair_src = assigned
+    if max_cell is not None:
+        # per-cell counts are <= K rows (K <= 4096) — broadcastable by
+        # construction; only members of small-enough cells enter the
+        # quadratic pair stage
+        counts = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("cell_n")
+        )
+        pair_src = assigned.join(
+            F.broadcast(
+                counts.filter(F.col("cell_n") <= max_cell).select("cell")
+            ),
+            "cell",
+        )
+    a = pair_src.select(
         F.col("vec_id").alias("a_id"),
         F.col("cell").alias("a_cell"),
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = assigned.select(
+    b = pair_src.select(
         F.col("vec_id").alias("b_id"),
         F.col("cell").alias("b_cell"),
         F.col("emb").alias("emb_b"),
@@ -856,13 +883,18 @@ def semantic_dedup(
         .groupBy("vec_id")
         .agg(F.max("s").alias("max_lower_sim"))
     )
-    return assigned.drop("emb", "nrm").join(mls, "vec_id", "left").select(
+    verdicts = assigned.drop("emb", "nrm").join(mls, "vec_id", "left")
+    kept = F.coalesce(
+        F.col("max_lower_sim") < F.lit(threshold), F.lit(True)
+    ).alias("kept")
+    if max_cell is None:
+        return verdicts.select("vec_id", "cell", "max_lower_sim", kept)
+    return verdicts.join(F.broadcast(counts), "cell").select(
         "vec_id",
         "cell",
         "max_lower_sim",
-        F.coalesce(
-            F.col("max_lower_sim") < F.lit(threshold), F.lit(True)
-        ).alias("kept"),
+        kept,
+        (F.col("cell_n") > max_cell).alias("cell_capped"),
     )
 
 
@@ -887,6 +919,8 @@ def semantic_dedup_numpy(
     threshold: float = 0.4,
     n_cells: int | None = None,
     iters: int = 2,
+    max_cell: int | None = None,
+    block: int = 4096,
 ) -> DataFrame:
     """The BLAS production twin of `semantic_dedup` (the established
     expr-oracle / numpy-production split of the ANN family): every
@@ -906,7 +940,16 @@ def semantic_dedup_numpy(
 
     Parity with semantic_dedup is pytest-pinned: identical kept SETS,
     max_lower_sim within 2e-6 (different float64 summation order,
-    same arithmetic)."""
+    same arithmetic).
+
+    `max_cell` mirrors the expr path's hot-cell cap (members of
+    oversized cells skip the pair block, kept=TRUE,
+    cell_capped=TRUE). Independently of the cap, the in-cell M
+    statistic runs BLOCKED (4096-row slabs against the j<i prefix),
+    so even an UNCAPPED hot cell of H vectors peaks at ~4096×H
+    floats instead of H² — on the skewed-emb corpus's 20%-of-corpus
+    template cell the full Gram matrix would not fit an Arrow
+    worker."""
     import numpy as np
     import pandas as pd
 
@@ -939,6 +982,8 @@ def semantic_dedup_numpy(
         T.StructField("max_lower_sim", T.DoubleType()),
         T.StructField("kept", T.BooleanType()),
     ])
+    if max_cell is not None:
+        out_schema = out_schema.add(T.StructField("cell_capped", T.BooleanType()))
 
     seed_rows = (
         e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
@@ -999,35 +1044,192 @@ def semantic_dedup_numpy(
         )
 
     def cell_verdicts(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "vec_id": pd.Series([], dtype="int64"),
+            "cell": pd.Series([], dtype="int64"),
+            "max_lower_sim": pd.Series([], dtype="float64"),
+            "kept": pd.Series([], dtype="bool"),
+        }
+        if max_cell is not None:
+            cols["cell_capped"] = pd.Series([], dtype="bool")
         if not len(pdf):
-            return pd.DataFrame({
-                "vec_id": pd.Series([], dtype="int64"),
-                "cell": pd.Series([], dtype="int64"),
-                "max_lower_sim": pd.Series([], dtype="float64"),
-                "kept": pd.Series([], dtype="bool"),
-            })
+            return pd.DataFrame(cols)
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if max_cell is not None and n > max_cell:
+            # hot-cell insurance: the quadratic block is skipped, the
+            # verdict is honest about it (kept + flagged, not deduped)
+            return pd.DataFrame({
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "max_lower_sim": np.full(n, np.nan),
+                "kept": np.ones(n, dtype=bool),
+                "cell_capped": np.ones(n, dtype=bool),
+            })
         m = np.stack(pdf["emb"].to_numpy())
         nrm = np.linalg.norm(m, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = (m @ m.T) / np.outer(nrm, nrm)
-        r = np.where(np.outer(nrm, nrm) > 0, _round_half_up6(cos), -np.inf)
-        # ids ascend with row index: M_i = max over j < i (lower ids)
-        low = np.where(
-            np.arange(len(ids))[None, :] < np.arange(len(ids))[:, None],
-            r,
-            -np.inf,
-        )
-        mls = low.max(axis=1)
+        # ids ascend with row index: M_i = max over j < i (lower ids).
+        # Blocked over `block`-row slabs: slab rows [i0:i1) only ever
+        # need columns j < i1, so peak memory is ~block×i1 instead of
+        # n². Same divisions, same HALF_UP rounding as the full-matrix
+        # form — blockwise max of the identical values.
+        B = block
+        mls = np.full(n, -np.inf)
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m[i0:i1] @ m[:i1].T) / np.outer(nrm[i0:i1], nrm[:i1])
+            r = np.where(
+                np.outer(nrm[i0:i1], nrm[:i1]) > 0,
+                _round_half_up6(cos),
+                -np.inf,
+            )
+            low = np.where(
+                np.arange(i1)[None, :] < np.arange(i0, i1)[:, None],
+                r,
+                -np.inf,
+            )
+            mls[i0:i1] = low.max(axis=1)
         has = mls > -np.inf
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "vec_id": ids,
             "cell": pdf["cell"].to_numpy(),
             "max_lower_sim": np.where(has, mls, np.nan),
             "kept": ~has | (mls < threshold),
         })
+        if max_cell is not None:
+            out["cell_capped"] = np.zeros(n, dtype=bool)
+        return out
 
     return assign_with(cent).groupBy("cell").applyInPandas(
         cell_verdicts, out_schema
+    )
+
+
+def semantic_dedup_incremental(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    split_frac: float = 0.9,
+    iters: int = 2,
+) -> DataFrame:
+    """Admission-time SemDeDup — the incremental form every other
+    dedup family already has (exact / MinHash / substring): the corpus
+    PREFIX (vec_id < ceil(split_frac·n), the already-ingested 90%) is
+    clustered and deduplicated once, and the NEW batch (the top
+    decile by vec_id — the dedup_incremental id-split convention) is
+    admitted against it. A new vector b is dropped iff some same-cell
+    comparator with a lower vec_id has cosine(a, b) >= threshold,
+    where comparators are (a) the prefix's SURVIVORS — production
+    stores only kept representatives, a dup of a dropped prefix
+    vector is judged against its kept stand-in's cell — and (b) other
+    new vectors of the batch (own-batch dups are rejected too, the
+    dedup_substring_incremental convention).
+
+    Centroids are FROZEN: trained on the prefix only (the production
+    admission shape — no retrain per batch), so a new vector's cell
+    is a pure broadcast-K assignment. Output: one verdict row per
+    valid NEW vector (vec_id, cell, max_lower_sim, kept).
+
+    Scale (100 TB): steady-state ingest cost is |batch|·K for the
+    assignment plus the in-cell pairs of the BATCH only — the prefix
+    contributes survivors as comparators, never pair rows among
+    themselves (they were verdicted at their own admission); linear
+    in the batch, like the substring form's gram-count reuse.
+
+    Cites: gmall-realtime's dim upsert + dedup pattern
+    (RT/app/func/DimSinkFunction.java — admit-new-against-stored) and
+    Abbas et al. 2023 §4 (SemDeDup over a growing corpus).
+    """
+    import math
+
+    n_all = embeddings.count()
+    split = int(math.ceil(split_frac * n_all))
+    prefix_raw = embeddings.filter(F.col("vec_id") < F.lit(split))
+    n_cells = auto_cells(prefix_raw.count())
+    cent = kmeans_centroids(
+        prefix_raw, n_cells=n_cells, iters=iters
+    ).withColumn("cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec"))))
+
+    sp = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        e = valid_embeddings(df).select(
+            "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+        ).withColumn(
+            "emb_nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
+        )
+        # rebalance the compute-bound N×K cross away from scan
+        # parallelism; checkpoint once per consumer set (see
+        # semantic_dedup)
+        return (
+            _centroid_sim(
+                e.repartition(sp).crossJoin(F.broadcast(cent)), "emb"
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "cid",
+                    F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc")),
+                ).alias("cell"),
+                F.first("emb").alias("emb"),
+                F.first("emb_nrm").alias("nrm"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    s = F.round(
+        F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b")), 6
+    ) + F.lit(0.0)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"{tag}_id"),
+            F.col("cell").alias(f"{tag}_cell"),
+            F.col("emb").alias(f"emb_{tag}"),
+            F.col("nrm").alias(f"nrm_{tag}"),
+        )
+
+    passign = assign(prefix_raw)
+    pmls = (
+        side(passign, "a")
+        .join(
+            side(passign, "b"),
+            (F.col("a_cell") == F.col("b_cell"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(F.col("b_id").alias("vec_id"), s.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("mls"))
+    )
+    surv = (
+        passign.join(pmls, "vec_id", "left")
+        .filter(F.coalesce(F.col("mls") < F.lit(threshold), F.lit(True)))
+        .select("vec_id", "cell", "emb", "nrm")
+    )
+
+    nassign = assign(embeddings.filter(F.col("vec_id") >= F.lit(split)))
+    # prefix survivor ids are all < split <= every new id, so ONE
+    # lower-id predicate covers both comparator classes
+    comparators = side(surv, "a").unionByName(side(nassign, "a"))
+    nmls = (
+        comparators.join(
+            side(nassign, "b"),
+            (F.col("a_cell") == F.col("b_cell"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(F.col("b_id").alias("vec_id"), s.alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_lower_sim"))
+    )
+    return nassign.drop("emb", "nrm").join(nmls, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "max_lower_sim",
+        F.coalesce(
+            F.col("max_lower_sim") < F.lit(threshold), F.lit(True)
+        ).alias("kept"),
     )

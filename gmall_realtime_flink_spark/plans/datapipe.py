@@ -2486,6 +2486,69 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.4)  # cells auto-scaled
 
 
+# hot-cell cap: 2× auto_cells' per-cell design target (1024). A cell
+# at twice the target only exists when the corpus is cluster-skewed —
+# the driver corpora's i.i.d. embeddings keep every cell within ~7% of
+# target, so the capped twin is hash-identical to the uncapped entry
+# there, while the skewed-emb corpus (Zipf cluster sizes, top cluster
+# >20% of the corpus) trips it on exactly the cells whose quadratic
+# pair block would dominate the stage.
+SEMDEDUP_CAP = 2048
+
+
+@register(
+    "dedup_semantic_capped",
+    oracle=f"""
+    WITH {_KMEANS_DYN_CTES},
+    cellct AS (
+      SELECT cell, count(*) AS ct FROM assign GROUP BY cell),
+    -- the symbolic cap (dedup_simhash_hamming_wide_capped's HAVING
+    -- pattern): only cells of <= {SEMDEDUP_CAP} members enter the
+    -- quadratic in-cell pair block
+    small AS (SELECT cell FROM cellct WHERE ct <= {SEMDEDUP_CAP}),
+    mls AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0)
+               AS max_lower_sim
+      FROM assign a
+      JOIN small sm ON a.cell = sm.cell
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id)
+    SELECT s.vec_id, s.cell, m.max_lower_sim,
+           coalesce(m.max_lower_sim < 0.4, TRUE) AS kept,
+           (c.ct > {SEMDEDUP_CAP}) AS cell_capped
+    FROM assign s
+    JOIN cellct c ON s.cell = c.cell
+    LEFT JOIN mls m ON s.vec_id = m.vec_id
+    """,
+    doc="SemDeDup with the hot-cell insurance (VERDICT r10 item 2): "
+    "the in-cell pair block is quadratic PER CELL, and auto_cells' "
+    "~1024-member design target only holds when the embedding space "
+    "is balanced — a boilerplate-dominated corpus piles a template "
+    f"cluster into one cell. Cells above {SEMDEDUP_CAP} members "
+    "(2× target) are excluded from the pair stage; their members "
+    "keep kept=TRUE verdicts flagged cell_capped=TRUE — honest "
+    "not-deduped, routable to a re-split pass — exactly the "
+    "max_bucket guard of the lexical LSH/SimHash family, mirrored "
+    "symbolically in the oracle (HAVING ct <= cap) so the entry is "
+    "hash-exact at every SF. On the driver corpora no cell trips the "
+    "cap (verdicts identical to dedup_semantic); the skewed-emb "
+    "corpus measures the degradation "
+    "(tools/measure_semdedup_skew.py).",
+    tags=("datapipe", "dedup", "similarity", "kmeans", "production",
+          "scale"),
+)
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.4, max_cell=SEMDEDUP_CAP)
+
+
 @register(
     "split_leakage_check",
     oracle=f"""

@@ -789,6 +789,132 @@ def test_semantic_dedup_numpy_matches_expr(spark):
             assert nm is not None and abs(m - nm) <= 2e-6, (vid, m, nm)
 
 
+def test_semantic_dedup_max_cell_caps_hot_cell(spark):
+    """Hot-cell insurance (VERDICT r10 item 2): a dominant cluster's
+    cell is excluded from the quadratic pair block — members keep
+    kept=TRUE / NULL sim verdicts flagged cell_capped=TRUE — while
+    small cells are deduped exactly as the uncapped form. Expr and
+    numpy twins must agree row-for-row."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_numpy,
+    )
+
+    rng = np.random.default_rng(3)
+    # seeds 0-7: spread-out unit vectors. 60 hot vectors near seed 0
+    # (one cell of 61 > max_cell=20), 6 vectors near seed 3 (small
+    # cell, real dups to drop).
+    base = rng.standard_normal((8, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist(), 0) for i in range(8)]
+    vid = 8
+    for _ in range(60):
+        v = base[0] + 0.02 * rng.standard_normal(16)
+        rows.append((vid, v.tolist(), 0))
+        vid += 1
+    for _ in range(6):
+        v = base[3] + 0.02 * rng.standard_normal(16)
+        rows.append((vid, v.tolist(), 1))
+        vid += 1
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    e = spark.createDataFrame(rows, schema)
+
+    capped = {
+        r.vec_id: r.asDict()
+        for r in semantic_dedup(
+            e, threshold=0.4, n_cells=8, max_cell=20
+        ).collect()
+    }
+    uncapped = {
+        r.vec_id: r.asDict()
+        for r in semantic_dedup(e, threshold=0.4, n_cells=8).collect()
+    }
+    assert len(capped) == len(uncapped) == 74
+    hot = {v for v, r in capped.items() if r["cell_capped"]}
+    cold = set(capped) - hot
+    assert len(hot) > 20, "cap never tripped"
+    for v in hot:
+        assert capped[v]["kept"] is True
+        assert capped[v]["max_lower_sim"] is None
+        assert uncapped[v]["kept"] is False or uncapped[v]["vec_id"] == min(
+            u for u in hot if uncapped[u]["cell"] == uncapped[v]["cell"]
+        )
+    for v in cold:
+        assert capped[v]["cell_capped"] is False
+        # small cells: verdicts identical to the uncapped form
+        assert capped[v]["kept"] == uncapped[v]["kept"]
+        assert capped[v]["max_lower_sim"] == uncapped[v]["max_lower_sim"]
+    # at least one real drop in a small cell survives the cap
+    assert any(not capped[v]["kept"] for v in cold)
+
+    np_rows = {
+        r.vec_id: r.asDict()
+        for r in semantic_dedup_numpy(
+            e, threshold=0.4, n_cells=8, max_cell=20
+        ).collect()
+    }
+    assert np_rows.keys() == capped.keys()
+    for v, r in capped.items():
+        nr = np_rows[v]
+        assert nr["cell"] == r["cell"] and nr["kept"] == r["kept"]
+        assert nr["cell_capped"] == r["cell_capped"]
+        if r["max_lower_sim"] is None:
+            assert nr["max_lower_sim"] is None
+        else:
+            assert abs(nr["max_lower_sim"] - r["max_lower_sim"]) <= 2e-6
+
+
+def test_semantic_dedup_numpy_blocked_matches_small_blocks(spark):
+    """The blocked in-cell matmul must be value-identical across block
+    boundaries: run with block=8 so every cell spans several slabs and
+    pin equality against the expr path (which has no blocking)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_numpy,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((8, 8))
+    rows = [(i, (base[i % 8] + 0.1 * rng.standard_normal(8)).tolist(), 0)
+            for i in range(64)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    e = spark.createDataFrame(rows, schema)
+    expr_rows = {
+        r.vec_id: (r.cell, r.max_lower_sim, r.kept)
+        for r in semantic_dedup(e, threshold=0.4, n_cells=8).collect()
+    }
+    np_rows = {
+        r.vec_id: (r.cell, r.max_lower_sim, r.kept)
+        for r in semantic_dedup_numpy(
+            e, threshold=0.4, n_cells=8, block=8
+        ).collect()
+    }
+    assert expr_rows.keys() == np_rows.keys()
+    for v, (c, m, k) in expr_rows.items():
+        nc, nm, nk = np_rows[v]
+        assert (c, k) == (nc, nk)
+        if m is None:
+            assert nm is None
+        else:
+            assert abs(m - nm) <= 2e-6
+
+
 def test_semantic_dedup_numpy_empty_seed_degrades_gracefully(spark):
     """r10 ADVICE: with NO valid vector below n_cells (ids shifted past
     the seed window) or an empty corpus, the numpy twin must return an

@@ -502,6 +502,66 @@ def generate_zipf_embeddings(
     }))
 
 
+def generate_skewed_embeddings(
+    n_emb: int,
+    out: str,
+    seed: int = 42,
+    n_clusters: int = 50,
+    s: float = 1.0,
+    sigma: float = 0.1,
+    dim: int = 64,
+) -> None:
+    """A SKEWED-cluster embeddings corpus (Zipf cluster sizes) — the
+    embedding-space analogue of the zipf text corpus that validated
+    the lexical hot-bucket caps (round 6).
+
+    Why it exists: the driver corpus's embeddings are i.i.d. gaussian,
+    so kmeans cells come out near-uniform BY CONSTRUCTION (sf1
+    min/med/max cell = 934/1001/1068 at target 1024) and the
+    SemDeDup/IVF skew posture is untested. Real 100 TB corpora are
+    boilerplate-dominated: a few templates own a large fraction of the
+    embedding space. This generator samples each vector's cluster from
+    p(r) ∝ 1/r^s over `n_clusters` unit-norm gaussian centers (rank 1
+    owns ~22% of the corpus at s=1, C=50) and adds N(0, sigma²) noise;
+    at sigma=0.1 within-cluster cosine ≈ 0.6 >> the 0.4 SemDeDup
+    threshold, so hot kmeans cells are ALSO dup-dense — the exact
+    regime the in-cell quadratic block must survive.
+
+    Embeddings-only corpus (plus MANIFEST): its consumers
+    (dedup_semantic*, similarity_*) read only the embeddings table.
+    """
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, n_clusters + 1, dtype=np.float64)
+    p = 1.0 / ranks**s
+    p /= p.sum()
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = rng.choice(n_clusters, n_emb, p=p)
+    emb = (centers[cl] + sigma * rng.standard_normal((n_emb, dim))).astype(
+        np.float32
+    )
+    _write(out, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array((cl % 10).astype(np.int32), pa.int32()),
+    }))
+    sizes = np.bincount(cl, minlength=n_clusters)
+    with open(os.path.join(out, "MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "corpus": "skewed-emb",
+                "n_emb": n_emb,
+                "n_clusters": n_clusters,
+                "s": s,
+                "sigma": sigma,
+                "seed": seed,
+                "cluster_sizes_top5": sorted(sizes.tolist())[-5:][::-1],
+            },
+            f,
+        )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
@@ -519,10 +579,11 @@ if __name__ == "__main__":
     )
     ap.add_argument(
         "--corpus",
-        choices=["driver", "zipf"],
+        choices=["driver", "zipf", "skewed-emb"],
         default="driver",
         help="zipf = heavy-tailed documents-only corpus "
-        "(n_doc = 50000*sf, like the driver corpus)",
+        "(n_doc = 50000*sf, like the driver corpus); skewed-emb = "
+        "Zipf-cluster-sized embeddings-only corpus (n_emb = 20000*sf)",
     )
     a = ap.parse_args()
     local = os.path.join(
@@ -531,6 +592,9 @@ if __name__ == "__main__":
     if a.corpus == "zipf":
         out = a.out or os.path.join(local, f"zipf_sf{a.sf:g}")
         generate_zipf_docs(int(50_000 * a.sf), out, a.seed)
+    elif a.corpus == "skewed-emb":
+        out = a.out or os.path.join(local, f"skewemb_sf{a.sf:g}")
+        generate_skewed_embeddings(int(20_000 * a.sf), out, a.seed)
     else:
         suffix = f"_skew{a.skew:g}" if a.skew > 0 else ""
         out = a.out or os.path.join(local, f"sf{a.sf:g}{suffix}")
