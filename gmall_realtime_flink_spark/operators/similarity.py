@@ -1107,40 +1107,63 @@ def semantic_dedup_numpy(
     )
 
 
-def semantic_dedup_incremental(
+def _semantic_assign(df: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of `df`'s valid vectors against the
+    (broadcast) centroid frame: (vec_id, cell, emb, nrm), lazily
+    localCheckpoint'd for its multiple pair-stage consumers. The same
+    rebalance-before-the-compute-bound-cross + map-side max_by shape
+    as semantic_dedup's inline assignment."""
+    e = valid_embeddings(df).select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    ).withColumn(
+        "emb_nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
+    )
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        _centroid_sim(
+            e.repartition(sp).crossJoin(F.broadcast(cent)), "emb"
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid",
+                F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc")),
+            ).alias("cell"),
+            F.first("emb").alias("emb"),
+            F.first("emb_nrm").alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _semantic_side(df: DataFrame, tag: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id").alias(f"{tag}_id"),
+        F.col("cell").alias(f"{tag}_cell"),
+        F.col("emb").alias(f"emb_{tag}"),
+        F.col("nrm").alias(f"nrm_{tag}"),
+    )
+
+
+def _semantic_pair_sim():
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    return F.round(
+        F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b")), 6
+    ) + F.lit(0.0)
+
+
+def semantic_admission_state(
     embeddings: DataFrame,
     threshold: float = 0.4,
     split_frac: float = 0.9,
     iters: int = 2,
-) -> DataFrame:
-    """Admission-time SemDeDup — the incremental form every other
-    dedup family already has (exact / MinHash / substring): the corpus
-    PREFIX (vec_id < ceil(split_frac·n), the already-ingested 90%) is
-    clustered and deduplicated once, and the NEW batch (the top
-    decile by vec_id — the dedup_incremental id-split convention) is
-    admitted against it. A new vector b is dropped iff some same-cell
-    comparator with a lower vec_id has cosine(a, b) >= threshold,
-    where comparators are (a) the prefix's SURVIVORS — production
-    stores only kept representatives, a dup of a dropped prefix
-    vector is judged against its kept stand-in's cell — and (b) other
-    new vectors of the batch (own-batch dups are rejected too, the
-    dedup_substring_incremental convention).
-
-    Centroids are FROZEN: trained on the prefix only (the production
-    admission shape — no retrain per batch), so a new vector's cell
-    is a pure broadcast-K assignment. Output: one verdict row per
-    valid NEW vector (vec_id, cell, max_lower_sim, kept).
-
-    Scale (100 TB): steady-state ingest cost is |batch|·K for the
-    assignment plus the in-cell pairs of the BATCH only — the prefix
-    contributes survivors as comparators, never pair rows among
-    themselves (they were verdicted at their own admission); linear
-    in the batch, like the substring form's gram-count reuse.
-
-    Cites: gmall-realtime's dim upsert + dedup pattern
-    (RT/app/func/DimSinkFunction.java — admit-new-against-stored) and
-    Abbas et al. 2023 §4 (SemDeDup over a growing corpus).
-    """
+) -> tuple[int, DataFrame, DataFrame]:
+    """The FROZEN state a SemDeDup admission pipeline holds: centroids
+    trained on the corpus prefix (vec_id < ceil(split_frac·n)) and the
+    prefix's surviving representatives. Returns (split, cent, surv)
+    where cent = (cid, cvec, cvec_nrm) and surv = (vec_id, cell, emb,
+    nrm) — production persists both; new batches are admitted against
+    them without ever re-verdicting the stored corpus."""
     import math
 
     n_all = embeddings.count()
@@ -1150,58 +1173,15 @@ def semantic_dedup_incremental(
     cent = kmeans_centroids(
         prefix_raw, n_cells=n_cells, iters=iters
     ).withColumn("cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec"))))
-
-    sp = int(
-        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-
-    def assign(df: DataFrame) -> DataFrame:
-        e = valid_embeddings(df).select(
-            "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
-        ).withColumn(
-            "emb_nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb")))
-        )
-        # rebalance the compute-bound N×K cross away from scan
-        # parallelism; checkpoint once per consumer set (see
-        # semantic_dedup)
-        return (
-            _centroid_sim(
-                e.repartition(sp).crossJoin(F.broadcast(cent)), "emb"
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    "cid",
-                    F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc")),
-                ).alias("cell"),
-                F.first("emb").alias("emb"),
-                F.first("emb_nrm").alias("nrm"),
-            )
-            .localCheckpoint(eager=False)
-        )
-
-    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
-    s = F.round(
-        F.try_divide(dot, F.col("nrm_a") * F.col("nrm_b")), 6
-    ) + F.lit(0.0)
-
-    def side(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias(f"{tag}_id"),
-            F.col("cell").alias(f"{tag}_cell"),
-            F.col("emb").alias(f"emb_{tag}"),
-            F.col("nrm").alias(f"nrm_{tag}"),
-        )
-
-    passign = assign(prefix_raw)
+    passign = _semantic_assign(prefix_raw, cent)
     pmls = (
-        side(passign, "a")
+        _semantic_side(passign, "a")
         .join(
-            side(passign, "b"),
+            _semantic_side(passign, "b"),
             (F.col("a_cell") == F.col("b_cell"))
             & (F.col("a_id") < F.col("b_id")),
         )
-        .select(F.col("b_id").alias("vec_id"), s.alias("s"))
+        .select(F.col("b_id").alias("vec_id"), _semantic_pair_sim().alias("s"))
         .groupBy("vec_id")
         .agg(F.max("s").alias("mls"))
     )
@@ -1210,18 +1190,40 @@ def semantic_dedup_incremental(
         .filter(F.coalesce(F.col("mls") < F.lit(threshold), F.lit(True)))
         .select("vec_id", "cell", "emb", "nrm")
     )
+    return split, cent, surv
 
-    nassign = assign(embeddings.filter(F.col("vec_id") >= F.lit(split)))
-    # prefix survivor ids are all < split <= every new id, so ONE
-    # lower-id predicate covers both comparator classes
-    comparators = side(surv, "a").unionByName(side(nassign, "a"))
+
+def semantic_admit(
+    new_df: DataFrame,
+    cent: DataFrame,
+    surv: DataFrame,
+    threshold: float = 0.4,
+    own_batch: bool = True,
+) -> DataFrame:
+    """Admit `new_df`'s vectors against frozen centroids + stored
+    survivors: one verdict row per valid new vector (vec_id, cell,
+    max_lower_sim, kept). `own_batch=True` additionally compares each
+    new vector to LOWER-ID vectors of its own batch (the batch
+    incremental semantics); False restricts comparators to the stored
+    survivors — the STREAMING admission shape, whose verdicts depend
+    only on the vector and the static state, so bounded streaming ==
+    batch under any micro-batch slicing."""
+    nassign = _semantic_assign(new_df, cent)
+    comparators = _semantic_side(surv, "a")
+    if own_batch:
+        # survivor ids are all < split <= every new id, so ONE
+        # lower-id predicate covers both comparator classes
+        comparators = comparators.unionByName(_semantic_side(nassign, "a"))
     nmls = (
         comparators.join(
-            side(nassign, "b"),
+            _semantic_side(nassign, "b"),
             (F.col("a_cell") == F.col("b_cell"))
             & (F.col("a_id") < F.col("b_id")),
         )
-        .select(F.col("b_id").alias("vec_id"), s.alias("s"))
+        .select(
+            F.col("b_id").alias("vec_id"),
+            _semantic_pair_sim().alias("s"),
+        )
         .groupBy("vec_id")
         .agg(F.max("s").alias("max_lower_sim"))
     )
@@ -1232,4 +1234,46 @@ def semantic_dedup_incremental(
         F.coalesce(
             F.col("max_lower_sim") < F.lit(threshold), F.lit(True)
         ).alias("kept"),
+    )
+
+
+def semantic_dedup_incremental(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    split_frac: float = 0.9,
+    iters: int = 2,
+) -> DataFrame:
+    """Admission-time SemDeDup — the incremental form every other
+    dedup family already has (exact / MinHash / substring): the corpus
+    PREFIX (vec_id < ceil(split_frac·n), the already-ingested 90%) is
+    clustered and deduplicated once, and the NEW batch (the top decile
+    by vec_id — the dedup_incremental id-split convention) is admitted
+    against it. A new vector b is dropped iff some same-cell
+    comparator with a lower vec_id has cosine(a, b) >= threshold,
+    where comparators are (a) the prefix's SURVIVORS — production
+    stores only kept representatives — and (b) lower-id vectors of the
+    new batch itself (own-batch dups are rejected too, the
+    dedup_substring_incremental convention).
+
+    Centroids are FROZEN: trained on the prefix only (no retrain per
+    batch), so a new vector's cell is a pure broadcast-K assignment.
+
+    Scale (100 TB): steady-state ingest cost is |batch|·K for the
+    assignment plus the in-cell pairs touching the BATCH — the prefix
+    contributes survivors as comparators, never pair rows among
+    themselves (they were verdicted at their own admission); linear in
+    the batch, like the substring form's gram-count reuse.
+
+    Cites: Abbas et al. 2023 (SemDeDup) §4 over a growing corpus; the
+    reference's admit-new-against-stored dim pattern
+    (gmall-realtime RT/app/func/DimSinkFunction.java)."""
+    split, cent, surv = semantic_admission_state(
+        embeddings, threshold=threshold, split_frac=split_frac, iters=iters
+    )
+    return semantic_admit(
+        embeddings.filter(F.col("vec_id") >= F.lit(split)),
+        cent,
+        surv,
+        threshold=threshold,
+        own_batch=True,
     )

@@ -29,21 +29,21 @@ from gmall_realtime_flink_spark.plans import olap  # noqa: E402,F401
 # routing, S4 SQL-over-stream). Everything NOT in the head is still
 # oracle-gated locally: tests/test_oracle.py runs ALL registry
 # entries dtype-strict against DuckDB.
-# ROUND-10 HEAD ROTATION (VERDICT r9 item 2): the r9 head cleared 29
-# of the 32-entry never-driver-checked backlog; what remains is the
-# 3-entry residue (bpe_pair_counts, corpus_mix_temperature,
-# doc_substring_dup_ratio) plus this round's 2 new entries
-# (dedup_semantic, multimodal_decode_stats) — all 5 are in this head,
-# so a green CORRECTNESS_r10 makes never_checked = [] (audit:
-# DRIVER_COVERAGE_r10.json, tools/audit_driver_coverage.py). The
-# remaining slots burn down STALENESS instead: 23 of the 26 entries
-# whose last driver check was r03 plus the single r05 entry
-# (visitor_stats_4d), then the 10 macro-family representatives
-# test_registry pins (streaming stateful / streaming dedup / sketch /
-# dedup / text-quality / OLAP keep a per-round independent check).
-# 11 headline + 5 + 24 + 10 = 50. The three r03 entries that didn't
-# fit (user_sessions, visitor_stats_sliding, volume_shipping) queue
-# for the r11 rotation.
+# ROUND-11 HEAD ROTATION (VERDICT r10 item 8): the never-checked
+# backlog reached ZERO in r10 (DRIVER_COVERAGE_r11.json:
+# never_checked = []), so beyond this round's 3 NEW entries
+# (dedup_semantic_capped / dedup_semantic_incremental /
+# streaming_dedup_semantic -- in the head so their first driver check
+# lands this round) every free slot burns down STALENESS, oldest tier
+# first: the 3 entries last driver-checked in r03 (user_sessions,
+# visitor_stats_sliding, volume_shipping -- queued since the r10
+# rotation) plus 23 of the 27 r06-stale entries. The 4 r06 entries
+# that didn't fit (streaming_unique_visit, streaming_visitor_stats,
+# visitor_repair, visitor_stats_union -- all visitor-family with
+# multi-round green history and a headline relative in the head)
+# queue for r12. The 10 macro-family representatives test_registry
+# pins keep their per-round independent check.
+# 11 headline + 3 new + 26 staleness + 10 reps = 50.
 # Everything rotated OUT retains multi-round driver-green history and
 # stays oracle-gated locally every test run (tests/test_oracle.py
 # full registry, plus the standing adversarial/empty gates pinned by
@@ -54,21 +54,20 @@ _DRIVER_PRIORITY = [
     "province_stats", "product_stats_union", "keyword_stats",
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "pricing_summary",
-    # never driver-checked: the r9 residue + this round's new entries
-    "bpe_pair_counts", "corpus_mix_temperature",
-    "doc_substring_dup_ratio", "dedup_semantic",
-    "multimodal_decode_stats",
-    # staleness burn-down: 23 of the 26 last-checked-r03 entries + the
-    # one r05 entry (visitor_stats_4d)
-    "cheapest_supplier_per_part", "customers_no_orders",
-    "discount_revenue", "keyword_stats_mixed", "large_orders",
-    "late_shipment_priority", "nation_revenue", "order_priority_semi",
-    "price_quantiles", "price_tier_stats", "promo_revenue_pct",
-    "purchase_attribution", "revenue_cube", "revenue_grouping_sets",
-    "revenue_pivot", "revenue_rollup", "segment_running_total",
-    "session_funnel", "shipping_priority", "top_products",
-    "top_products_per_month", "user_age", "user_dim_scd2",
-    "visitor_stats_4d",
+    # this round's new entries (never driver-checked yet)
+    "dedup_semantic_capped", "dedup_semantic_incremental",
+    "streaming_dedup_semantic",
+    # staleness burn-down: the r03 residue, then 23 of 27 r06 entries
+    "user_sessions", "visitor_stats_sliding", "volume_shipping",
+    "cdc_route", "dedup_cluster", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "display_log_explode", "doc_fingerprint",
+    "doc_langid", "doc_minhash_signature", "doc_normalize",
+    "doc_quality", "doc_sample_stratified", "doc_simhash",
+    "doc_split", "doc_token_count", "keyword_product_sql",
+    "keyword_product_stats", "multimodal_features",
+    "multimodal_frame_sample", "province_stats_sql", "session_entry",
+    "similarity_topk_bucketed", "similarity_topk_ivf",
+    "streaming_order_wide",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",

@@ -2361,16 +2361,25 @@ def dedup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # could then pick different cells). NULL sims rank last (NULLS LAST +
 # cid tiebreak = Spark's max_by((c_sim, -cid)) where a NULL struct
 # field always loses).
-_KMEANS_DYN_CTES = """
+def _kmeans_dyn_ctes(pred: str = "TRUE") -> str:
+    """The kmeans CTE chain scoped to `pred` (a vec_id predicate):
+    eall, nk and therefore seeds/centroids/assignment all see only the
+    scoped corpus — the incremental entry trains on the PREFIX this
+    way while the batch entries use the unscoped default."""
+    return _KMEANS_DYN_CTES_TPL.replace("__SCOPE__", pred)
+
+
+_KMEANS_DYN_CTES_TPL = """
     eall AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
       FROM embeddings
       -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
       WHERE len(list_filter(embedding,
-        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        AND (__SCOPE__)),
     nk AS (
       SELECT greatest(8, least(4096, ceil(count(*) / 1024.0)::INT)) AS k
-      FROM embeddings),
+      FROM embeddings WHERE (__SCOPE__)),
     cent0 AS (
       SELECT vec_id AS cid, emb AS cvec FROM eall
       WHERE vec_id < (SELECT k FROM nk)),
@@ -2446,6 +2455,8 @@ _KMEANS_DYN_CTES = """
       SELECT e.vec_id, e.emb, r.cell FROM eall e
       JOIN ra r ON e.vec_id = r.vec_id)
 """
+
+_KMEANS_DYN_CTES = _kmeans_dyn_ctes()
 
 
 @register(
@@ -2547,6 +2558,87 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.4, max_cell=SEMDEDUP_CAP)
+
+
+@register(
+    "dedup_semantic_incremental",
+    oracle=f"""
+    WITH split AS (
+      SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) AS s FROM embeddings),
+    {_kmeans_dyn_ctes("vec_id < (SELECT s FROM split)")},
+    pmls AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0) AS mls
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id),
+    -- prefix SURVIVORS: production stores only kept representatives
+    surv AS (
+      SELECT p.vec_id, p.cell, p.emb
+      FROM assign p LEFT JOIN pmls m ON p.vec_id = m.vec_id
+      WHERE coalesce(m.mls < 0.4, TRUE)),
+    enew AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        AND vec_id >= (SELECT s FROM split)),
+    -- frozen-centroid assignment of the new batch (same narrow-window
+    -- + NULL-safe-division shape as the training windows)
+    nra AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
+              FROM enew e, cent c)) WHERE rn = 1),
+    nassign AS (
+      SELECT e.vec_id, e.emb, r.cell FROM enew e
+      JOIN nra r ON e.vec_id = r.vec_id),
+    comp AS (
+      SELECT vec_id, cell, emb FROM surv
+      UNION ALL
+      SELECT vec_id, cell, emb FROM nassign),
+    nmls AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0)
+               AS max_lower_sim
+      FROM comp a JOIN nassign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id)
+    SELECT n.vec_id, n.cell, m.max_lower_sim,
+           coalesce(m.max_lower_sim < 0.4, TRUE) AS kept
+    FROM nassign n LEFT JOIN nmls m ON n.vec_id = m.vec_id
+    """,
+    doc="Admission-time SemDeDup (VERDICT r10 item 5) — the "
+    "incremental form every other dedup family has: centroids are "
+    "trained on the corpus PREFIX only (vec_id < ceil(0.9·n), the "
+    "dedup_incremental id-split convention) and FROZEN; the new top "
+    "decile is assigned by a pure broadcast-K scan and admitted "
+    "against the prefix's SURVIVORS (production stores only kept "
+    "representatives) plus lower-id vectors of its own batch (the "
+    "dedup_substring_incremental own-batch convention). Steady-state "
+    "ingest cost is |batch|·K + the batch's in-cell pairs — linear "
+    "in the batch, never re-verdicting the stored corpus "
+    "(operators/similarity.semantic_dedup_incremental).",
+    tags=("datapipe", "dedup", "similarity", "kmeans", "incremental"),
+)
+def dedup_semantic_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_incremental(e, threshold=0.4, split_frac=0.9)
 
 
 @register(

@@ -567,6 +567,74 @@ def streaming_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_semantic",
+    oracle=f"""
+    WITH split AS (
+      SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) AS s FROM embeddings),
+    {datapipe._kmeans_dyn_ctes("vec_id < (SELECT s FROM split)")},
+    pmls AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0) AS mls
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id),
+    surv AS (
+      SELECT p.vec_id, p.cell, p.emb
+      FROM assign p LEFT JOIN pmls m ON p.vec_id = m.vec_id
+      WHERE coalesce(m.mls < 0.4, TRUE)),
+    enew AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+        AND vec_id >= (SELECT s FROM split)),
+    nra AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
+              FROM enew e, cent c)) WHERE rn = 1),
+    nassign AS (
+      SELECT e.vec_id, e.emb, r.cell FROM enew e
+      JOIN nra r ON e.vec_id = r.vec_id),
+    -- STREAMING scope: comparators are the stored survivors ONLY
+    -- (new x new pairs are the batch layer's
+    -- dedup_semantic_incremental), so the verdict depends only on
+    -- (vector, static state) and slicing can't change it
+    nmls AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0)
+               AS max_lower_sim
+      FROM surv a JOIN nassign b ON a.cell = b.cell
+      GROUP BY b.vec_id)
+    SELECT n.vec_id, n.cell, m.max_lower_sim,
+           coalesce(m.max_lower_sim < 0.4, TRUE) AS kept
+    FROM nassign n LEFT JOIN nmls m ON n.vec_id = m.vec_id
+    """,
+    doc="SemDeDup admission under Structured Streaming — the "
+    "embedding-space member of the streaming dedup family: new "
+    "vectors stream in, each micro-batch assigns to FROZEN "
+    "prefix-trained centroids (broadcast-K scan) and verdicts "
+    "against the prefix's stored survivors. Verdict depends only on "
+    "(vector, static state), so bounded streaming == batch under any "
+    "slicing — own-batch pairs are the batch layer's "
+    "dedup_semantic_incremental "
+    "(streaming/jobs.py streaming_dedup_semantic).",
+    tags=("streaming", "datapipe", "dedup", "similarity", "kmeans"),
+)
+def streaming_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_dedup_semantic(spark, sf_dir)
+
+
+@register(
     "streaming_dedup_exact",
     oracle="""
     SELECT md5(text) AS content_hash,

@@ -1054,6 +1054,103 @@ def streaming_dedup_minhash(
     return spark.read.schema(out_schema).parquet(out_dir).select("doc_id")
 
 
+def streaming_dedup_semantic(
+    spark: SparkSession, sf_dir: str, base: str | None = None
+) -> DataFrame:
+    """Semantic (SemDeDup) admission under Structured Streaming — the
+    embedding-space member of the streaming dedup family (exact /
+    MinHash / substring): new vectors (the top decile by vec_id, the
+    dedup_incremental id-split convention) arrive as a file stream;
+    each micro-batch is assigned to FROZEN prefix-trained centroids
+    (a pure broadcast-K scan) and verdicted against the prefix's
+    stored SURVIVORS only.
+
+    Verdict = same-cell survivor with cosine >= threshold — new×new
+    batch pairs are deliberately out of scope so the verdict depends
+    only on (vector, static state) and the bounded result equals the
+    batch oracle under ANY micro-batch slicing (the same
+    slicing-invariance contract as streaming_dedup_substring; own-
+    batch pairs are the batch layer's `dedup_semantic_incremental`).
+
+    At 100 TB the admission state (K×dim centroids + the survivor
+    table, cell-partitioned) is built ONCE and persisted — per-trigger
+    cost is |batch|·K cosines plus the batch's survivor-cell pairs;
+    the stored corpus is never re-verdicted
+    (operators/similarity.semantic_admission_state / semantic_admit).
+    """
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_admission_state,
+        semantic_admit,
+    )
+
+    emb_schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).schema
+    full = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    split, cent, surv = semantic_admission_state(
+        full, threshold=0.4, split_frac=0.9
+    )
+    # persist = the "state built once" claim: without it each
+    # foreachBatch re-runs the whole prefix kmeans + survivor verdict
+    cent = cent.persist()
+    surv = surv.persist()
+
+    if base is None:
+        base = tempfile.mkdtemp(prefix="dedup_semantic_stream_")
+    out_dir = os.path.join(base, "verdicts")
+    ckpt_dir = os.path.join(base, "ckpt")
+    src_dir = os.path.join(base, "src")
+    if not os.path.isdir(src_dir):
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "embeddings.parquet")),
+            os.path.join(src_dir, "part-000.parquet"),
+        )
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.filter(F.col("vec_id") >= F.lit(split))
+        verdicts = semantic_admit(
+            new, cent, surv, threshold=0.4, own_batch=False
+        )
+        # idempotent sink: a retried micro-batch replaces its OWN
+        # partition (foreachBatch is at-least-once)
+        verdicts.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(emb_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        cent.unpersist()
+        surv.unpersist()
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("max_lower_sim", T.DoubleType()),
+        T.StructField("kept", T.BooleanType()),
+        T.StructField("batch_id", T.LongType()),
+    ])
+    return (
+        spark.read.schema(out_schema)
+        .parquet(out_dir)
+        .select("vec_id", "cell", "max_lower_sim", "kept")
+    )
+
+
 def streaming_dedup_substring(
     spark: SparkSession, sf_dir: str, base: str | None = None, k: int = 8
 ) -> DataFrame:

@@ -866,3 +866,35 @@ def test_sorted_split_mtimes_strictly_increase(sf_dir):
         assert os.path.getmtime(sentinel) >= mtimes[-1] + 1.0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_semantic_admission_streaming_vs_incremental(spark, sf_dir):
+    """The two admission scopes relate by construction: the streaming
+    form compares only against stored survivors, the batch incremental
+    form ADDITIONALLY against lower-id own-batch vectors — so every
+    vector the incremental form keeps, the streaming form keeps too
+    (fewer comparators can only raise max_lower_sim never), cells are
+    identical (same frozen centroids), and any divergence is a vector
+    whose nearest dup is inside its own batch."""
+    from gmall_realtime_flink_spark.plans import REGISTRY
+
+    inc = {
+        r.vec_id: r
+        for r in REGISTRY["dedup_semantic_incremental"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    stream = {
+        r.vec_id: r
+        for r in REGISTRY["streaming_dedup_semantic"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert inc.keys() == stream.keys() and inc, "same admitted id set"
+    for vid, ri in inc.items():
+        rs = stream[vid]
+        assert ri.cell == rs.cell, (vid, ri.cell, rs.cell)
+        if ri.kept:
+            assert rs.kept, f"{vid}: incremental kept but streaming dropped"
+        if ri.max_lower_sim is not None and rs.max_lower_sim is not None:
+            assert rs.max_lower_sim <= ri.max_lower_sim + 1e-12

@@ -183,6 +183,28 @@ def main() -> int:
             bad.append(name)
         print(name, json.dumps(results[name])[:200], flush=True)
 
+    # the dedup_semantic EXCLUDED note's promise: the BLAS twin
+    # carries this tier as a SOLO bench row (no oracle — the SQL
+    # kmeans chain is infeasible here; kernel parity is pytest-pinned
+    # and sf10 is moments-gated in both engines)
+    solo = {}
+    per_q = "/tmp/bench_semantic_numpy_sf100.json"
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench_semantic_numpy.py"),
+         sf_dir, per_q],
+        capture_output=True, text=True, timeout=7200, env=env,
+    )
+    if proc.returncode == 0 and os.path.exists(per_q):
+        with open(per_q) as f:
+            solo["dedup_semantic_numpy"] = json.load(f)
+    else:
+        solo["dedup_semantic_numpy"] = {
+            "ok": False, "sec": round(time.time() - t0, 1),
+            "err": (proc.stderr or proc.stdout)[-2000:],
+        }
+    print("solo", json.dumps(solo)[:300], flush=True)
+
     with open(json_out, "w") as f:
         json.dump({
             "sf_dir": sf_dir,
@@ -192,6 +214,7 @@ def main() -> int:
             "bad": bad,
             "excluded": EXCLUDED,
             "results": results,
+            "solo_bench": solo,
             "total_sec": round(time.time() - t_all, 1),
         }, f, indent=1)
     print("TOTAL", round(time.time() - t_all, 1), "BAD:", bad)
