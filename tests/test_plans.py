@@ -553,3 +553,25 @@ def test_semantic_dedup_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan, "assignment checkpoint missing"
+
+
+def test_semantic_dedup_capped_plan_shape(spark, sf_dir):
+    """The capped twin keeps the uncapped shape (equi-join pair stage,
+    checkpointed assignment) and adds only BROADCAST joins for the
+    <=K-row per-cell counts — no cartesian, no shuffled NLJ."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic_capped")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "assignment checkpoint missing"
+    assert "BroadcastHashJoin" in plan, "cell-count cap join not broadcast"
+
+
+def test_semantic_dedup_incremental_plan_shape(spark, sf_dir):
+    """Admission: both the prefix and the batch assignment are
+    checkpointed once (two ExistingRDD scans), the comparator pair
+    stage is an equi-join on cell — never cartesian — and the frozen
+    centroids reach each assignment as a broadcast."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "assignment checkpoints missing"
