@@ -111,6 +111,10 @@ def _production() -> dict:
         # BLAS, hybrid exact-decimal Lloyd means; expr form
         # dedup_semantic stays the oracle surface
         "dedup_semantic_numpy": _semantic_dedup_numpy,
+        # hot-cell-capped SemDeDup (r11): identical verdicts on the
+        # balanced driver corpus (cap never trips), so this row prices
+        # the INSURANCE itself — the per-cell count broadcast join
+        "dedup_semantic_capped": REGISTRY["dedup_semantic_capped"].builder,
     }
 
 

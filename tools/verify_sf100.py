@@ -182,6 +182,9 @@ def main() -> int:
             }
             bad.append(name)
         print(name, json.dumps(results[name])[:200], flush=True)
+        # incremental dump: a kernel OOM / wall-clock cutoff mid-tier
+        # keeps every finished entry (combine with --resume)
+        _dump(json_out, sf_dir, results, bad, {}, t_all)
 
     # the dedup_semantic EXCLUDED note's promise: the BLAS twin
     # carries this tier as a SOLO bench row (no oracle — the SQL
@@ -205,6 +208,12 @@ def main() -> int:
         }
     print("solo", json.dumps(solo)[:300], flush=True)
 
+    _dump(json_out, sf_dir, results, bad, solo, t_all)
+    print("TOTAL", round(time.time() - t_all, 1), "BAD:", bad)
+    return 1 if bad else 0
+
+
+def _dump(json_out, sf_dir, results, bad, solo, t_all) -> None:
     with open(json_out, "w") as f:
         json.dump({
             "sf_dir": sf_dir,
@@ -217,8 +226,6 @@ def main() -> int:
             "solo_bench": solo,
             "total_sec": round(time.time() - t_all, 1),
         }, f, indent=1)
-    print("TOTAL", round(time.time() - t_all, 1), "BAD:", bad)
-    return 1 if bad else 0
 
 
 if __name__ == "__main__":
