@@ -39,27 +39,29 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+# r11 ordering: ENGINE-REVISION-SENSITIVE entries first — the r10/r11
+# changes (BLAS-twin sf100 routing, the FINITE valid_embeddings rule
+# mirrored in 16 oracles, norm hoists, assignment repartition) touch
+# the embedding family, so a wall-clock cutoff mid-tier still
+# refreshes the rows this rerun exists for; the expensive
+# least-changed aggregates (product_stats & friends) run last
+# (incremental dump + --resume carry the remainder).
 HEADLINE_SF100 = [
+    "dedup_exact",
+    "similarity_topk",
+    "keyword_stats",
+    "province_stats",
     "visitor_stats",
+    "dedup_minhash_lsh_capped",  # see module docstring
+    "pricing_summary",
+    "product_stats_union",
     "order_wide",
     "order_enriched",
     "product_stats",
-    "province_stats",
-    "product_stats_union",
-    "keyword_stats",
-    "dedup_exact",
-    "dedup_minhash_lsh_capped",  # see module docstring
-    "similarity_topk",
-    "pricing_summary",
 ]
 
 # round-9 extension: production datapipe + layout shapes
 DATAPIPE_SF100 = [
-    "product_stats_bucketed",    # exchange-free layout twin (one-time
-                                 # bucketed write, fingerprint-cached)
-    "dedup_substring_spans",     # new r9 operator: 3 linear shuffles
-    "dedup_jaccard_complete_capped",
-    "dedup_simhash_hamming_wide_capped",
     "dedup_embedding_cosine_numpy",  # designed-linear (auto_bits keeps
                                  # ~1024 rows/cell -> ~n*512 pair
                                  # evals), verified via the BLAS
@@ -67,17 +69,33 @@ DATAPIPE_SF100 = [
                                  # oracle (VERDICT r9 item 4: the expr
                                  # fold spent 1815 s here on work the
                                  # twin does in 18 s; the fold stays
-                                 # cross-engine-verified at sf10)
+                                 # cross-engine-verified at sf10).
+                                 # r11: the routed twin's FIRST actual
+                                 # sf100 run (r10 landed the routing
+                                 # unexecuted — VERDICT item 4)
+    "label_centroids",
+    "embedding_quantize_int8",
+    "similarity_topk_bucketed",
     "doc_pack",
     "corpus_shuffle",
     "doc_quality_tiers",
     "doc_split",
     "doc_tfidf_top_terms",
     "doc_lm_surprisal",
-    "label_centroids",
-    "embedding_quantize_int8",
-    "similarity_topk_bucketed",
+    "dedup_substring_spans",     # r9 operator: 3 linear shuffles
+    "dedup_jaccard_complete_capped",
+    "dedup_simhash_hamming_wide_capped",
+    "product_stats_bucketed",    # exchange-free layout twin (one-time
+                                 # bucketed write, fingerprint-cached)
 ]
+
+# actual execution order (see the r11 ordering note above): embedding
+# family first, big unchanged aggregates last
+RUN_ORDER = (
+    DATAPIPE_SF100[:4] + HEADLINE_SF100[:8]
+    + DATAPIPE_SF100[4:] + HEADLINE_SF100[8:]
+)
+assert sorted(RUN_ORDER) == sorted(HEADLINE_SF100 + DATAPIPE_SF100)
 
 EXCLUDED = {
     "dedup_minhash_lsh": (
@@ -153,7 +171,7 @@ def main() -> int:
         SPARK_DRIVER_MEM="64g",
         SPARK_GRAFT_CONF="spark.cleaner.periodicGC.interval=60s",
     )
-    for name in HEADLINE_SF100 + DATAPIPE_SF100:
+    for name in RUN_ORDER:
         if name in results:  # --resume: already green
             continue
         per_q = f"/tmp/verify_sf100_{name}.json"
