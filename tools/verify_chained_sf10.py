@@ -1,6 +1,18 @@
-"""Round-7: chained 10-job topology at sf10 under the engine session
-(RocksDB state), recording per-layer seconds + state/checkpoint sizes.
-Writes VERIFY_SF10_CHAINED_r07.json."""
+"""Chained 10-job topology verifier at a given SF under the engine
+session (RocksDB state), recording per-layer seconds, per-batch
+trigger-latency percentiles, and state/checkpoint sizes.
+
+First used round-7 (VERIFY_SF10_CHAINED_r07.json, default staging).
+Round-11 runs it twice at sf10 for the ordered-ingestion proof
+(VERDICT r10 item 1): once with default staging (the refreshed
+unordered baseline, now WITH the r8 latency listener so p95 exists),
+once under SPARK_GRAFT_TOPOLOGY_ORDERED_SLICES=8 +
+SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER=1 (the per-key-ordered Kafka
+contract, r9's 1.6x/6.6x sf1 lever, one decade up). The staging knobs
+are recorded in the artifact so the two runs are self-describing.
+
+Usage: python tools/verify_chained_sf10.py [sf_dir] [json_out]
+"""
 from __future__ import annotations
 
 import json
@@ -81,6 +93,14 @@ def _dump(json_out, sf_dir, bad, results, topology, t_all):
             {
                 "sf_dir": sf_dir,
                 "session": "engine (RocksDB state store)",
+                "staging": {
+                    "ordered_slices": os.environ.get(
+                        "SPARK_GRAFT_TOPOLOGY_ORDERED_SLICES"
+                    ),
+                    "files_per_trigger": os.environ.get(
+                        "SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER"
+                    ),
+                },
                 "bad": bad,
                 "results": results,
                 "layer_seconds": topology.LAYER_SECONDS,
