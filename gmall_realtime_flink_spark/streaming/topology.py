@@ -104,7 +104,17 @@ def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
         # visitor/province stats lose rows under maxFilesPerTrigger=4
         # without this). Production default keeps full write
         # parallelism — its consumers take each batch in one trigger.
-        out = out.coalesce(1)
+        #
+        # repartition(1), NOT coalesce(1): coalesce is a narrow
+        # dependency, so it pulls every upstream partition into the
+        # single writer task — the stateful join / applyInPandasWithState
+        # computation over all 32 state partitions then executes
+        # SERIALLY inside one task (measured at sf10 ordered replay:
+        # 1 of 32 cores busy, ~7 min per join batch; one pegged Python
+        # state worker on the UV/CEP layers). repartition inserts an
+        # exchange, so the stateful compute keeps its 32-way
+        # parallelism and only the file write is single-task.
+        out = out.repartition(1)
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch_id").parquet(out_dir)
