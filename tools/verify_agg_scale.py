@@ -105,6 +105,15 @@ def main() -> int:
     got = {k: str(v) for k, v in df.agg(*aggs).collect()[0].asDict().items()}
     t_spark = time.time() - t0
 
+    # `got` is a plain dict of strings — nothing lazy references the
+    # session anymore, so release the JVM (a 64g driver heap under the
+    # sf100 knobs) BEFORE the DuckDB phase: the big oracles
+    # (product_stats' 503M-group aggregate) otherwise compete with a
+    # resident heap they'll never use again and die on allocation
+    # (measured r11: bad-alloc at ~60 GB with the JVM held, green
+    # without it).
+    spark.stop()
+
     t0 = time.time()
     con = duckdb.connect()
     for t in TABLES:
