@@ -441,6 +441,17 @@ def kmeans_centroids(
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
     )
+    return _lloyd_iterate(e, cent, iters)
+
+
+def _lloyd_iterate(e: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
+    """The deterministic Lloyd loop shared by `kmeans_centroids`
+    (vec_id < K seeds) and `semantic_dedup_resplit`'s second-level
+    training (rank seeds over an arbitrary scoped subset). `e` is
+    (vec_id, emb[, emb_nrm]); `cent` is the seed frame (cid, cvec).
+    Arithmetic identical to the historical inline loop: 6dp-rounded
+    cosine assignment with ties to the lowest cid, exact
+    DECIMAL(38,12) member means, empty cells keep their centroid."""
     for _ in range(iters):
         cent_n = cent.withColumn(  # K rows — cheap
             "cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
@@ -1277,3 +1288,168 @@ def semantic_dedup_incremental(
         threshold=threshold,
         own_batch=True,
     )
+
+
+def semantic_dedup_resplit(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | None = None,
+    iters: int = 2,
+    max_cell: int = 2048,
+) -> DataFrame:
+    """SemDeDup with hot-cell RE-SPLIT (VERDICT r11 item 3): the
+    capped form (`semantic_dedup(max_cell=...)`) honestly forgoes
+    dedup inside cells above the cap — their members are flagged
+    `cell_capped=TRUE`, routable but not yet routed. This operator
+    routes them: members of over-cap cells are re-clustered by a
+    SECOND deterministic k-means (auto_cells over the hot
+    population, seeds = the k lowest vec_ids of that population —
+    the vec_id<K seed rule generalized to a scoped subset) and the
+    pairwise verdict runs within (cell, subcell) blocks, recovering
+    most of the dup drops the cap forwent at linear cost. Sub-blocks
+    STILL above the cap stay flagged — the insurance never silently
+    goes quadratic, it just gets a second, finer chance first.
+
+    Output: one verdict row per valid vector —
+    (vec_id, cell, subcell, max_lower_sim, kept, cell_capped);
+    subcell is NULL for members of small (never-capped) cells, whose
+    verdicts are bit-identical to the uncapped `semantic_dedup`.
+    kept follows the same lower-id rule, applied within cell for
+    small cells and within (cell, subcell) for re-split ones.
+    NOTE: re-split verdicts are a superset-recall approximation of
+    the uncapped form — two hot-cell members that land in different
+    sub-cells are never compared — exactly the recall trade the
+    lexical capped twins (max_bucket) already document.
+
+    Scale (100 TB): level-1 cost is `semantic_dedup(max_cell)`'s;
+    level-2 adds |hot|·K2 assignment work (broadcast cross, K2 <=
+    4096) plus in-block pairs bounded by cap² per block. All cap
+    joins broadcast per-cell/per-block counts (<= K resp. <= K·K2
+    rows with K, K2 <= 4096 — in practice #hot cells is a handful).
+    The level-2 training runs over the checkpointed level-1
+    assignment, so the corpus is scanned once.
+
+    Cites: Abbas et al. 2023 (SemDeDup) §3 cluster-then-compare; the
+    two-level split mirrors IVF's coarse/fine quantizer split
+    (Jégou et al. 2011, Product Quantization, §III.A)."""
+    if n_cells is None:
+        n_cells = auto_cells(corpus_count_for_auto_bits(embeddings))
+    cent = kmeans_centroids(
+        embeddings, n_cells=n_cells, iters=iters
+    ).withColumn("cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec"))))
+    assigned = _semantic_assign(embeddings, cent)
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+
+    # ---- level 1: small cells, verdicts identical to the uncapped form
+    small_members = assigned.join(
+        F.broadcast(
+            counts.filter(F.col("cell_n") <= max_cell).select("cell")
+        ),
+        "cell",
+    )
+    mls1 = (
+        _semantic_side(small_members, "a")
+        .join(
+            _semantic_side(small_members, "b"),
+            (F.col("a_cell") == F.col("b_cell"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(F.col("b_id").alias("vec_id"), _semantic_pair_sim().alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_lower_sim"))
+    )
+    kept = F.coalesce(
+        F.col("max_lower_sim") < F.lit(threshold), F.lit(True)
+    ).alias("kept")
+    lvl1 = small_members.drop("emb", "nrm").join(mls1, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.lit(None).cast("long").alias("subcell"),
+        "max_lower_sim",
+        kept,
+        F.lit(False).alias("cell_capped"),
+    )
+
+    # ---- level 2: re-cluster the hot population, verdict in sub-blocks
+    hot = assigned.join(
+        F.broadcast(
+            counts.filter(F.col("cell_n") > max_cell).select("cell")
+        ),
+        "cell",
+    )
+    # driver-side count (the corpus_count_for_auto_bits convention):
+    # K2 must be a literal for the seed limit; materializes the
+    # level-1 checkpoint once, which every later consumer reuses
+    n2 = auto_cells(hot.count())
+    e2 = hot.select("vec_id", "emb", F.col("nrm").alias("emb_nrm"), "cell")
+    # rank seeds: the k2 LOWEST vec_ids of the scoped subset — the
+    # vec_id < K rule can't apply (hot members' ids are arbitrary)
+    seeds2 = (
+        e2.orderBy("vec_id")
+        .limit(n2)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cvec"))
+    )
+    cent2 = _lloyd_iterate(
+        e2.select("vec_id", "emb", "emb_nrm"), seeds2, iters
+    ).withColumn("cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec"))))
+    assigned2 = (
+        _centroid_sim(e2.crossJoin(F.broadcast(cent2)), "emb")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid",
+                F.struct(F.col("c_sim"), (-F.col("cid")).alias("nc")),
+            ).alias("subcell"),
+            F.first("cell").alias("cell"),
+            F.first("emb").alias("emb"),
+            F.first("emb_nrm").alias("nrm"),
+        )
+        # one materialization for its four consumers (block counts,
+        # both pair sides, verdict join) — the level-1 pattern
+        .localCheckpoint(eager=False)
+    )
+    ct2 = assigned2.groupBy("cell", "subcell").agg(
+        F.count(F.lit(1)).alias("sub_n")
+    )
+    small2 = assigned2.join(
+        F.broadcast(
+            ct2.filter(F.col("sub_n") <= max_cell).select("cell", "subcell")
+        ),
+        ["cell", "subcell"],
+    )
+
+    def _side2(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"{tag}_id"),
+            F.col("cell").alias(f"{tag}_cell"),
+            F.col("subcell").alias(f"{tag}_sub"),
+            F.col("emb").alias(f"emb_{tag}"),
+            F.col("nrm").alias(f"nrm_{tag}"),
+        )
+
+    mls2 = (
+        _side2(small2, "a")
+        .join(
+            _side2(small2, "b"),
+            (F.col("a_cell") == F.col("b_cell"))
+            & (F.col("a_sub") == F.col("b_sub"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(F.col("b_id").alias("vec_id"), _semantic_pair_sim().alias("s"))
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_lower_sim"))
+    )
+    lvl2 = (
+        assigned2.drop("emb", "nrm")
+        .join(F.broadcast(ct2), ["cell", "subcell"])
+        .join(mls2, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "subcell",
+            "max_lower_sim",
+            kept,
+            (F.col("sub_n") > max_cell).alias("cell_capped"),
+        )
+    )
+    return lvl1.unionByName(lvl2)

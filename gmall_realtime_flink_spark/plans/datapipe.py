@@ -2560,6 +2560,167 @@ def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.4, max_cell=SEMDEDUP_CAP)
 
 
+# Second-level kmeans over the HOT population (members of cells above
+# the cap), transliterating operators/similarity.semantic_dedup_resplit:
+# rank seeds (the k2 lowest vec_ids of the scoped subset — vec_id < K
+# can't apply to arbitrary member ids), then the same two deterministic
+# Lloyd iterations as the level-1 template, every CTE renamed with an
+# `h` prefix so both chains coexist in one query. Windows stay NARROW
+# (sim below the window, emb joined back after rn=1) for the same
+# DuckDB-spill reason documented on the level-1 template.
+_KMEANS2_HOT_CTES = f"""
+    hot AS (
+      SELECT a.vec_id, a.emb, a.cell FROM assign a
+      JOIN cellct c ON a.cell = c.cell WHERE c.ct > {SEMDEDUP_CAP}),
+    hnk AS (
+      SELECT greatest(8, least(4096, ceil(count(*) / 1024.0)::INT)) AS k
+      FROM hot),
+    hcent0 AS (
+      SELECT vec_id AS cid, emb AS cvec FROM (
+        SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM hot) WHERE rn <= (SELECT k FROM hnk)),
+    hr1 AS (
+      SELECT vec_id, cid AS subcell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
+              FROM hot e, hcent0 c)) WHERE rn = 1),
+    ha1 AS (
+      SELECT e.vec_id, e.emb, r.subcell FROM hot e
+      JOIN hr1 r ON e.vec_id = r.vec_id),
+    hm1 AS (
+      SELECT subcell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT subcell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM ha1)
+      GROUP BY subcell, pos),
+    hcent1 AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM hcent0 c LEFT JOIN (
+        SELECT subcell, list(m ORDER BY pos) AS mvec FROM hm1
+        GROUP BY subcell
+      ) m ON c.cid = m.subcell),
+    hr2 AS (
+      SELECT vec_id, cid AS subcell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
+              FROM hot e, hcent1 c)) WHERE rn = 1),
+    ha2 AS (
+      SELECT e.vec_id, e.emb, r.subcell FROM hot e
+      JOIN hr2 r ON e.vec_id = r.vec_id),
+    hm2 AS (
+      SELECT subcell, pos,
+             sum(CAST(v AS DECIMAL(38,12)))::DOUBLE / count(*) AS m
+      FROM (SELECT subcell, unnest(emb) AS v,
+                   unnest(generate_series(1, len(emb))) AS pos
+            FROM ha2)
+      GROUP BY subcell, pos),
+    hcent AS (
+      SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+      FROM hcent1 c LEFT JOIN (
+        SELECT subcell, list(m ORDER BY pos) AS mvec FROM hm2
+        GROUP BY subcell
+      ) m ON c.cid = m.subcell),
+    hra AS (
+      SELECT vec_id, cid AS subcell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY s DESC NULLS LAST, cid) AS rn
+        FROM (SELECT e.vec_id, c.cid,
+                     round(list_dot_product(e.emb, c.cvec) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
+              FROM hot e, hcent c)) WHERE rn = 1),
+    assign2 AS (
+      SELECT e.vec_id, e.emb, e.cell, r.subcell FROM hot e
+      JOIN hra r ON e.vec_id = r.vec_id)
+"""
+
+
+@register(
+    "dedup_semantic_resplit",
+    oracle=f"""
+    WITH {_KMEANS_DYN_CTES},
+    cellct AS (
+      SELECT cell, count(*) AS ct FROM assign GROUP BY cell),
+    small AS (SELECT cell FROM cellct WHERE ct <= {SEMDEDUP_CAP}),
+    mls AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0)
+               AS max_lower_sim
+      FROM assign a
+      JOIN small sm ON a.cell = sm.cell
+      JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id),
+    {_KMEANS2_HOT_CTES},
+    sct AS (
+      SELECT cell, subcell, count(*) AS ct FROM assign2
+      GROUP BY cell, subcell),
+    ssmall AS (
+      SELECT cell, subcell FROM sct WHERE ct <= {SEMDEDUP_CAP}),
+    mls2 AS (
+      SELECT b.vec_id,
+             max(round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) + 0.0)
+               AS max_lower_sim
+      FROM assign2 a
+      JOIN ssmall sm ON a.cell = sm.cell AND a.subcell = sm.subcell
+      JOIN assign2 b ON a.cell = b.cell AND a.subcell = b.subcell
+        AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id)
+    SELECT s.vec_id, s.cell, CAST(NULL AS BIGINT) AS subcell,
+           m.max_lower_sim,
+           coalesce(m.max_lower_sim < 0.4, TRUE) AS kept,
+           FALSE AS cell_capped
+    FROM assign s
+    JOIN small sm ON s.cell = sm.cell
+    LEFT JOIN mls m ON s.vec_id = m.vec_id
+    UNION ALL
+    SELECT a.vec_id, a.cell, a.subcell, m.max_lower_sim,
+           coalesce(m.max_lower_sim < 0.4, TRUE) AS kept,
+           (c.ct > {SEMDEDUP_CAP}) AS cell_capped
+    FROM assign2 a
+    JOIN sct c ON a.cell = c.cell AND a.subcell = c.subcell
+    LEFT JOIN mls2 m ON a.vec_id = m.vec_id
+    """,
+    doc="SemDeDup hot-cell RE-SPLIT (VERDICT r11 item 3): the capped "
+    "twin honestly forgoes dedup inside over-cap cells — 13.4% of "
+    "the skew-sf1 corpus, 2,684 lost drops (SEMDEDUP_SKEW_r11) — "
+    "and flags the members routable. This entry routes them: hot "
+    "members are re-clustered by a SECOND deterministic kmeans "
+    "(auto_cells over the hot population, rank seeds = its k2 "
+    "lowest vec_ids) and the pairwise verdict runs within "
+    "(cell, subcell) blocks; still-over-cap sub-blocks stay flagged "
+    "(never silently quadratic). Small-cell verdicts bit-identical "
+    "to dedup_semantic; subcell NULL marks them. Two-level symbolic "
+    "oracle: the level-1 kmeans CTE chain composed with an "
+    "h-prefixed level-2 chain reading the hot members off `assign` "
+    "(operators/similarity.semantic_dedup_resplit).",
+    tags=("datapipe", "dedup", "similarity", "kmeans", "production",
+          "scale"),
+)
+def dedup_semantic_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        semantic_dedup_resplit,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_resplit(e, threshold=0.4, max_cell=SEMDEDUP_CAP)
+
+
 @register(
     "dedup_semantic_incremental",
     oracle=f"""

@@ -157,6 +157,12 @@ class _BatchLatencyListener:
 
     def __init__(self) -> None:
         self.durations: dict[str, list[float]] = {}
+        # per-query per-batch durationMs component samples
+        # (queryPlanning / addBatch / walCommit / latestOffset /
+        # commitOffsets / getBatch) — the breakdown that says whether
+        # a slow micro-batch is COMPUTE (addBatch) or per-trigger
+        # FIXED cost (everything else); see tools/profile_base_db.py
+        self.components: dict[str, dict[str, list[float]]] = {}
         self._listener = None
 
     def attach(self, spark: SparkSession) -> None:
@@ -171,9 +177,13 @@ class _BatchLatencyListener:
             def onQueryProgress(self, event) -> None:
                 p = event.progress
                 name = p.name
-                ms = (p.durationMs or {}).get("triggerExecution")
+                dur = p.durationMs or {}
+                ms = dur.get("triggerExecution")
                 if name and ms is not None:
                     outer.durations.setdefault(name, []).append(float(ms))
+                    comp = outer.components.setdefault(name, {})
+                    for k, v in dur.items():
+                        comp.setdefault(k, []).append(float(v))
 
             def onQueryIdle(self, event) -> None:
                 pass
@@ -202,7 +212,22 @@ class _BatchLatencyListener:
         # a restart run against an already-built base processes no new
         # data for completed jobs and must not erase their stats
         out.update(
-            {name: _percentiles(ms) for name, ms in self.durations.items()}
+            {
+                name: {
+                    **_percentiles(ms),
+                    # where each trigger spent its time: addBatch is
+                    # the batch's actual compute+write; the rest is
+                    # per-trigger fixed cost (planning, offset WAL,
+                    # source listing) — the split that says whether a
+                    # slow ordered replay needs a faster PLAN or
+                    # fewer TRIGGERS
+                    "components": {
+                        k: _percentiles(v)
+                        for k, v in self.components.get(name, {}).items()
+                    },
+                }
+                for name, ms in self.durations.items()
+            }
         )
 
 
@@ -456,6 +481,8 @@ def _build_warehouse_layers_impl(
     for lyr in ("dwd_page_log", "dwd_start_log", "dwd_display_log"):
         _seed_empty_layer(spark, events.schema, layers[lyr])
     LAYER_SECONDS["base_log_app"] = round(_time.time() - _t0, 1)
+    if os.environ.get("SPARK_GRAFT_TOPOLOGY_STOP_AFTER") == "base_log_app":
+        return layers  # profiling knob: isolate one DWD job's cost
 
     # ------------------------------------------------------------------
     # DWD job 2 — BaseDBApp: the CDC stream arrives as ONE envelope
@@ -504,6 +531,8 @@ def _build_warehouse_layers_impl(
     for table, schema in table_schemas.items():
         _seed_empty_layer(spark, schema, layers[f"dwd_{table}"])
     LAYER_SECONDS["base_db_app"] = round(_time.time() - _t0, 1)
+    if os.environ.get("SPARK_GRAFT_TOPOLOGY_STOP_AFTER") == "base_db_app":
+        return layers  # profiling knob: isolate the DWD jobs' cost
 
     # ------------------------------------------------------------------
     # DWM job 3 — UniqueVisitApp: consumes dwd_page_log (the layer

@@ -575,3 +575,16 @@ def test_semantic_dedup_incremental_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan, "assignment checkpoints missing"
+
+
+def test_semantic_dedup_resplit_plan_shape(spark, sf_dir):
+    """The re-split form keeps the family's shape discipline: both
+    pair stages are equi-joins (cell resp. cell+subcell) with the
+    lower-id residual — never cartesian — both assignment levels are
+    checkpointed once (ExistingRDD scans), and every cap/count join
+    is a broadcast."""
+    plan = plan_of(spark, sf_dir, "dedup_semantic_resplit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan, "assignment checkpoints missing"
+    assert "BroadcastHashJoin" in plan, "cap joins not broadcast"

@@ -49,7 +49,7 @@ def main() -> int:
     from gmall_realtime_flink_spark.plans.datapipe import SEMDEDUP_CAP
     from gmall_realtime_flink_spark.session import get_spark
 
-    json_out = sys.argv[1] if len(sys.argv) > 1 else "SEMDEDUP_SKEW_r11.json"
+    json_out = sys.argv[1] if len(sys.argv) > 1 else "SEMDEDUP_SKEW.json"
     spark = get_spark("measure_semdedup_skew")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -66,7 +66,11 @@ def main() -> int:
     )
     gates: dict = {}
     frames: dict = {}
-    for name in ("dedup_semantic_capped", "dedup_semantic"):
+    for name in (
+        "dedup_semantic_capped",
+        "dedup_semantic",
+        "dedup_semantic_resplit",
+    ):
         spec = REGISTRY[name]
         t0 = time.time()
         got = spec.builder(spark, SF1).toPandas()
@@ -109,6 +113,43 @@ def main() -> int:
         "drops_lost_to_cap": drops_lost,
     }
     print(json.dumps(out["sf1_skew"]), flush=True)
+
+    # 2b) re-split recovery (VERDICT r11 item 3): how many of the
+    # drops the cap forwent does the second-level kmeans recover?
+    # Re-split pairs are a strict subset of the uncapped in-cell
+    # pairs (same cell AND same subcell), so its drops on hot members
+    # are a subset of the uncapped drops there — recovery is the
+    # recall of that subset.
+    rs_df = frames["dedup_semantic_resplit"]
+    rs_hot = rs_df[rs_df["subcell"].notna()]
+    rs_by_id = rs_df.set_index("vec_id")
+    hot_ids = hot["vec_id"]
+    drops_recovered = int((~rs_by_id.loc[hot_ids]["kept"]).sum())
+    small_ids = cap_df[~cap_df["cell_capped"]]["vec_id"]
+    out["sf1_resplit"] = {
+        "hot_vectors": int(len(rs_hot)),
+        "n_subblocks": int(
+            rs_hot.groupby(["cell", "subcell"]).ngroups
+        ),
+        "subblock_max": int(
+            rs_hot.groupby(["cell", "subcell"]).size().max()
+        ) if len(rs_hot) else 0,
+        "still_capped_vectors": int(rs_df["cell_capped"].sum()),
+        "drops_lost_to_cap": drops_lost,
+        "drops_recovered_by_resplit": drops_recovered,
+        "drops_still_lost": drops_lost - drops_recovered,
+        "recovery_rate": round(drops_recovered / drops_lost, 4)
+        if drops_lost else None,
+        # invariant: small-cell verdicts bit-identical to the capped
+        # (== uncapped) form
+        "small_cells_identical": bool(
+            (
+                rs_by_id.loc[small_ids]["kept"].to_numpy()
+                == unc_by_id.loc[small_ids].to_numpy()
+            ).all()
+        ),
+    }
+    print(json.dumps(out["sf1_resplit"]), flush=True)
     _dump(json_out, out)
 
     # 3) degradation curve: BLAS twin capped vs uncapped, sf1 and sf10

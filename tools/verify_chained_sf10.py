@@ -41,7 +41,9 @@ def main() -> int:
     from gmall_realtime_flink_spark.streaming import topology
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.local/sf10"
-    json_out = sys.argv[2] if len(sys.argv) > 2 else "VERIFY_SF10_CHAINED_r07.json"
+    # neutral default (ADVICE r11): an argless run must never clobber
+    # a committed per-round artifact — name the round explicitly
+    json_out = sys.argv[2] if len(sys.argv) > 2 else "VERIFY_SF10_CHAINED.json"
     spark = get_spark("verify_chained_sf10")
     spark.sparkContext.setLogLevel("ERROR")
 
