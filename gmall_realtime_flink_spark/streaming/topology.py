@@ -85,6 +85,61 @@ JUMP_GAP_MS = 600_000
 FAULT_AFTER_WRITE = None
 
 
+def _write_batch_many(
+    batch_df: DataFrame,
+    batch_id: int,
+    sinks: list[tuple],
+    rebalance: bool = False,
+) -> None:
+    """Persist one micro-batch and run its per-sink writes as
+    CONCURRENT Spark jobs (one thread each). `sinks` is a list of
+    (transform_fn, out_dir); each transform derives its sink's rows
+    from the SHARED persisted batch.
+
+    Why concurrent: the DWD fan-out jobs write 2-3 independent layer
+    sinks per batch; serially, each write's tail is a single-task
+    parquet encode (the ordered-replay one-file-per-batch contract),
+    during which 31 cores idle — measured at sf1 ordered
+    (PROFILE_BASE_DB_SF1): per-trigger cost is ~98% addBatch, and the
+    sinks' compute+encode phases simply sum. Submitting the jobs from
+    threads lets sink B's parallel compute overlap sink A's
+    single-task encode — same jobs, same outputs, wall = max not sum.
+    Thread-per-job is the standard Spark concurrent-job pattern
+    (scheduler is thread-safe; FIFO pool). Exceptions re-raise in the
+    caller (future.result), so the crash-injection seam and
+    foreachBatch failure semantics are unchanged.
+
+    Why rebalance: in ordered replay each micro-batch is ONE staged
+    slice file, so the scan yields only a handful of byte-range
+    splits (measured: 5-6 tasks on 32 cores) and every derived
+    sink's compute — the CDC envelope's from_json parse, the costly
+    part — inherits that parallelism. `rebalance=True` repartitions
+    the batch to the session's shuffle parallelism BEFORE the persist
+    (one exchange, shared by all sinks), exactly the
+    rebalance-before-the-compute-bound-cross rule the kmeans path
+    documents. Only applied in steady-flow mode — a production giant
+    batch has plenty of scan splits and the exchange would be pure
+    cost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    src = batch_df
+    if rebalance and os.environ.get("SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER"):
+        src = src.repartition(
+            int(src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
+    src.persist()
+    try:
+        with ThreadPoolExecutor(max_workers=len(sinks)) as ex:
+            futs = [
+                ex.submit(_write_batch, fn(src), batch_id, out)
+                for fn, out in sinks
+            ]
+            for f in futs:
+                f.result()
+    finally:
+        src.unpersist()
+
+
 def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     """Effectively-once layer write: foreachBatch is at-least-once (a
     crash between the parquet write and the offset commit replays the
@@ -451,21 +506,21 @@ def _build_warehouse_layers_impl(
     events = stream_events(spark, ods_log, max_files_per_trigger=1)
 
     def split_log(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            _write_batch(batch_df, batch_id, layers["dwd_page_log"])
-            _write_batch(
-                batch_df.filter(F.col("event_type") == "signup"),
-                batch_id,
-                layers["dwd_start_log"],
-            )
-            _write_batch(
-                batch_df.filter(F.col("event_type") == "click"),
-                batch_id,
-                layers["dwd_display_log"],
-            )
-        finally:
-            batch_df.unpersist()
+        _write_batch_many(
+            batch_df,
+            batch_id,
+            [
+                (lambda d: d, layers["dwd_page_log"]),
+                (
+                    lambda d: d.filter(F.col("event_type") == "signup"),
+                    layers["dwd_start_log"],
+                ),
+                (
+                    lambda d: d.filter(F.col("event_type") == "click"),
+                    layers["dwd_display_log"],
+                ),
+            ],
+        )
 
     import time as _time
 
@@ -506,18 +561,24 @@ def _build_warehouse_layers_impl(
     }
 
     def route_db(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            for table, schema in table_schemas.items():
-                _write_batch(
-                    batch_df.filter(F.col("table") == table)
-                    .select(F.from_json("data", schema).alias("d"))
+        _write_batch_many(
+            batch_df,
+            batch_id,
+            [
+                (
+                    lambda d, t=table, s=schema: d.filter(
+                        F.col("table") == t
+                    )
+                    .select(F.from_json("data", s).alias("d"))
                     .select("d.*"),
-                    batch_id,
                     layers[f"dwd_{table}"],
                 )
-        finally:
-            batch_df.unpersist()
+                for table, schema in table_schemas.items()
+            ],
+            # the envelope's from_json is the batch's costly phase and
+            # a one-slice batch scans as only ~5 splits — rebalance
+            rebalance=True,
+        )
 
     _t0 = _time.time()
     q = (

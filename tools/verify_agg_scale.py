@@ -38,10 +38,29 @@ TABLES = (
 NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
+def preflight_disk(min_free_gb: float = 25.0) -> float:
+    """Fail FAST when local disk can't absorb a big oracle's spill
+    (VERDICT r11 item 1: the sf100 product_stats DuckDB aggregate died
+    on ENOSPC 460 s in, with the tier's wall times polluted for every
+    entry that ran inside the pressure window). Returns free GiB."""
+    import shutil as _shutil
+
+    free_gb = _shutil.disk_usage("/tmp").free / 2**30
+    if free_gb < min_free_gb:
+        raise SystemExit(
+            f"preflight: only {free_gb:.1f} GiB free on /tmp "
+            f"(< {min_free_gb} GiB) — clean stale artifacts "
+            "(/tmp/verify_sf100_*, spark-warehouse/*_b32_*) before a "
+            "spill-heavy oracle run"
+        )
+    return round(free_gb, 1)
+
+
 def main() -> int:
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else ".local/sf1"
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    free_gb = preflight_disk()
 
     # This harness exists to measure output-quadratic entries (the
     # 16-bit SimHash cliff) deliberately — bypass the builder guard.
@@ -178,6 +197,7 @@ def main() -> int:
         "rows": got.get("n"),
         "spark_sec": round(t_spark, 1),
         "oracle_sec": round(t_oracle, 1),
+        "preflight_free_gb": free_gb,
         "aggregates": got,
         "dtypes": dtypes,
     }

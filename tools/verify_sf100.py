@@ -147,7 +147,23 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--resume"]
     resume = "--resume" in sys.argv[1:]
     sf_dir = args[0] if args else ".local/sf100"
-    json_out = args[1] if len(args) > 1 else "VERIFY_SF100_r09.json"
+    # neutral default (ADVICE r11): never clobber a committed artifact
+    json_out = args[1] if len(args) > 1 else "VERIFY_SF100.json"
+
+    # disk pre-flight (VERDICT r11 item 1): the r11 tier lost
+    # product_stats to a DuckDB ENOSPC and polluted the mid-tier wall
+    # times for every entry inside the pressure window. Clean OUR OWN
+    # stale per-entry scratch first, then require headroom.
+    import glob as _glob
+
+    from tools.verify_agg_scale import preflight_disk
+
+    for stale in _glob.glob("/tmp/verify_sf100_*.json") + _glob.glob(
+        "/tmp/bench_semantic_numpy_sf100.json"
+    ):
+        os.unlink(stale)
+    free_gb = preflight_disk()
+    print(f"preflight: {free_gb} GiB free", flush=True)
 
     results: dict[str, dict] = {}
     bad: list[str] = []
