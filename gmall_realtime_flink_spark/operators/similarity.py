@@ -497,6 +497,7 @@ def cosine_topk_ivf(
     n_cells: int = 8,
     nprobe: int = 2,
     train_iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: assign every vector to its
     nearest coarse centroid, probe only the `nprobe` cells nearest the
@@ -517,7 +518,15 @@ def cosine_topk_ivf(
     set.
     """
     embeddings = valid_embeddings(embeddings)
-    cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
+    # `centroids` threads a PRE-TRAINED index in (ADVICE r11: the skew
+    # tool measured a standalone build's cell distribution while the
+    # probe retrained its own — same seeds/iters, but now the measured
+    # index IS the probed one, and the redundant training pass is gone)
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
+    )
 
     def centroid_sim(df: DataFrame, vec: str) -> DataFrame:
         return _centroid_sim(df, vec)
@@ -559,6 +568,7 @@ def ivf_recall_curve(
     n_cells: int = 8,
     nprobes: tuple[int, ...] = (1, 2, 4),
     train_iters: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF nprobe story with numbers: recall@k of the trained-IVF
     probe vs the exact brute-force top-k, one row per nprobe —
@@ -574,7 +584,11 @@ def ivf_recall_curve(
     """
     embeddings = valid_embeddings(embeddings)
     exact = cosine_topk(embeddings, query_id=query_id, k=k).select("vec_id")
-    cent = kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
+    cent = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(embeddings, n_cells=n_cells, iters=train_iters)
+    )
     e = embeddings.filter(F.col("vec_id") != query_id).withColumn(
         "emb", F.expr(AS_DOUBLE.format(c="embedding"))
     )
@@ -1453,3 +1467,143 @@ def semantic_dedup_resplit(
         )
     )
     return lvl1.unionByName(lvl2)
+
+
+def _ranked_topk_batch(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k over (q_id, vec_id, cos_sim) in TWO window
+    phases: a (q_id, physical-partition) local top-k first, then the
+    global per-q_id rank over <= partitions×k survivors. A single
+    PARTITION BY q_id window would shuffle every scored row into only
+    |queries| reducers — the skew cliff when Q is small and N is 100
+    TB; the local phase keys on (q_id, pid) so the big shuffle spreads
+    across Q×P groups and the final exact rank touches a bounded set.
+    Local pruning is lossless: each group's local winners are a
+    superset of its global top-k. Ordering mirrors the oracle's
+    row_number exactly: cos_sim DESC NULLS LAST, vec_id ASC."""
+    w_local = Window.partitionBy("q_id", "pid").orderBy(
+        F.col("cos_sim").desc_nulls_last(), "vec_id"
+    )
+    w_global = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc_nulls_last(), "vec_id"
+    )
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= k)
+        .drop("pid", "lrn")
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w_global))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def _lowest_queries(assigned_like: DataFrame, n_queries: int) -> DataFrame:
+    """The n_queries LOWEST valid vec_ids as the deterministic query
+    set (q_id, qe, q_nrm) — the rank rule (row_number over vec_id),
+    NOT `vec_id < n` (arbitrary id spaces: the adversarial corpus
+    shifts ids past fixed windows)."""
+    return (
+        assigned_like.orderBy("vec_id")
+        .limit(n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Brute-force multi-query exact top-k — the QUERY-BATCH form of
+    `cosine_topk` (a training-data pipeline rarely asks one ANN query:
+    retrieval evals, hard-negative mining and kNN audits arrive as
+    batches). The query set (the n_queries lowest valid vec_ids)
+    broadcasts once and ONE fused pass scans the corpus for all of
+    them — Q×N cosines in a single stage instead of Q sequential
+    scans, the amortization `tools/measure_ivf_breakeven.py` measures.
+
+    Output: (q_id, vec_id, cos_sim, rk), rk <= k per query, self
+    excluded. Scale: the scan is embarrassingly parallel; ranking is
+    the two-phase per-query top-k (`_ranked_topk_batch`), never a
+    Q-reducer global window."""
+    e = valid_embeddings(embeddings).select(
+        "vec_id", F.expr(AS_DOUBLE.format(c="embedding")).alias("emb")
+    ).withColumn("nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb"))))
+    q = _lowest_queries(e, n_queries)
+    cand = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    dot = F.expr(DOT.format(a="emb", b="qe"))
+    sim = F.round(
+        F.try_divide(dot, F.col("nrm") * F.col("q_nrm")), 6
+    ) + F.lit(0.0)
+    scored = cand.select("q_id", "vec_id", sim.alias("cos_sim"))
+    return _ranked_topk_batch(scored, k)
+
+
+def cosine_topk_ivf_batch(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+    n_cells: int | None = None,
+    iters: int = 2,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF multi-query top-k with a REUSABLE index: the train-once /
+    probe-many form the single-query `cosine_topk_ivf` can't express
+    (it retrains per call — fine for a correctness oracle, wrong
+    economics for a served index). Pass `centroids` (cid, cvec) and
+    `assigned` (vec_id, cell, emb, nrm) to probe a pre-built index;
+    omitted, both are built here (auto_cells-scaled dynamic K — the
+    same kmeans chain the SemDeDup oracle transliterated).
+
+    Probe: Q×K centroid ranking picks nprobe cells per query, the
+    candidate set is assigned ⋈ query-cells — an EQUI-join on cell
+    (at 100 TB `cell` is the table's partition key, so this is
+    partition pruning), then the fused cosine kernel + two-phase
+    per-query top-k. Per-query cost ~ nprobe·(N/K) candidates vs
+    brute's N — the break-even `tools/measure_ivf_breakeven.py`
+    records."""
+    if centroids is None:
+        if n_cells is None:
+            n_cells = auto_cells(corpus_count_for_auto_bits(embeddings))
+        centroids = kmeans_centroids(embeddings, n_cells=n_cells, iters=iters)
+    cent = centroids.withColumn(
+        "cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
+    )
+    if assigned is None:
+        assigned = _semantic_assign(embeddings, cent)
+    q = _lowest_queries(assigned, n_queries)
+    qsim = _centroid_sim(
+        q.withColumnRenamed("qe", "emb")
+        .withColumnRenamed("q_nrm", "emb_nrm")
+        .crossJoin(F.broadcast(cent)),
+        "emb",
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("c_sim").desc_nulls_last(), "cid"
+    )
+    qcells = (
+        qsim.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cid")
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(qcells), assigned["cell"] == qcells["cid"]
+        )
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    dot = F.expr(DOT.format(a="emb", b="qe"))
+    sim = F.round(
+        F.try_divide(dot, F.col("nrm") * F.col("q_nrm")), 6
+    ) + F.lit(0.0)
+    scored = cand.select("q_id", "vec_id", sim.alias("cos_sim"))
+    return _ranked_topk_batch(scored, k)

@@ -55,19 +55,29 @@ _DRIVER_PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "pricing_summary",
     # this round's new entries (never driver-checked yet)
-    "dedup_semantic_capped", "dedup_semantic_incremental",
-    "streaming_dedup_semantic",
-    # staleness burn-down: the r03 residue, then 23 of 27 r06 entries
-    "user_sessions", "visitor_stats_sliding", "volume_shipping",
-    "cdc_route", "dedup_cluster", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "display_log_explode", "doc_fingerprint",
-    "doc_langid", "doc_minhash_signature", "doc_normalize",
-    "doc_quality", "doc_sample_stratified", "doc_simhash",
-    "doc_split", "doc_token_count", "keyword_product_sql",
-    "keyword_product_stats", "multimodal_features",
-    "multimodal_frame_sample", "province_stats_sql", "session_entry",
-    "similarity_topk_bucketed", "similarity_topk_ivf",
-    "streaming_order_wide",
+    "dedup_semantic_resplit", "similarity_topk_batch",
+    "similarity_topk_ivf_batch",
+    # staleness burn-down (r12): 26 of the 39-entry r07 cohort — the
+    # oldest tier in DRIVER_COVERAGE. The 13 r07 entries left out all
+    # carry fresh r12 evidence elsewhere: the four chained_* entries
+    # (VERIFY_CHAINED sf1+sf10 artifacts), knn_graph /
+    # contrastive_hard_negatives (sf10 oracle + sf100 solo this
+    # round), the capped lexical twins (benched every round + sf100
+    # tier), streaming_dedup_exact / streaming_multimodal_features
+    # (pytest parity + both standing gates), serving_gmv /
+    # unique_visit / dedup_jaccard_complete (standing gates).
+    "cdc_route_config", "corpus_stats", "dedup_incremental",
+    "dedup_simhash_hamming_wide", "dedup_survivors",
+    "doc_curation_funnel", "doc_decontaminate",
+    "doc_sample_token_budget", "keyword_stats_cjk_dict",
+    "keyword_stats_sql", "payment_wide", "similarity_recall_at_k",
+    "similarity_topk_filtered", "streaming_cdc_route",
+    "streaming_order_wide_left", "streaming_payment_wide",
+    "streaming_product_stats", "streaming_purchase_dim_temporal",
+    "streaming_stats_sql", "streaming_user_jump",
+    "streaming_user_sessions", "streaming_uv_dropdup_wm",
+    "streaming_view_click_join", "streaming_visitor_repair",
+    "token_heavy_hitters", "user_jump",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",

@@ -2721,6 +2721,108 @@ def dedup_semantic_resplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_resplit(e, threshold=0.4, max_cell=SEMDEDUP_CAP)
 
 
+# query set for the batch-ANN entries: the Q lowest valid vec_ids —
+# the rank rule (row_number over vec_id), not `vec_id < Q` (arbitrary
+# id spaces: the adversarial corpus shifts ids past fixed windows)
+_BATCH_QUERIES = """
+    q AS (
+      SELECT vec_id AS q_id, emb AS qe FROM (
+        SELECT vec_id, emb, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM eall) WHERE rn <= 8)
+"""
+
+_COS_EXPR = (
+    "round(list_dot_product({a}, {b}) /"
+    " (sqrt(list_dot_product({a}, {a})) *"
+    "  sqrt(list_dot_product({b}, {b}))), 6) + 0.0"
+)
+
+
+@register(
+    "similarity_topk_batch",
+    oracle=f"""
+    WITH eall AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings
+      -- NULL/per-element-NULL/NON-FINITE vectors excluded (valid_embeddings rule)
+      WHERE len(list_filter(embedding,
+        x -> x IS NULL OR isnan(x) OR isinf(x))) = 0),
+    {_BATCH_QUERIES},
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_COS_EXPR.format(a="e.emb", b="q.qe")} AS cos_sim
+      FROM eall e, q WHERE e.vec_id != q.q_id)
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC NULLS LAST, vec_id) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+    doc="Brute-force MULTI-QUERY exact top-k — the query-batch form "
+    "of similarity_topk (retrieval evals, hard-negative mining and "
+    "kNN audits arrive as query batches, not single probes): the 8 "
+    "lowest valid vec_ids broadcast once and ONE fused pass scans "
+    "the corpus for all of them. Ranking is the two-phase per-query "
+    "top-k — a (q_id, partition) local rank before the global one — "
+    "never a Q-reducer global window "
+    "(operators/similarity.cosine_topk_batch).",
+    tags=("similarity", "ann", "datapipe"),
+)
+def similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        cosine_topk_batch,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk_batch(e, n_queries=8, k=10)
+
+
+@register(
+    "similarity_topk_ivf_batch",
+    oracle=f"""
+    WITH {_KMEANS_DYN_CTES},
+    {_BATCH_QUERIES},
+    qc AS (
+      SELECT q_id, cid FROM (
+        SELECT q.q_id, c.cid,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY {_COS_EXPR.format(a="q.qe", b="c.cvec")}
+                          DESC NULLS LAST, c.cid) AS rn
+        FROM q, cent c) WHERE rn <= 2),
+    scored AS (
+      SELECT qc.q_id, a.vec_id,
+             {_COS_EXPR.format(a="a.emb", b="q.qe")} AS cos_sim
+      FROM assign a
+      JOIN qc ON a.cell = qc.cid
+      JOIN q ON q.q_id = qc.q_id
+      WHERE a.vec_id != qc.q_id)
+    SELECT q_id, vec_id, cos_sim, rk FROM (
+      SELECT q_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC NULLS LAST, vec_id) AS rk
+      FROM scored) WHERE rk <= 10
+    """,
+    doc="IVF MULTI-QUERY top-k with a reusable index — the train-once "
+    "/ probe-many form single-query similarity_topk_ivf can't "
+    "express: dynamic-K kmeans (auto_cells, the SemDeDup oracle's "
+    "transliterated chain) trains ONCE, every query ranks the K "
+    "centroids (Q×K broadcast cross), probes its nprobe=2 cells via "
+    "an EQUI-join on cell (partition pruning at scale), and the "
+    "fused cosine kernel + two-phase per-query top-k finish. The "
+    "probe-many economics vs brute is measured by "
+    "tools/measure_ivf_breakeven.py "
+    "(operators/similarity.cosine_topk_ivf_batch).",
+    tags=("similarity", "ann", "ivf", "kmeans", "datapipe"),
+)
+def similarity_topk_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.similarity import (
+        cosine_topk_ivf_batch,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf_batch(e, n_queries=8, k=10, nprobe=2)
+
+
 @register(
     "dedup_semantic_incremental",
     oracle=f"""

@@ -588,3 +588,16 @@ def test_semantic_dedup_resplit_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan, "assignment checkpoints missing"
     assert "BroadcastHashJoin" in plan, "cap joins not broadcast"
+
+
+def test_similarity_topk_batch_plan_shape(spark, sf_dir):
+    """Batch ANN: the brute form's only cross is the broadcast of the
+    Q-row query set (BroadcastNestedLoopJoin over a LIMIT-bounded side
+    is the brute-force design, not an accident); the IVF form's
+    candidate stage is an EQUI-join on cell, and neither ranks through
+    a global (un-partitioned) window."""
+    brute = plan_of(spark, sf_dir, "similarity_topk_batch")
+    assert "CartesianProduct" not in brute
+    ivf = plan_of(spark, sf_dir, "similarity_topk_ivf_batch")
+    assert "CartesianProduct" not in ivf
+    assert "BroadcastHashJoin" in ivf, "cell probe join not broadcast"

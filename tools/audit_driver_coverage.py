@@ -24,7 +24,7 @@ from gmall_realtime_flink_spark.plans import REGISTRY, _DRIVER_PRIORITY  # noqa:
 
 
 def main() -> int:
-    json_out = sys.argv[1] if len(sys.argv) > 1 else "DRIVER_COVERAGE_r09.json"
+    json_out = sys.argv[1] if len(sys.argv) > 1 else "DRIVER_COVERAGE.json"
     seen: dict[str, list[int]] = {}
     arts = sorted(
         glob.glob("artifacts/r*/CORRECTNESS_r*.json")
@@ -36,11 +36,35 @@ def main() -> int:
             rounds = seen.setdefault(k, [])
             if rnd not in rounds:
                 rounds.append(rnd)
-    never = sorted(n for n in REGISTRY if n not in seen)
+    # VERDICT r11 item 2 (twice-stale artifact): the DRIVER's
+    # CORRECTNESS_r{N} for the CURRENT round is written after the
+    # build turns end, so entries brand-new this round can never
+    # appear in a driver artifact at generation time. Committed
+    # VERIFY_HEAD_r*.json emulation runs (tools/verify_head.py — the
+    # same hash compare under a plain driver-like session, separate
+    # process) close that gap; they are tracked SEPARATELY so a
+    # reader can tell driver evidence from local-emulation evidence.
+    local_seen: dict[str, list[int]] = {}
+    local_arts = sorted(glob.glob("VERIFY_HEAD_r*.json"))
+    for p in local_arts:
+        rnd = int(p.split("_r")[-1].split(".")[0])
+        doc = json.load(open(p))
+        for k, v in doc.get("results", doc).items():
+            if isinstance(v, dict) and v.get("ok"):
+                rounds = local_seen.setdefault(k, [])
+                if rnd not in rounds:
+                    rounds.append(rnd)
+    never = sorted(
+        n for n in REGISTRY if n not in seen and n not in local_seen
+    )
     out = {
         "artifacts_scanned": arts,
+        "local_emulations_scanned": local_arts,
         "registry_total": len(REGISTRY),
         "driver_checked": sum(1 for n in REGISTRY if n in seen),
+        "local_emulation_only": sorted(
+            n for n in REGISTRY if n in local_seen and n not in seen
+        ),
         "never_checked": never,
         "head_covers_backlog": sorted(
             set(never) - set(_DRIVER_PRIORITY)

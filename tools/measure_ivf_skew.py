@@ -44,7 +44,7 @@ def main() -> int:
     )
     from gmall_realtime_flink_spark.session import get_spark
 
-    json_out = sys.argv[1] if len(sys.argv) > 1 else "IVF_SKEW_r11.json"
+    json_out = sys.argv[1] if len(sys.argv) > 1 else "IVF_SKEW.json"
     spark = get_spark("measure_ivf_skew")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -79,10 +79,15 @@ def main() -> int:
         cosine_topk(e, query_id=0, k=K).collect()
         run["brute_sec"] = round(time.time() - t0, 1)
 
-        # IVF probe wall at the registry's nprobe=2 (build + probe —
-        # the build dominates; a served index amortizes it)
+        # IVF probe wall at the registry's nprobe=2. The measured
+        # `cent` is THREADED IN (ADVICE r11): the probed index is now
+        # exactly the one whose cell distribution was recorded above,
+        # and the redundant second training pass is gone — the wall is
+        # probe-only (build cost amortization: IVF_BREAKEVEN).
         t0 = time.time()
-        cosine_topk_ivf(e, query_id=0, k=K, n_cells=N_CELLS, nprobe=2).collect()
+        cosine_topk_ivf(
+            e, query_id=0, k=K, n_cells=N_CELLS, nprobe=2, centroids=cent
+        ).collect()
         run["ivf_nprobe2_sec"] = round(time.time() - t0, 1)
 
         # recall@10 over nprobe — does Zipf clustering HURT recall?
@@ -90,7 +95,8 @@ def main() -> int:
         # cluster, hence usually ONE cell — skew helps recall here)
         t0 = time.time()
         curve = ivf_recall_curve(
-            e, query_id=0, k=K, n_cells=N_CELLS, nprobes=(1, 2, 4, 8)
+            e, query_id=0, k=K, n_cells=N_CELLS, nprobes=(1, 2, 4, 8),
+            centroids=cent,
         ).toPandas()
         run["recall_curve_sec"] = round(time.time() - t0, 1)
         run["recall_at_10"] = {

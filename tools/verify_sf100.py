@@ -241,6 +241,30 @@ def main() -> int:
             "err": (proc.stderr or proc.stdout)[-2000:],
         }
     print("solo", json.dumps(solo)[:300], flush=True)
+    _dump(json_out, sf_dir, results, bad, solo, t_all)
+
+    # knn_graph / contrastive_hard_negatives: same promise as the
+    # semantic twin — the DuckDB oracle is infeasible at this SF
+    # (86 GB window sort measured at sf10), so the tier carries the
+    # Spark plans SOLO with in-engine structural invariants; oracle
+    # parity stays at sf10 (tools/verify_knn_scale.py). VERDICT r11
+    # item 6: the engine side must EXECUTE here, not just be excused.
+    per_q = "/tmp/bench_knn_invariants_sf100.json"
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(HERE, "bench_knn_invariants.py"),
+         sf_dir, per_q],
+        capture_output=True, text=True, timeout=7200, env=env,
+    )
+    if proc.returncode == 0 and os.path.exists(per_q):
+        with open(per_q) as f:
+            solo["knn_invariants"] = json.load(f)
+    else:
+        solo["knn_invariants"] = {
+            "ok": False, "sec": round(time.time() - t0, 1),
+            "err": (proc.stderr or proc.stdout)[-2000:],
+        }
+    print("solo-knn", json.dumps(solo["knn_invariants"])[:300], flush=True)
 
     _dump(json_out, sf_dir, results, bad, solo, t_all)
     print("TOTAL", round(time.time() - t_all, 1), "BAD:", bad)
