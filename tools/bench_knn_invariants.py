@@ -52,14 +52,19 @@ def main() -> int:
     out: dict = {"sf_dir": sf_dir, "k": k, "n_valid_vectors": n_valid,
                  "entries": {}}
     all_ok = True
+    COLS = {  # (anchor, neighbor) column names per entry
+        "knn_graph": ("vec_a", "vec_b"),
+        "contrastive_hard_negatives": ("anchor_id", "neg_id"),
+    }
     for name in ("knn_graph", "contrastive_hard_negatives"):
+        anchor, neigh = COLS[name]
         t0 = time.time()
         df = REGISTRY[name].builder(spark, sf_dir)
-        per_anchor = df.groupBy("vec_a").agg(
+        per_anchor = df.groupBy(anchor).agg(
             F.count(F.lit(1)).alias("ct"),
-            F.countDistinct("vec_b").alias("nd"),
+            F.countDistinct(neigh).alias("nd"),
             F.max("rk").alias("max_rk"),
-            F.max((F.col("vec_a") == F.col("vec_b")).cast("int")).alias(
+            F.max((F.col(anchor) == F.col(neigh)).cast("int")).alias(
                 "self_edge"
             ),
         )

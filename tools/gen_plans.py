@@ -64,6 +64,11 @@ EXTRA = [
     "dedup_jaccard_complete_capped",
     "dedup_simhash_hamming_wide",
     "dedup_pagerank_capped",
+    # r12: the re-split + batch-ANN family (plan pins in
+    # tests/test_plans.py cite these shapes)
+    "dedup_semantic_resplit",
+    "similarity_topk_batch",
+    "similarity_topk_ivf_batch",
 ]
 
 

@@ -114,14 +114,17 @@ EXCLUDED = {
         "cells x ~977 rows -> ~0.95B candidate pairs; Spark folds "
         "them with a partial-agg max_by, but the DuckDB oracle's "
         "row_number() needs a ~1B-row partitioned sort (~100+ GB "
-        "spill > the 53 GB free local disk). Verified at sf10 "
-        "(200k vectors) by tools/verify_knn_scale.py; the plan is "
-        "scale-safe (bucketed equi-join, plan-pinned non-cartesian)"
+        "spill > the 53 GB free local disk). ORACLE-excluded only: "
+        "the Spark plan executes in this tier's solo section "
+        "(bench_knn_invariants.py — per-anchor k / dup / self / "
+        "rank-density invariants in-engine); oracle parity at sf10 "
+        "via tools/verify_knn_scale.py"
     ),
     "contrastive_hard_negatives": (
         "same pair volume and oracle row_number sort as knn_graph "
         "(label != residual does not reduce the candidate set); "
-        "sf10-verified, same plan family"
+        "sf10-verified, same plan family; runs solo here with "
+        "invariants like knn_graph"
     ),
     "dedup_embedding_cosine": (
         "expr-fold oracle surface demoted to sf10 (173 s there, "
