@@ -169,7 +169,16 @@ def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
         # state worker on the UV/CEP layers). repartition inserts an
         # exchange, so the stateful compute keeps its 32-way
         # parallelism and only the file write is single-task.
-        out = out.repartition(1)
+        #
+        # WRITER_TASKS is a PROFILING-ONLY knob (tools/profile_base_db
+        # --writer-tasks): >1 writes multiple files per batch, which
+        # BREAKS the one-file-per-batch replay contract for any
+        # downstream file-per-trigger consumer — it exists to measure
+        # how much of a batch's addBatch is the single-task parquet
+        # encode tail, never for a chained run.
+        out = out.repartition(
+            int(os.environ.get("SPARK_GRAFT_TOPOLOGY_WRITER_TASKS", "1"))
+        )
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch_id").parquet(out_dir)

@@ -65,6 +65,15 @@ def main() -> int:
                   json.dumps(comps), flush=True)
         return 0
     finally:
+        # the ODS staging (events/orders/lineitem slices) lives
+        # OUTSIDE base — drop it via the manifest before the base
+        manifest = os.path.join(base, "ods.json")
+        if os.path.exists(manifest):
+            for p in json.load(open(manifest)).values():
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                elif os.path.isfile(p):
+                    os.remove(p)
         shutil.rmtree(base, ignore_errors=True)
 
 

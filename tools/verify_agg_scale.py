@@ -129,8 +129,11 @@ def main() -> int:
     # sf100 knobs) BEFORE the DuckDB phase: the big oracles
     # (product_stats' 503M-group aggregate) otherwise compete with a
     # resident heap they'll never use again and die on allocation
-    # (measured r11: bad-alloc at ~60 GB with the JVM held, green
-    # without it).
+    # (measured r11: bad-alloc at ~60 GB with the JVM held; the r11
+    # re-run after this fix still died — on DISK (ENOSPC), the
+    # separate failure preflight_disk() now front-runs. The first
+    # fully green product_stats@sf100 run under both fixes is
+    # VERIFY_SF100_r12.json).
     spark.stop()
 
     t0 = time.time()

@@ -71,6 +71,23 @@ def main() -> int:
         print(f"{q} {'OK' if ok else 'BAD'} {time.time() - t0:.1f}s", flush=True)
         # layer seconds are known after the first entry (shared cache)
         _dump(json_out, sf_dir, bad, results, topology, t_all)
+    # drop the warehouse base + ODS staging: a sf10 run leaves ~16 GB
+    # under /tmp otherwise (two leaked runs nearly filled the disk in
+    # r12 — the same hygiene failure that ENOSPC'd the r11 sf100 tier)
+    import shutil
+
+    for key, layers in list(topology._LAYER_CACHE.items()):
+        if key == os.path.abspath(sf_dir):
+            b = os.path.dirname(next(iter(layers.values())))
+            manifest = os.path.join(b, "ods.json")
+            if os.path.exists(manifest):
+                for p in json.load(open(manifest)).values():
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    elif os.path.isfile(p):
+                        os.remove(p)
+            shutil.rmtree(b, ignore_errors=True)
+            del topology._LAYER_CACHE[key]
     return 1 if bad else 0
 
 
