@@ -703,10 +703,11 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Multimodal plumbing: binary payload column + typed metadata "
-    "struct, feature extraction via Arrow-batched mapInPandas (the "
-    "real decode path is stubbed — operators/multimodal.decode_media "
-    "— since image/audio libs aren't installed; the byte-level fake "
-    "keeps every value oracle-checkable).",
+    "struct, feature extraction via Arrow-batched mapInPandas over a "
+    "byte-level payload that keeps every value oracle-checkable. "
+    "Real decodes live in the sibling entries: multimodal_decode_"
+    "stats (BMP/PPM/WAV), multimodal_decode_png, "
+    "multimodal_decode_gif.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,6 +1029,119 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return decode_media_stats(attach_media_payload(d))
+
+
+@register(
+    "multimodal_decode_png",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             length(text) AS len,
+             doc_id % 3 AS k
+      FROM documents),
+    dims AS (
+      SELECT *,
+             (1 + len % 9)::INT AS width,
+             (1 + doc_id % 6)::INT AS height,
+             CASE WHEN k = 0 THEN 1 ELSE 3 END AS ch
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE 'png' END AS fmt,
+           CASE WHEN text IS NULL THEN NULL ELSE width END AS width,
+           CASE WHEN text IS NULL THEN NULL ELSE height END AS height,
+           CASE WHEN text IS NULL THEN NULL ELSE ch END AS channels,
+           NULL::INT AS sample_rate,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (width * height * ch)::BIGINT END AS n_values,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (p * width * height * ch)::BIGINT END AS value_sum,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(repeat(chr(p), (width * height * ch)::INT))
+                END AS content_md5
+    FROM dims
+    """,
+    doc="REAL PNG decode over a binary column — the one 'compressed' "
+    "format this sandbox can genuinely decode, because PNG's codec is "
+    "DEFLATE + CRC-32 (both stdlib zlib): full chunk walk with "
+    "per-chunk CRC verification, multi-IDAT concatenation, inflate, "
+    "all five scanline filters (encoder CYCLES 0..4 per row, so a "
+    "wrong Sub/Up/Average/Paeth reconstruction corrupts every later "
+    "row and hash-fails), and PLTE palette expansion (index stream "
+    "alternates 0/1; both entries hold the constant, so the lookup is "
+    "exercised while the oracle recomputes the expanded pixels). "
+    "Gray (ch 1) / truecolor RGB (ch 3) / paletted round-robin by "
+    "doc_id %% 3; dims + pixel value derived from (doc_id, text) so "
+    "DuckDB recomputes dims, channel count, value sum and pixel md5 "
+    "from the documents table alone. Arrow mapInPandas end to end. "
+    "JPEG/MP4/MP3 stay an honest NotImplementedError (their codecs "
+    "genuinely don't exist in this environment). "
+    "operators/multimodal.py:_decode_png.",
+    tags=("multimodal", "pandas-udf", "decode", "png"),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return decode_media_stats(attach_png_payload(d))
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             length(text) AS len
+      FROM documents),
+    dims AS (
+      SELECT *,
+             (1 + len % 7)::INT AS width,
+             (1 + doc_id % 5)::INT AS height
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE 'gif' END AS fmt,
+           CASE WHEN text IS NULL THEN NULL ELSE width END AS width,
+           CASE WHEN text IS NULL THEN NULL ELSE height END AS height,
+           CASE WHEN text IS NULL THEN NULL ELSE 3 END AS channels,
+           NULL::INT AS sample_rate,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (width * height * 3)::BIGINT END AS n_values,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (p * width * height * 3)::BIGINT END AS value_sum,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(repeat(chr(p), (width * height * 3)::INT))
+                END AS content_md5
+    FROM dims
+    """,
+    doc="REAL GIF decode over a binary column — the second compressed "
+    "format decodable without any codec library: LZW is pure table "
+    "arithmetic (variable-width codes, LSB-first packing, CLEAR/EOI, "
+    "12-bit cap), implemented from the GIF89a spec in "
+    "operators/multimodal.py (_lzw_decode; pinned against the "
+    "published minimal 1x1-white-pixel GIF bytes, not just our own "
+    "encoder). The staged payloads carry a varying index stream "
+    "through a constant-valued color table, so LZW + palette lookup "
+    "are exercised while DuckDB recomputes dims, value sum and pixel "
+    "md5 from the documents table; odd doc_ids are INTERLACED (the "
+    "4-pass row shuffle must be undone — a deinterlace bug reorders "
+    "rows and, with varying indices through a constant palette, "
+    "still yields the right md5, which is why the ROUNDTRIP pytest "
+    "uses gradient palettes where it would not). Arrow mapInPandas "
+    "end to end. JPEG/MP4/MP3 remain honest NotImplementedError.",
+    tags=("multimodal", "pandas-udf", "decode", "gif"),
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_gif_payload,
+        decode_media_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return decode_media_stats(attach_gif_payload(d))
 
 
 @register(

@@ -33,7 +33,9 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--empty"]
     empty = "--empty" in sys.argv[1:]
     sf_dir = os.path.abspath(args[0] if args else ".local/adv")
-    json_out = args[1] if len(args) > 1 else "ADVERSARIAL_r08.json"
+    # neutral default (ADVICE r11 rule): an argless run must never
+    # clobber a committed per-round artifact
+    json_out = args[1] if len(args) > 1 else "ADVERSARIAL.json"
 
     spark = get_spark(app_name="verify-adversarial", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
