@@ -634,6 +634,10 @@ def decode_media(payload: bytes) -> dict:
         return _decode_png(payload)
     if payload[:4] == b"GIF8":
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from gmall_realtime_flink_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
 
     if payload[:2] == b"BM":
         off, = struct.unpack_from("<I", payload, 10)
@@ -708,7 +712,6 @@ def decode_media(payload: bytes) -> dict:
             "values": list(struct.unpack(f"<{n}h", data)),
         }
     for magic, name in (
-        (b"\xff\xd8", "jpeg"),
         (b"ID3", "mp3"), (b"\x1a\x45\xdf\xa3", "mkv/webm"),
     ):
         if payload[: len(magic)] == magic:
@@ -847,6 +850,44 @@ def attach_gif_payload(docs: DataFrame) -> DataFrame:
                     encode_gif(
                         w, h, idx, bytes([p, p, p] * 4),
                         interlace=bool(int(doc_id) % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Stage REAL baseline JFIF bytes derived deterministically from
+    (doc_id, text): uniform-gray images (w = 1 + len % 10,
+    h = 1 + doc_id % 8, value p) whose 8x8 blocks are DC-only, so
+    with dc_step=8 the lossy pipeline reproduces the constant
+    EXACTLY and the oracle can recompute the decoded bytes.
+    doc_id % 3 picks the restart interval (0 = none, else 1 or 2
+    MCUs), so DRI/RSTn resynchronisation runs over a third of the
+    corpus. NULL text -> NULL payload."""
+    from collections.abc import Iterator as _It
+
+    from gmall_realtime_flink_spark.operators.jpeg import encode_jpeg
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    payloads.append(None)
+                    continue
+                m = _media_params(int(doc_id), text)
+                p = m["p"]
+                w, h = 1 + len(text) % 10, 1 + int(doc_id) % 8
+                payloads.append(
+                    encode_jpeg(
+                        w, h, bytes([p]) * (w * h), channels=1,
+                        restart_interval=int(doc_id) % 3,
                     )
                 )
             yield pd.DataFrame(

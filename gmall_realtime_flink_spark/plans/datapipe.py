@@ -1145,6 +1145,62 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             length(text) AS len
+      FROM documents),
+    dims AS (
+      SELECT *,
+             (1 + len % 10)::INT AS width,
+             (1 + doc_id % 8)::INT AS height
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE 'jpeg' END AS fmt,
+           CASE WHEN text IS NULL THEN NULL ELSE width END AS width,
+           CASE WHEN text IS NULL THEN NULL ELSE height END AS height,
+           CASE WHEN text IS NULL THEN NULL ELSE 1 END AS channels,
+           NULL::INT AS sample_rate,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (width * height)::BIGINT END AS n_values,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (p * width * height)::BIGINT END AS value_sum,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(repeat(chr(p), (width * height)::INT))
+                END AS content_md5
+    FROM dims
+    """,
+    doc="REAL baseline JPEG decode over a binary column — the third "
+    "compressed format decoded without any codec library "
+    "(operators/jpeg.py, stdlib + numpy): full marker walk, DQT/DHT "
+    "parsing (canonical Huffman tables read from the FILE, built by "
+    "the encoder from the image's own symbol histogram), entropy "
+    "decode with 0xFF00 un-stuffing and DRI/RSTn restart "
+    "resynchronisation, DC prediction, run-length AC / EOB / ZRL, "
+    "dequant, de-zig-zag, vectorised numpy IDCT, level shift. JPEG "
+    "is lossy, so the ORACLE payloads are uniform-gray images whose "
+    "blocks are DC-only: with dc_step=8 the constant survives "
+    "encode->decode bit-exactly (8*(p-128) divisible by the step), "
+    "while gradients/noise carry the bounded-error pytest "
+    "(tests/test_functions.py). A third of payloads embed restart "
+    "markers. Progressive/arithmetic/12-bit raise by name. Arrow "
+    "mapInPandas end to end; MP3/MP4 remain honest "
+    "NotImplementedError.",
+    tags=("multimodal", "pandas-udf", "decode", "jpeg"),
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        decode_media_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return decode_media_stats(attach_jpeg_payload(d))
+
+
+@register(
     "label_centroids",
     oracle="""
     SELECT label,

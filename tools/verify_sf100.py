@@ -38,6 +38,7 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))  # repo root -> `tools` importable
 
 # r11 ordering: ENGINE-REVISION-SENSITIVE entries first — the r10/r11
 # changes (BLAS-twin sf100 routing, the FINITE valid_embeddings rule
