@@ -899,6 +899,98 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, zero_crossings long, "
+    "sum_sq long, peak_abs int, duration_us long"
+)
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "sample_rate", "n_samples", "zero_crossings",
+            "sum_sq", "peak_abs", "duration_us",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rows["doc_id"].append(doc_id)
+            if payload is None:
+                for k in list(rows)[1:]:
+                    rows[k].append(None)
+                continue
+            d = decode_media(bytes(payload))
+            if d["fmt"] != "wav":
+                raise ValueError(f"audio features on {d['fmt']} payload")
+            s = np.asarray(d["values"], dtype=np.int64)
+            rate = d["sample_rate"]
+            rows["sample_rate"].append(rate)
+            rows["n_samples"].append(len(s))
+            # strict sign-product rule: a crossing iff s[i-1]*s[i] < 0
+            rows["zero_crossings"].append(
+                int(np.count_nonzero(s[:-1] * s[1:] < 0))
+            )
+            rows["sum_sq"].append(int(np.dot(s, s)))
+            rows["peak_abs"].append(
+                int(np.abs(s).max()) if len(s) else 0
+            )
+            # exact integer microseconds: n * 1e6 // rate
+            rows["duration_us"].append(len(s) * 1_000_000 // rate)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "sample_rate": pd.Series(rows["sample_rate"], dtype="Int32"),
+            "n_samples": pd.Series(rows["n_samples"], dtype="Int64"),
+            "zero_crossings": pd.Series(
+                rows["zero_crossings"], dtype="Int64"
+            ),
+            "sum_sq": pd.Series(rows["sum_sq"], dtype="Int64"),
+            "peak_abs": pd.Series(rows["peak_abs"], dtype="Int32"),
+            "duration_us": pd.Series(rows["duration_us"], dtype="Int64"),
+        })
+
+
+def audio_features(with_payload: DataFrame) -> DataFrame:
+    """Signal-level audio analysis over REAL decoded WAV payloads:
+    zero-crossing count (the classic voiced/unvoiced + pitch-proxy
+    feature), total energy (sum of squares), peak amplitude and
+    exact integer duration. Everything is integer arithmetic over
+    the PCM samples, so a symbolic oracle can recompute each value
+    from the deterministic sample formula — the decode (RIFF chunk
+    walk + PCM16 unpack) has to be right for any of it to match.
+    Arrow mapInPandas, narrow transform, numpy-vectorised per batch."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _audio_features, schema=_AUDIO_SCHEMA
+    )
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Stage WAV payloads for EVERY doc (the `_media_params` sample
+    formula, not just the doc_id%3==2 third that
+    `attach_media_payload` assigns WAVs to)."""
+    from collections.abc import Iterator as _It
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    payloads.append(None)
+                    continue
+                m = _media_params(int(doc_id), text)
+                samples = [
+                    ((m["p"] * 3 + i * 7) % 256 - 128) * 256
+                    for i in range(m["n_samples"])
+                ]
+                payloads.append(encode_wav(m["rate"], samples))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
 def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = {k: [] for k in (

@@ -1201,6 +1201,68 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             (8000 + ((doc_id // 3) % 3) * 4000)::INT AS rate,
+             (16 + length(text) % 49)::BIGINT AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, p, rate, n,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE list_transform(
+                    generate_series(0, (n - 1)::INT),
+                    i -> (((p * 3 + i * 7) % 256 - 128) * 256)::BIGINT)
+                  END AS samples
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN samples IS NULL THEN NULL ELSE rate END
+             AS sample_rate,
+           CASE WHEN samples IS NULL THEN NULL ELSE n END AS n_samples,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (SELECT count(*) FROM unnest(
+                        generate_series(1, (n - 1)::INT)) AS t(i)
+                      WHERE samples[i] * samples[i + 1] < 0)::BIGINT
+                END AS zero_crossings,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (SELECT sum(x * x)
+                      FROM unnest(samples) AS u(x))::BIGINT
+                END AS sum_sq,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (SELECT max(abs(x))
+                      FROM unnest(samples) AS u(x))::INT
+                END AS peak_abs,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (n * 1000000) // rate END AS duration_us
+    FROM s
+    """,
+    doc="Audio signal analysis over REAL decoded WAV payloads "
+    "(operators/multimodal.audio_features): zero-crossing count "
+    "(strict sign-product rule s[i-1]*s[i] < 0), total energy "
+    "(sum of squares), peak amplitude, exact integer duration_us = "
+    "n*1e6 // rate. Every feature is integer arithmetic over the "
+    "PCM16 samples, and the payload generator derives the samples "
+    "deterministically from (doc_id, text), so DuckDB recomputes all "
+    "five features symbolically (1-indexed list access; DuckDB "
+    "integer division matches Python floor-div for these positives). "
+    "The RIFF chunk walk + PCM16 unpack must be byte-correct for any "
+    "of it to hash-match. Arrow mapInPandas, numpy-vectorised; "
+    "narrow transform, no shuffle.",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_wav_payload,
+        audio_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return audio_features(attach_wav_payload(d))
+
+
+@register(
     "label_centroids",
     oracle="""
     SELECT label,

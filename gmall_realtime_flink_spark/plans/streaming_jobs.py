@@ -677,6 +677,49 @@ def streaming_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_multimodal_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             length(text) AS len,
+             doc_id % 3 AS k
+      FROM documents),
+    dims AS (
+      SELECT *,
+             (1 + len % 9)::INT AS width,
+             (1 + doc_id % 6)::INT AS height,
+             CASE WHEN k = 0 THEN 1 ELSE 3 END AS ch
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE 'png' END AS fmt,
+           CASE WHEN text IS NULL THEN NULL ELSE width END AS width,
+           CASE WHEN text IS NULL THEN NULL ELSE height END AS height,
+           CASE WHEN text IS NULL THEN NULL ELSE ch END AS channels,
+           NULL::INT AS sample_rate,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (width * height * ch)::BIGINT END AS n_values,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (p * width * height * ch)::BIGINT END AS value_sum,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(repeat(chr(p), (width * height * ch)::INT))
+                END AS content_md5
+    FROM dims
+    """,
+    doc="REAL PNG decode under streaming: per-doc payloads staged and "
+    "zlib-decoded (chunk walk, CRC verify, five-filter scanline "
+    "reconstruction, PLTE expansion) inside each micro-batch by the "
+    "same Arrow mapInPandas kernels as the batch "
+    "multimodal_decode_png — one codec body, two engines, same "
+    "oracle. Stateless, slicing-invariant by construction "
+    "(streaming/jobs.py streaming_multimodal_decode).",
+    tags=("streaming", "multimodal", "pandas-udf", "decode"),
+)
+def streaming_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_multimodal_decode(spark, sf_dir)
+
+
+@register(
     "streaming_purchase_dim_temporal",
     oracle="""
     WITH scd AS (

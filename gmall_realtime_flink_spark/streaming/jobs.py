@@ -1355,6 +1355,35 @@ def streaming_multimodal_features(
     return run_bounded(extract_features(attach_payload(stream)), spark)
 
 
+def streaming_multimodal_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL media decode under Structured Streaming: documents arrive
+    as a file stream, per-doc PNG payloads are staged and decoded by
+    the SAME Arrow-batched mapInPandas kernels as the batch
+    `multimodal_decode_png` (attach_png_payload -> decode_media_stats
+    — one codec body, two engines). Stateless inside each
+    micro-batch; the decode is a narrow transform so continuous
+    ingest decodes at file-arrival parallelism with no shuffle."""
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_media_stats,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_table_dir(sf_dir, "documents"))
+    )
+    return run_bounded(
+        decode_media_stats(attach_png_payload(stream)), spark
+    )
+
+
 def streaming_purchase_dim_temporal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
