@@ -130,14 +130,28 @@ def main() -> int:
     # (product_stats' 503M-group aggregate) otherwise compete with a
     # resident heap they'll never use again and die on allocation
     # (measured r11: bad-alloc at ~60 GB with the JVM held; the r11
-    # re-run after this fix still died — on DISK (ENOSPC), the
-    # separate failure preflight_disk() now front-runs. The first
-    # fully green product_stats@sf100 run under both fixes is
-    # VERIFY_SF100_r12.json).
+    # re-run after this fix died on DISK (ENOSPC) — preflight_disk()
+    # now front-runs that; the r12 first attempt died a THIRD way,
+    # kernel-OOM at 92 GB RSS under DuckDB's default memory_limit —
+    # the explicit 48 GB cap + spill dir below bounds that).
     spark.stop()
 
     t0 = time.time()
     con = duckdb.connect()
+    # Bound the oracle's RAM and let it SPILL instead of dying: the
+    # r12 tier's product_stats oracle was kernel-OOM-killed at 92 GB
+    # anon RSS — DuckDB's default memory_limit (80% of the 125 GB
+    # box) exceeds what the machine can actually grant once page
+    # cache and the tier harness are accounted for. 48 GB in-memory
+    # + an explicit temp_directory turns the 503M-group aggregate
+    # into an out-of-core one; preserve_insertion_order=false lets
+    # the aggregate stream (we compare order-insensitive moments, so
+    # order is free to give away).
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET preserve_insertion_order=false")
+    spill = os.path.abspath(".local/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         # tolerate partial corpora (the zipf dirs carry only
         # documents/embeddings)
