@@ -37,6 +37,49 @@ TABLES = (
 )
 NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
+# Spill-friendly ALGEBRAIC rewrites of specific oracles, opt-in via
+# SPARK_GRAFT_ORACLE_REWRITE=1. Motivation (r12): the product_stats
+# oracle's count(DISTINCT l_orderkey) over ~503M (partkey, month)
+# groups holds a per-group distinct SET in DuckDB's aggregate state —
+# ~100+ GB that does NOT spill under memory_limit (three kills
+# measured: unbounded 92 GB kernel-OOM, 48 GB cap ENOSPC past 43 GB
+# of spill headroom, 95 GB cap kernel-OOM with zero bytes spilled).
+# The rewrite is the textbook distinct-to-two-level transformation:
+#   count(DISTINCT k) GROUP BY a,b
+#     == count(*) over (SELECT a,b,k ... GROUP BY a,b,k)
+# and the DECIMAL(28,4) sums re-associate EXACTLY across the extra
+# level (integer-scaled decimal addition is associative; the only
+# rounding, round(.,2), still happens once at the outer level). Both
+# levels are plain GROUP BYs — DuckDB's out-of-core hash aggregate
+# handles them. Equivalence is pinned by
+# tests/test_oracle.py::test_product_stats_oracle_rewrite_equivalence
+# on real data in DuckDB itself.
+ORACLE_REWRITES = {
+    "product_stats": """
+    SELECT g.l_partkey AS sku_id, p.p_name AS sku_name, p.p_brand AS tm_name,
+           g.ship_month, g.order_ct, g.quantity, g.revenue
+    FROM (
+      SELECT l_partkey, ship_month,
+             count(*) AS order_ct,
+             round(sum(qty), 2)::DOUBLE AS quantity,
+             round(sum(rev), 2)::DOUBLE AS revenue
+      FROM (
+        SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS ship_month,
+               l_orderkey,
+               sum(CAST(l_quantity AS DECIMAL(28,4))) AS qty,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(28,4))) AS rev
+        FROM lineitem
+        GROUP BY 1, 2, 3
+      )
+      GROUP BY 1, 2
+    ) g
+    LEFT JOIN part p ON g.l_partkey = p.p_partkey
+    """,
+}
+# the bucketed layout twin carries the identical oracle
+ORACLE_REWRITES["product_stats_bucketed"] = ORACLE_REWRITES["product_stats"]
+
 
 def preflight_disk(min_free_gb: float = 25.0) -> float:
     """Fail FAST when local disk can't absorb a big oracle's spill
@@ -103,6 +146,11 @@ def main() -> int:
     else:
         spec = REGISTRY[name]
     assert spec.oracle, f"{name} has no SQL oracle"
+    oracle_sql = spec.oracle
+    if os.environ.get("SPARK_GRAFT_ORACLE_REWRITE") and name in ORACLE_REWRITES:
+        oracle_sql = ORACLE_REWRITES[name]
+        print(f"oracle rewrite active for {name} (see ORACLE_REWRITES)",
+              flush=True)
     spark = get_spark("verify_agg_scale")
 
     t0 = time.time()
@@ -147,7 +195,11 @@ def main() -> int:
     # into an out-of-core one; preserve_insertion_order=false lets
     # the aggregate stream (we compare order-insensitive moments, so
     # order is free to give away).
-    con.execute("SET memory_limit='48GB'")
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("SPARK_GRAFT_ORACLE_THREADS")
+    if thr:  # fewer threads -> less per-thread aggregate state
+        con.execute(f"SET threads={int(thr)}")
     con.execute("SET preserve_insertion_order=false")
     spill = os.path.abspath(".local/duckdb_spill")
     os.makedirs(spill, exist_ok=True)
@@ -188,7 +240,7 @@ def main() -> int:
     for c in str_cols:
         o_aggs.append(f'count(DISTINCT "{c}") AS "nd_{c}"')
     row = con.execute(
-        f"SELECT {', '.join(o_aggs)} FROM ({spec.oracle}) q"
+        f"SELECT {', '.join(o_aggs)} FROM ({oracle_sql}) q"
     ).fetchone()
     cols = [d[0] for d in con.description]
     want = {k: str(v) for k, v in zip(cols, row)}
