@@ -43,7 +43,7 @@ from gmall_realtime_flink_spark.plans import olap  # noqa: E402,F401
 # multi-round green history and a headline relative in the head)
 # queue for r12. The 10 macro-family representatives test_registry
 # pins keep their per-round independent check.
-# 11 headline + 3 new + 26 staleness + 10 reps = 50.
+# 11 headline + 8 new + 21 staleness + 10 reps = 50.
 # Everything rotated OUT retains multi-round driver-green history and
 # stays oracle-gated locally every test run (tests/test_oracle.py
 # full registry, plus the standing adversarial/empty gates pinned by
@@ -54,11 +54,23 @@ _DRIVER_PRIORITY = [
     "province_stats", "product_stats_union", "keyword_stats",
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "pricing_summary",
-    # this round's new entries (never driver-checked yet)
+    # this round's new entries (never driver-checked yet): the three
+    # from the first r12 session plus the five codec/audio/streaming
+    # entries from the second (PNG/GIF/JPEG real decode, WAV signal
+    # features, micro-batch decode) — all hash-green under the
+    # VERIFY_HEAD_r12 plain-session emulation before entering here
     "dedup_semantic_resplit", "similarity_topk_batch",
-    "similarity_topk_ivf_batch",
-    # staleness burn-down (r12): 26 of the 39-entry r07 cohort — the
-    # oldest tier in DRIVER_COVERAGE. The 13 r07 entries left out all
+    "similarity_topk_ivf_batch", "multimodal_decode_png",
+    "multimodal_decode_gif", "multimodal_decode_jpeg",
+    "multimodal_audio_features", "streaming_multimodal_decode",
+    # staleness burn-down (r12): 21 of the 39-entry r07 cohort — the
+    # oldest tier in DRIVER_COVERAGE. Five r07 entries originally
+    # slotted here (streaming_stats_sql, streaming_user_sessions,
+    # streaming_uv_dropdup_wm, streaming_view_click_join,
+    # token_heavy_hitters) yielded their slots to the codec entries
+    # above; every displaced entry is hash-green in the r12
+    # full-registry emulation (VERIFY_HEAD_r12.json), so no entry is
+    # without current-round evidence. The 13 r07 entries left out all
     # carry fresh r12 evidence elsewhere: the four chained_* entries
     # (VERIFY_CHAINED sf1+sf10 artifacts), knn_graph /
     # contrastive_hard_negatives (sf10 oracle + sf100 solo this
@@ -74,10 +86,8 @@ _DRIVER_PRIORITY = [
     "similarity_topk_filtered", "streaming_cdc_route",
     "streaming_order_wide_left", "streaming_payment_wide",
     "streaming_product_stats", "streaming_purchase_dim_temporal",
-    "streaming_stats_sql", "streaming_user_jump",
-    "streaming_user_sessions", "streaming_uv_dropdup_wm",
-    "streaming_view_click_join", "streaming_visitor_repair",
-    "token_heavy_hitters", "user_jump",
+    "streaming_user_jump", "streaming_visitor_repair",
+    "user_jump",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",
