@@ -200,6 +200,17 @@ def _huff_from_freq(freq: dict[int, int]) -> tuple[list[int], list[int]]:
         s = min((s for s in lengths if lengths[s] < 16),
                 key=lambda s: lengths[s])
         lengths[s] += 1
+    # T.81 Annex K (Adjust_BITS) reserves the all-ones codeword so
+    # 1-bit padding never forms a valid symbol: keep the code
+    # INCOMPLETE (Kraft sum < 1).  In a canonical code the all-1s
+    # code of the deepest length is assigned iff the Kraft sum is
+    # exactly 1, so deepen one deepest symbol below 16 by one level
+    # (the extra-leaf-at-the-deepest convention).
+    if sum(2.0 ** -l for l in lengths.values()) == 1.0:
+        cands = [s for s in lengths if lengths[s] < 16]
+        if cands:  # all-at-16 with Kraft==1 needs 2^16 leaves: can't
+            s = max(cands, key=lambda s: (lengths[s], s))
+            lengths[s] += 1
     counts = [0] * 16
     for _s, l in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
         counts[l - 1] += 1
@@ -424,6 +435,10 @@ def decode_jpeg(payload: bytes) -> dict:
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them so foreign encoders' output parses.
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:  # EOI

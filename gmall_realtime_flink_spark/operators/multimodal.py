@@ -604,6 +604,11 @@ def _decode_gif(payload: bytes) -> dict:
                 for stored_row, target in zip(rows, order):
                     deinter[target] = stored_row
                 indices = b"".join(deinter)
+            if indices and max(indices) >= len(ct) // 3:
+                raise ValueError(
+                    "GIF: LZW index %d out of range for %d-entry "
+                    "color table" % (max(indices), len(ct) // 3)
+                )
             values = b"".join(
                 ct[3 * idx : 3 * idx + 3] for idx in indices
             )

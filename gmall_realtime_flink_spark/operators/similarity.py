@@ -1010,6 +1010,10 @@ def semantic_dedup_numpy(
     if max_cell is not None:
         out_schema = out_schema.add(T.StructField("cell_capped", T.BooleanType()))
 
+    # Driver memory here is K seed rows of dim-D doubles (K·D·8 bytes;
+    # K = n_cells ≈ √N, dim 64 → a few MB even at sf100), NOT a data
+    # collect — the coarse quantizer's centroid table is driver-sized
+    # by construction, same bound as the per-iteration means below.
     seed_rows = (
         e.filter(F.col("vec_id") < n_cells).orderBy("vec_id").collect()
     )
@@ -1061,6 +1065,8 @@ def semantic_dedup_numpy(
                     lambda s: s["m"],
                 ).alias("mvec")
             )
+            # K centroid rows (K·D·8 bytes) per iteration — bounded
+            # driver memory for the coarse quantizer, not a data pull.
             .collect()
         )
         by_cell = {r.cell: np.asarray(r.mvec, dtype=np.float64) for r in means}

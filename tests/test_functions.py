@@ -1209,6 +1209,73 @@ def test_jpeg_codec_exactness_bounded_error_and_honest_gaps():
         decode_jpeg(bytes(good[:20]))
 
 
+def test_codec_robustness_fixes_r13():
+    """Round-13 ADVICE regressions: (1) T.81 B.1.1.2 — 0xFF fill
+    bytes before a marker are legal padding, foreign encoders emit
+    them; (2) Annex K — the all-ones codeword of the deepest length
+    is reserved (Kraft sum < 1) so 1-bit padding never decodes as a
+    real symbol; (3) a corrupt GIF whose LZW indices exceed the color
+    table fails LOUDLY instead of yielding a short values buffer."""
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.jpeg import (
+        _huff_from_freq,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        decode_media,
+        encode_gif,
+    )
+
+    # (1) fill bytes: inject extra 0xFF padding before each marker of
+    # a known-good stream; decode must be byte-identical
+    px = bytes((x * 7 + y * 3) % 256 for y in range(16) for x in range(16))
+    good = encode_jpeg(16, 16, px)
+    ref = decode_jpeg(good)
+    padded = bytearray(good[:2])  # SOI itself must open the stream
+    i = 2
+    while i < len(good) - 1:
+        if good[i] == 0xFF and good[i + 1] not in (0x00,):  # real marker
+            padded += b"\xff\xff\xff"  # three fill bytes
+            padded += good[i : i + 2]
+            i += 2
+            if good[i - 1] == 0xDA:  # rest is entropy data + EOI
+                padded += good[i:]
+                break
+        else:
+            padded.append(good[i])
+            i += 1
+    got = decode_jpeg(bytes(padded))
+    assert got["values"] == ref["values"]
+
+    # (2) all-ones reservation: for any frequency histogram the
+    # canonical table must be INCOMPLETE (Kraft sum < 1)
+    for freq in (
+        {0: 1},
+        {0: 5, 1: 3},
+        {i: 1 for i in range(8)},          # balanced -> complete tree
+        {i: 2 ** i for i in range(10)},    # skewed depths
+    ):
+        counts, symbols = _huff_from_freq(freq)
+        kraft = sum(
+            c * 2.0 ** -(l + 1) for l, c in enumerate(counts)
+        )
+        assert kraft < 1.0, freq
+        assert sorted(symbols) == sorted(freq)
+
+    # (3) GIF out-of-range palette index: encode with an 8-entry
+    # table, then patch the LSD to declare only 4 entries (strip 12
+    # palette bytes) — the LZW stream still yields index 5, which
+    # must now be a LOUD parse error, not a short values buffer
+    pal8 = bytes([1, 2, 3] * 8)
+    ok = bytearray(encode_gif(2, 2, bytes([0, 1, 5, 2]), pal8))
+    ok[10] = 0x80 | 1  # GCT size field: 2^(1+1) = 4 entries
+    bad = bytes(ok[:13]) + bytes(ok[13 : 13 + 12]) + bytes(ok[13 + 24 :])
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_media(bad)
+
+
 def test_png_codec_property_roundtrip():
     """Hypothesis: arbitrary small images round-trip for every color
     type — dims and content drawn randomly, encoder filter cycle

@@ -53,7 +53,13 @@ def main() -> int:
         out["corpus"][tag] = json.load(open(os.path.join(sf, "MANIFEST.json")))
         e = load(spark, sf, "embeddings")
 
-        # IVF index cell-size distribution under Zipf clusters
+        # IVF index cell-size distribution under Zipf clusters.
+        # NOTE (r11 advice): this tool trains a FRESH index here for the
+        # distribution stats; the probe timings below are therefore NOT
+        # amortized against this build — they describe an independently
+        # trained index. For the train-once/probe-many economics of ONE
+        # shared index, see tools/measure_ivf_breakeven.py, which threads
+        # a single pre-built centroids+assignment through the warm path.
         cent = kmeans_centroids(
             valid_embeddings(e), n_cells=N_CELLS, iters=2
         )

@@ -46,7 +46,9 @@ NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 # of spill headroom, 95 GB cap kernel-OOM with zero bytes spilled).
 # The rewrite is the textbook distinct-to-two-level transformation:
 #   count(DISTINCT k) GROUP BY a,b
-#     == count(*) over (SELECT a,b,k ... GROUP BY a,b,k)
+#     == count(k) over (SELECT a,b,k ... GROUP BY a,b,k)
+# (count(k), not count(*): DISTINCT excludes NULL keys, and count(*)
+# would count the NULL group — NULL-exact even on hostile corpora)
 # and the DECIMAL(28,4) sums re-associate EXACTLY across the extra
 # level (integer-scaled decimal addition is associative; the only
 # rounding, round(.,2), still happens once at the outer level). Both
@@ -60,7 +62,7 @@ ORACLE_REWRITES = {
            g.ship_month, g.order_ct, g.quantity, g.revenue
     FROM (
       SELECT l_partkey, ship_month,
-             count(*) AS order_ct,
+             count(l_orderkey) AS order_ct,
              round(sum(qty), 2)::DOUBLE AS quantity,
              round(sum(rev), 2)::DOUBLE AS revenue
       FROM (
