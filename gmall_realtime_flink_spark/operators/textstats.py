@@ -250,3 +250,98 @@ def quality_score(
         digit_ratio.alias("digit_ratio"),
         score.alias("quality_score"),
     )
+
+
+def bpe_train_merges(words: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Iterative BPE merge training (Sennrich et al. 2016, the
+    `learn_bpe` loop; reference analogue: the tokenizer-prep surface
+    behind RT/utils/KeywordUtil.java's segmentation, generalized to
+    subword training). `words` is the DISTINCT-WORD frequency table
+    (columns `w`, `f`) — the classic scaling trick: the corpus
+    collapses to the vocabulary once, and every training iteration is
+    O(vocabulary), so a 100 TB corpus with a 1M-word vocab pays the
+    same per-merge cost as a 1 GB one.
+
+    Each iteration: (1) adjacent-symbol pair counts weighted by word
+    frequency (vocab-sized groupBy, map-side combined); (2) argmax
+    pair with the deterministic (count DESC, pair ASC) tie-break —
+    ONE row collected to the driver per iteration, bounded by
+    construction; (3) greedy left-to-right re-segmentation of every
+    word via a JVM-side `aggregate` fold over the symbol array — a
+    narrow projection, no shuffle, and overlap-correct (a run of k
+    identical symbols merges floor(k/2) pairs, like the reference
+    implementation's non-overlapping regex scan).
+
+    Returns the learned merge table: (step, lhs, rhs, merged,
+    pair_count) — n_merges rows (fewer if the vocabulary runs out of
+    adjacent pairs first).
+    """
+    from pyspark.sql import types as T
+
+    spark = words.sparkSession
+    out_schema = T.StructType([
+        T.StructField("step", T.IntegerType()),
+        T.StructField("lhs", T.StringType()),
+        T.StructField("rhs", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ])
+
+    # Materialize the vocab table once so the corpus-scale word count
+    # is not recomputed by every iteration's argmax action (at 100 TB
+    # this would be a staging table write; localCheckpoint is the
+    # single-JVM analogue). The vocab table is small by construction.
+    seg = words.select(
+        "w", "f", F.split(F.col("w"), "").alias("syms")
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        pair_counts = (
+            seg.filter(F.size("syms") >= 2)
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS pa, syms[i] AS pb))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("f").alias("c"))
+        )
+        # argmax: ONE row to the driver (bounded — not a data collect)
+        best = (
+            pair_counts.orderBy(F.desc("c"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0].pa, best[0].pb, best[0].c
+        merges.append((step, a, b, a + b, int(c)))
+        # greedy left-to-right merge: fold the symbol array; a just-
+        # merged token (a||b) can never equal `a`, so the fold never
+        # re-merges its own output within one step — exactly the
+        # reference scan that restarts AFTER a consumed pair
+        merged_syms = F.aggregate(
+            F.col("syms"),
+            F.expr("cast(array() as array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        # checkpoint each level: keeps the fold chain shallow and the
+        # per-iteration cost O(vocab), independent of the step number
+        seg = seg.withColumn("syms", merged_syms).localCheckpoint(
+            eager=False
+        )
+
+    return spark.createDataFrame(merges, out_schema)

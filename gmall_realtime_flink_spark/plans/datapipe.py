@@ -197,6 +197,99 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
 
 
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled DuckDB mirror of the iterative BPE trainer: one CTE
+    block per merge level — pair counts, deterministic argmax, then
+    greedy re-segmentation expressed as gaps-and-islands over (word,
+    position) rows (merge starts are the ODD ranks inside each island
+    of consecutive pair hits, which reproduces the non-overlapping
+    left-to-right scan, including the floor(run/2) behavior when both
+    pair symbols are equal)."""
+    parts = ["""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> length(x) > 0)) AS w
+      FROM documents),
+    seg0 AS (
+      SELECT w, count(*)::BIGINT AS f, string_split(w, '') AS syms
+      FROM toks GROUP BY w)"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""
+    pairs{i} AS (
+      SELECT f, syms[j] AS pa, syms[j+1] AS pb
+      FROM (SELECT f, syms, unnest(generate_series(1, len(syms)-1)) AS j
+            FROM seg{p})),
+    best{i} AS (
+      SELECT pa, pb, pa || pb AS m, sum(f)::BIGINT AS c
+      FROM pairs{i} GROUP BY pa, pb
+      ORDER BY c DESC, pa ASC, pb ASC LIMIT 1),
+    pos{i} AS (
+      SELECT w, f, j, syms[j] AS s
+      FROM (SELECT w, f, syms, unnest(generate_series(1, len(syms))) AS j
+            FROM seg{p})),
+    cand{i} AS (
+      SELECT pp.w, pp.f, pp.j, pp.s,
+             coalesce(pp.s = b.pa AND
+               lead(pp.s) OVER (PARTITION BY pp.w ORDER BY pp.j) = b.pb,
+               false) AS isp
+      FROM pos{i} pp CROSS JOIN best{i} b),
+    isl{i} AS (
+      SELECT *, j - row_number() OVER (PARTITION BY w, isp ORDER BY j) AS blk
+      FROM cand{i}),
+    mk{i} AS (
+      SELECT w, f, j, s,
+             isp AND (row_number() OVER
+               (PARTITION BY w, isp, blk ORDER BY j) % 2 = 1) AS mstart,
+             lead(s) OVER (PARTITION BY w ORDER BY j) AS ns
+      FROM isl{i}),
+    seg{i} AS (
+      SELECT w, f,
+             list(CASE WHEN mstart THEN s || ns ELSE s END ORDER BY j) AS syms
+      FROM (SELECT *, coalesce(lag(mstart) OVER (PARTITION BY w ORDER BY j),
+                               false) AS consumed
+            FROM mk{i})
+      WHERE NOT consumed
+      GROUP BY w, f)""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, pa AS lhs, pb AS rhs, m AS merged, "
+        f"c AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",".join(parts) + f"\n    {union}"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle_sql(5),
+    doc="Iterative BPE merge TRAINING (Sennrich et al. 2016) — the "
+    "full learn-loop, not just merge step 0: N times, take the "
+    "argmax adjacent pair over the distinct-word frequency table and "
+    "greedily re-segment every word. 100 TB path: the corpus "
+    "collapses to the vocabulary in ONE shuffle; each iteration is "
+    "O(vocab) — a vocab-sized pair groupBy plus a no-shuffle array "
+    "fold — and exactly one row (the argmax) reaches the driver per "
+    "step. Oracle: the same five levels unrolled as gaps-and-islands "
+    "SQL; equivalence to a single-node reference BPE is "
+    "property-tested on random corpora.",
+    tags=("datapipe", "text", "tokenizer"),
+)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+    from gmall_realtime_flink_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return bpe_train_merges(words, n_merges=5)
+
+
 # ---------------------------------------------------------------------------
 # Dedup: MinHash-LSH + n-gram Jaccard (operators/dedup.py)
 # ---------------------------------------------------------------------------

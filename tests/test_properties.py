@@ -887,3 +887,74 @@ def test_substring_incremental_is_target_filtered_full(spark, docs):
         ).collect()
     }
     assert incr == full
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/textstats.bpe_train_merges)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_freqs: dict, n: int) -> list:
+    """Single-node reference BPE (Sennrich et al. 2016 learn_bpe):
+    argmax pair with (count DESC, pair ASC) tie-break, greedy
+    non-overlapping left-to-right re-segmentation."""
+    seg = {w: tuple(w) for w in word_freqs}
+    res = []
+    for step in range(1, n + 1):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            s = seg[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        res.append((step, a, b, a + b, c))
+
+        def merge_word(s):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return tuple(out)
+
+        seg = {w: merge_word(s) for w, s in seg.items()}
+    return res
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_bpe_train_merges_matches_reference(spark, words, n):
+    """The distributed trainer reproduces the single-node reference
+    BPE exactly on ANY corpus — argmax tie-breaks, the floor(run/2)
+    same-symbol overlap rule, and early stop when the vocabulary runs
+    out of adjacent pairs. The tiny 4-letter alphabet forces heavy
+    ties and same-symbol runs (the two places a distributed
+    re-implementation would diverge)."""
+    from gmall_realtime_flink_spark.operators.textstats import (
+        bpe_train_merges,
+    )
+
+    wf: dict = {}
+    for w, f in words:
+        wf[w] = wf.get(w, 0) + f
+    df = spark.createDataFrame(list(wf.items()), "w string, f long")
+    got = sorted(
+        (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train_merges(df, n_merges=n).collect()
+    )
+    assert got == _ref_bpe(wf, n)
