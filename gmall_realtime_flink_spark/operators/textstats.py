@@ -345,3 +345,69 @@ def bpe_train_merges(words: DataFrame, n_merges: int = 5) -> DataFrame:
         )
 
     return spark.createDataFrame(merges, out_schema)
+
+
+MODEL_DIM = 64
+MODEL_THRESHOLD_MICRO = 500_000  # keep iff mean hashed-bucket weight > 0.5
+
+
+def frozen_model_weights(dim: int = MODEL_DIM) -> list[int]:
+    """Deterministic stand-in for TRAINED classifier weights (micro
+    units, 0..1e6): a fixed LCG so both engines and every session see
+    the same parameter vector. In production these are the learned
+    weights of a fastText-style quality model, shipped to executors
+    as a broadcast; freezing them keeps the operator DuckDB-oracle-
+    able (the Spark plumbing — hashing trick, broadcast lookup,
+    integer-exact mean — is what is under test, not the training)."""
+    w, x = [], 1234567
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        w.append(x % 1_000_001)
+    return w
+
+
+def quality_model_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = MODEL_DIM,
+    threshold_micro: int = MODEL_THRESHOLD_MICRO,
+) -> DataFrame:
+    """Classifier-based quality filtering (the model-inference step a
+    real curation pipeline runs between heuristics and training —
+    fastText-style): hash every token into `dim` buckets (hashing
+    trick, md5 so both engines agree), look up the frozen linear
+    weight per bucket, and score each document by the integer
+    HALF-UP mean weight — a linear model over hashed bag-of-words
+    features, monotone in the logistic probability (the sigmoid is
+    omitted so the score stays cross-engine integer-exact; the keep
+    threshold is equivalent either side of the monotone map).
+
+    Plan: one explode + one hash shuffle on doc id with map-side
+    partial aggregation (shuffled volume is |docs| rows); the weight
+    vector is a plan literal — the broadcast-variable analogue. No
+    Python in the hot path. 0-token documents have no score (no
+    feature evidence) and drop out, same as the oracle's unnest."""
+    weights = frozen_model_weights(dim)
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("m", F.md5("tok"))
+    h1 = F.conv(F.substring("m", 1, 1), 16, 10).cast("int")
+    h2 = F.conv(F.substring("m", 2, 1), 16, 10).cast("int")
+    bucket = (h1 * 16 + h2) % dim  # 256 % dim == 0 -> uniform
+    warr = F.array(*[F.lit(v) for v in weights])
+    scored = toks.select(
+        F.col(id_col),
+        F.element_at(warr, bucket + 1).cast("long").alias("wv"),
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("wv").alias("s"),
+    )
+    micro = F.expr("(2 * s + n_tokens) DIV (2 * n_tokens)")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (micro.cast("double") / F.lit(1_000_000.0)).alias("model_score"),
+        (micro > F.lit(threshold_micro)).alias("keep"),
+    )

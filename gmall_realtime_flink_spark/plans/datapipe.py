@@ -2318,10 +2318,40 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _model_score_oracle_cte() -> str:
+    """DuckDB mirror of operators/textstats.quality_model_score: the
+    same frozen weight vector (embedded as a list literal), the same
+    md5 two-hex-digit hashing trick, the same integer half-up mean."""
+    from gmall_realtime_flink_spark.operators.textstats import (
+        MODEL_DIM,
+        frozen_model_weights,
+    )
+
+    wlit = "[" + ", ".join(str(v) for v in frozen_model_weights()) + "]"
+    return f"""
+    mt AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents),
+    mw AS (
+      SELECT doc_id,
+             ({wlit})[
+               ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+               % {MODEL_DIM} + 1]::BIGINT AS wv
+      FROM mt),
+    ms AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             ((2 * sum(wv) + count(*)) // (2 * count(*)))::BIGINT AS micro
+      FROM mw GROUP BY doc_id)"""
+
+
 @register(
     "doc_curation_funnel",
-    oracle="""
-    WITH d AS (
+    oracle=f"""
+    WITH {_model_score_oracle_cte()},
+    d AS (
       SELECT doc_id, text,
              list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                          x -> length(x) > 0) AS toks
@@ -2358,14 +2388,20 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              (q.nc >= 150 AND q.qs >= 0.45 AND r.rep <= 0.6) AS s3,
              (q.nc >= 150 AND q.qs >= 0.45 AND r.rep <= 0.6
               AND q.doc_id % 50 <> 0
-              AND q.doc_id NOT IN (SELECT doc_id FROM contam)) AS s4
+              AND q.doc_id NOT IN (SELECT doc_id FROM contam)) AS s4,
+             (q.nc >= 150 AND q.qs >= 0.45 AND r.rep <= 0.6
+              AND q.doc_id % 50 <> 0
+              AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+              AND q.doc_id IN (SELECT doc_id FROM ms WHERE micro > 500000))
+               AS s5
       FROM q LEFT JOIN r ON q.doc_id = r.doc_id),
     agg AS (
       SELECT count(*)::BIGINT AS n0,
              sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n1,
              sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n2,
              sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n3,
-             sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n4
+             sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n4,
+             sum(CASE WHEN s5 THEN 1 ELSE 0 END)::BIGINT AS n5
       FROM f)
     SELECT 'length'          AS stage, n0 AS in_ct, n1 AS out_ct, n0 - n1 AS dropped_ct FROM agg
     UNION ALL
@@ -2374,10 +2410,15 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'repetition',      n2, n3, n2 - n3 FROM agg
     UNION ALL
     SELECT 'decontamination', n3, n4, n3 - n4 FROM agg
+    UNION ALL
+    SELECT 'model_filter',    n4, n5, n4 - n5 FROM agg
     """,
     doc="End-to-end curation funnel — the composed training-data "
     "pipeline: length floor → composite quality floor → repetition "
-    "ceiling → eval-holdout decontamination, with per-stage "
+    "ceiling → eval-holdout decontamination → classifier model "
+    "filter (doc_quality_model_score as the fifth stage — the "
+    "heuristics-then-model ordering every real pipeline uses, cheap "
+    "filters first so the model scores fewer docs), with per-stage "
     "in/out/dropped counts (each stage sees only survivors of the "
     "previous ones). Plan: each metric branch (quality / repetition / "
     "contamination) runs its own pruned (doc_id, text) scan with "
@@ -2390,8 +2431,18 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "quality", "pipeline"),
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        quality_model_score,
+    )
+
     d = load(spark, sf_dir, "documents")
     q = quality_score(d).select("doc_id", "n_chars", "quality_score")
+    mkeep = (
+        quality_model_score(d)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .withColumn("is_model_keep", F.lit(True))
+    )
     toks = _doc_tokens(d)
     rep = _per_token_counts(toks).groupBy("doc_id").agg(
         F.round(
@@ -2411,6 +2462,7 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = (
         q.join(rep, "doc_id", "left")
         .join(contam, "doc_id", "left")
+        .join(mkeep, "doc_id", "left")
         .select(
             (F.col("n_chars") >= 150).alias("s1"),
             (
@@ -2429,6 +2481,14 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("doc_id") % EVAL_SPLIT_MOD != 0)
                 & F.coalesce(F.col("is_contam"), F.lit(False)).__invert__()
             ).alias("s4"),
+            (
+                (F.col("n_chars") >= 150)
+                & (F.col("quality_score") >= 0.45)
+                & (F.col("rep") <= 0.6)
+                & (F.col("doc_id") % EVAL_SPLIT_MOD != 0)
+                & F.coalesce(F.col("is_contam"), F.lit(False)).__invert__()
+                & F.coalesce(F.col("is_model_keep"), F.lit(False))
+            ).alias("s5"),
         )
     )
     one = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0))  # noqa: E731
@@ -2438,15 +2498,48 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("s2").alias("n2"),
         one("s3").alias("n3"),
         one("s4").alias("n4"),
+        one("s5").alias("n5"),
     )
     return agg.selectExpr(
-        "stack(4, "
+        "stack(5, "
         "'length', n0, n1, n0 - n1, "
         "'quality', n1, n2, n1 - n2, "
         "'repetition', n2, n3, n2 - n3, "
-        "'decontamination', n3, n4, n3 - n4"
+        "'decontamination', n3, n4, n3 - n4, "
+        "'model_filter', n4, n5, n4 - n5"
         ") AS (stage, in_ct, out_ct, dropped_ct)"
     )
+
+
+@register(
+    "doc_quality_model_score",
+    oracle=f"""
+    WITH {_model_score_oracle_cte()}
+    SELECT doc_id, n_tokens,
+           micro::DOUBLE / 1000000.0 AS model_score,
+           micro > 500000 AS keep
+    FROM ms
+    """,
+    doc="Classifier-based quality filtering (fastText-style model "
+    "inference — the step between heuristic filters and training in "
+    "a real curation pipeline): hash every token into 64 buckets "
+    "(hashing trick), look up a FROZEN linear weight per bucket "
+    "(broadcast-variable analogue: a plan literal), score each doc "
+    "by the integer half-up mean weight, threshold at 0.5. Sigmoid "
+    "omitted — the linear score is monotone in the logistic "
+    "probability, and integer arithmetic keeps the oracle exact. "
+    "100 TB path: one explode + one doc-keyed shuffle with map-side "
+    "partial agg (shuffled volume |docs| rows); weights ride with "
+    "the plan, never a join.",
+    tags=("datapipe", "quality"),
+)
+def doc_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        quality_model_score,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return quality_model_score(d)
 
 
 @register(
