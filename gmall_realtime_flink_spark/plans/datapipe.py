@@ -2318,6 +2318,126 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_url() -> "F.Column":
+    """Deterministic MESSY url column derived from doc_id (the
+    testdata is driver-generated and read-only, so the url column a
+    real crawl corpus carries is synthesized in-query — identically
+    on both engines; swap in the real column and everything below is
+    unchanged). Semantic parts (scheme kind, site, path, param
+    values) derive from PAGE; cosmetic mess (case, www, param order,
+    tracking params, fragments) derives from DOC — so refetches of
+    the same page (two per decade of doc_ids) only collide AFTER
+    canonicalization, which is the operator under test."""
+    did = F.col("doc_id")
+    page = F.when(did % 10 < 2, did - (did % 10)).otherwise(did)
+    sch = F.when(page % 3 == 0, F.lit("https")).otherwise(F.lit("http"))
+    dom = F.concat(F.lit("docs.site"), (page % 20).cast("string"),
+                   F.lit(".com"))
+    pa = F.concat(F.lit("a="), (page % 7).cast("string"))
+    pb = F.concat(F.lit("b="), (page % 5).cast("string"))
+    q = F.when(did % 2 == 0, F.concat(pb, F.lit("&"), pa)).otherwise(
+        F.concat(pa, F.lit("&"), pb))
+    q = F.when(did % 5 == 0, F.concat(q, F.lit("&utm_source=feed"))).otherwise(q)
+    return F.concat(
+        F.when(did % 2 == 0, F.upper(sch)).otherwise(sch),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 4 < 2, F.upper(dom)).otherwise(dom),
+        F.lit("/p/"), page.cast("string"),
+        F.lit("?"), q,
+        F.when(did % 3 == 0,
+               F.concat(F.lit("#s"), (did % 4).cast("string"))
+               ).otherwise(F.lit("")),
+    )
+
+
+_URL_ORACLE_CTES = r"""
+    uu AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 2 THEN doc_id - (doc_id % 10)
+                  ELSE doc_id END AS page
+      FROM documents WHERE doc_id IS NOT NULL),
+    u2 AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN upper(sch) ELSE sch END) || '://' ||
+        (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        (CASE WHEN doc_id % 4 < 2 THEN upper(dom) ELSE dom END) ||
+        '/p/' || page::VARCHAR || '?' || q ||
+        (CASE WHEN doc_id % 3 = 0 THEN '#s' || (doc_id % 4)::VARCHAR
+              ELSE '' END) AS url
+      FROM (
+        SELECT doc_id, page,
+          CASE WHEN page % 3 = 0 THEN 'https' ELSE 'http' END AS sch,
+          'docs.site' || (page % 20)::VARCHAR || '.com' AS dom,
+          CASE WHEN doc_id % 2 = 0
+            THEN 'b=' || (page % 5)::VARCHAR || '&a=' || (page % 7)::VARCHAR
+            ELSE 'a=' || (page % 7)::VARCHAR || '&b=' || (page % 5)::VARCHAR
+          END
+          || CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed' ELSE '' END AS q
+        FROM uu)),
+    cparts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        regexp_replace(lower(regexp_extract(url, '://([^/?#]+)', 1)),
+                       '^www\.', '') AS hostn,
+        regexp_extract(url, '://[^/?#]+([^?#]*)', 1) AS pth,
+        regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS qs
+      FROM u2),
+    curl AS (
+      SELECT doc_id,
+        sch || '://' || hostn || pth ||
+          CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url,
+        regexp_extract(hostn, '([^.]+\.[^.]+)$', 1) AS domain
+      FROM (SELECT *, array_to_string(list_sort(list_filter(
+              string_split(qs, '&'),
+              p -> length(p) > 0 AND NOT starts_with(p, 'utm_'))),
+              '&') AS cq
+            FROM cparts)),
+    uflag AS (
+      SELECT doc_id, canonical_url, domain,
+             doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+               AS is_canonical
+      FROM curl),
+    uranked AS (
+      SELECT *, CASE WHEN is_canonical THEN
+          row_number() OVER (PARTITION BY domain, is_canonical
+                             ORDER BY doc_id)
+        ELSE 0 END AS domain_rank
+      FROM uflag)
+"""
+
+
+@register(
+    "doc_domain_budget",
+    oracle=f"""
+    WITH {_URL_ORACLE_CTES}
+    SELECT doc_id, canonical_url, domain, is_canonical, domain_rank,
+           (is_canonical AND domain_rank <= 15) AS kept
+    FROM uranked
+    """,
+    doc="URL/domain-grain curation (RefinedWeb/C4-style, between "
+    "exact dedup and mixing): canonicalize every URL — lowercase "
+    "scheme+host, strip www., drop fragments, drop utm_* tracking "
+    "params, sort the rest — with pure JVM regex; dedup at canonical-"
+    "URL grain (refetches of the same page collide only after "
+    "canonicalization); cap each registered domain at 15 docs "
+    "(lowest ids win). Doc-grain audit output: every doc gets a "
+    "verdict. 100 TB path: two shuffles (canonical-url window, "
+    "domain window), both string-keyed; mega-domain skew is AQE or "
+    "broadcast-the-cut territory (operators/urls.py docstring). The "
+    "url column is synthesized deterministically from doc_id because "
+    "the testdata is read-only — a real corpus supplies its own.",
+    tags=("datapipe", "curation"),
+)
+def doc_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.urls import domain_budget
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    return domain_budget(
+        d.select("doc_id", _synthetic_url().alias("url")), budget=15
+    )
+
+
 def _model_score_oracle_cte() -> str:
     """DuckDB mirror of operators/textstats.quality_model_score: the
     same frozen weight vector (embedded as a list literal), the same

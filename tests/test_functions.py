@@ -1386,3 +1386,40 @@ def test_semantic_dedup_resplit_recovers_capped_drops(spark):
         if over:  # still-capped members keep honest NULL/kept verdicts
             assert rs[v]["kept"] is True
             assert rs[v]["max_lower_sim"] is None
+
+
+def test_url_canonicalization_and_domain_budget(spark):
+    """Canonicalization collapses cosmetic URL mess (case, www.,
+    param order, utm_* params, fragments) onto one canonical key;
+    domain_budget then dedups at URL grain and caps each registered
+    domain, lowest ids winning deterministically."""
+    from gmall_realtime_flink_spark.operators.urls import domain_budget
+
+    rows = [
+        # four fetches of the SAME page, all cosmetic variants
+        (1, "HTTPS://WWW.Docs.SiteA.com/p/1?b=2&a=1#frag"),
+        (2, "https://docs.sitea.com/p/1?a=1&b=2&utm_source=feed"),
+        (3, "https://DOCS.sitea.COM/p/1?a=1&b=2"),
+        (4, "https://www.docs.sitea.com/p/1#other?notaquery"),
+        # distinct pages on the same domain (budget fodder)
+        (5, "https://docs.sitea.com/p/2?a=1"),
+        (6, "https://docs.sitea.com/p/3"),
+        (7, "https://docs.sitea.com/p/4"),
+        # another domain entirely
+        (8, "http://siteb.org/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in domain_budget(df, budget=3).collect()}
+
+    # 1-3 share one canonical URL; only the lowest id is canonical
+    assert out[1].canonical_url == "https://docs.sitea.com/p/1?a=1&b=2"
+    assert out[1].canonical_url == out[2].canonical_url == out[3].canonical_url
+    assert out[1].is_canonical and not out[2].is_canonical
+    assert not out[3].is_canonical
+    # 4 drops the fragment (everything after #, even a fake ?)
+    assert out[4].canonical_url == "https://docs.sitea.com/p/1"
+    assert out[1].domain == "sitea.com" and out[8].domain == "siteb.org"
+    # budget 3 on sitea.com: canonicals are 1, 4, 5, 6, 7 -> keep 1,4,5
+    kept = sorted(i for i, r in out.items() if r.kept)
+    assert kept == [1, 4, 5, 8]
+    assert out[6].is_canonical and not out[6].kept
