@@ -11,10 +11,13 @@ so `_decode_png` does the full chunk walk, CRC verify, inflate,
 five-filter scanline reconstruction and PLTE palette expansion) and
 GIF (`_decode_gif` — variable-width LZW is pure table arithmetic,
 implemented from the spec with CLEAR/EOI handling, the 12-bit cap,
-the KwKwK corner case and 4-pass deinterlacing). Formats whose
-codecs genuinely don't exist in this container (JPEG/MP4/MP3…)
-raise an honest NotImplementedError. `extract_features` is the
-byte-level plumbing twin over arbitrary payloads.
+the KwKwK corner case and 4-pass deinterlacing). Baseline JPEG
+decodes via operators/jpeg.py and MP4 containers walk via
+operators/mp4.py (MJPEG samples decode; real video codecs raise by
+name). Codecs that genuinely don't exist in this container
+(H.264/MP3…) raise an honest NotImplementedError.
+`extract_features` is the byte-level plumbing twin over arbitrary
+payloads.
 
 Scale notes: binary payloads ride the columnar scan (parquet BYTE_ARRAY
 with dictionary off); `mapInPandas` streams Arrow record batches, so
@@ -166,9 +169,10 @@ def sample_frames(with_payload: DataFrame) -> DataFrame:
 # chunks, honors the BMP 4-byte row stride and bottom-up row order,
 # and parses the PPM ASCII header — feeding it bytes it didn't
 # generate still works. PNG and GIF decode for real too (stdlib zlib
-# / pure-Python LZW — see below); only formats whose codecs genuinely
-# don't exist here (JPEG/MP4/MP3…) remain an honest
-# NotImplementedError in `decode_media`.
+# / pure-Python LZW — see below), as do baseline JPEG
+# (operators/jpeg.py) and MJPEG-in-MP4 (operators/mp4.py); only
+# codecs that genuinely don't exist here (H.264/MP3…) remain an
+# honest NotImplementedError in `decode_media`.
 
 _MEDIA_SCHEMA = (
     "doc_id long, fmt string, width int, height int, channels int, "
@@ -629,10 +633,12 @@ def decode_media(payload: bytes) -> dict:
     {fmt, width, height, channels, sample_rate, values: bytes|list}.
     Uncompressed formats (BMP/PPM/WAV) parse with stdlib struct; PNG
     really decompresses via stdlib zlib (chunk walk + CRC verify +
-    inflate + all five scanline filters + PLTE expansion). Formats
-    whose codecs genuinely don't exist in this environment (JPEG,
-    MP4, MP3…) raise NotImplementedError; unknown magic raises
-    ValueError."""
+    inflate + all five scanline filters + PLTE expansion); GIF via
+    pure-Python LZW; JPEG via the real baseline codec
+    (operators/jpeg.py); MP4 via the ISO-BMFF container walk with
+    MJPEG samples (operators/mp4.py). Codecs that genuinely don't
+    exist in this environment (H.264, MP3…) raise
+    NotImplementedError by name; unknown magic raises ValueError."""
     import struct
 
     if payload[:8] == _PNG_SIG:
@@ -643,6 +649,10 @@ def decode_media(payload: bytes) -> dict:
         from gmall_realtime_flink_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[4:8] == b"ftyp":
+        from gmall_realtime_flink_spark.operators.mp4 import decode_mp4
+
+        return decode_mp4(payload)
 
     if payload[:2] == b"BM":
         off, = struct.unpack_from("<I", payload, 10)
@@ -1046,4 +1056,108 @@ def decode_media_stats(with_payload: DataFrame) -> DataFrame:
     no shuffle; peak task memory is one Arrow batch of payloads."""
     return with_payload.select("doc_id", "payload").mapInPandas(
         _decode_stats, schema=_MEDIA_SCHEMA
+    )
+
+
+def attach_mp4_payload(docs: DataFrame) -> DataFrame:
+    """Stage REAL single-track MJPEG MP4 files derived
+    deterministically from (doc_id, text): n_frames = 1 + doc_id % 4
+    uniform-gray DC-exact JPEG samples (frame i carries value
+    32 + ((p + i*17) %% 95), so every frame differs and sample-table
+    mistakes — wrong offsets, swapped chunks, misread sizes — decode
+    the WRONG frame value and hash-fail), variable frame durations
+    40 + (i %% 3) ms (multi-entry stts), and alternating
+    mdat-first/moov-first layouts by doc_id parity (different
+    absolute stco offsets). NULL text -> NULL payload."""
+    from collections.abc import Iterator as _It
+
+    from gmall_realtime_flink_spark.operators.jpeg import encode_jpeg
+    from gmall_realtime_flink_spark.operators.mp4 import encode_mp4_mjpeg
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    payloads.append(None)
+                    continue
+                did = int(doc_id)
+                p = _media_params(did, text)["p"]
+                w, h = 1 + len(text) % 9, 1 + did % 6
+                nf = 1 + did % 4
+                frames = [
+                    encode_jpeg(
+                        w, h, bytes([32 + ((p + i * 17) % 95)]) * (w * h)
+                    )
+                    for i in range(nf)
+                ]
+                durs = [40 + (i % 3) for i in range(nf)]
+                payloads.append(
+                    encode_mp4_mjpeg(
+                        frames, w, h, durs, mdat_first=(did % 2 == 0)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+_VIDEO_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, n_frames int, "
+    "duration_us long, pixel_sum long, frames_md5 string"
+)
+
+
+def _video_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gmall_realtime_flink_spark.operators.mp4 import decode_mp4
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "fmt", "width", "height", "n_frames",
+            "duration_us", "pixel_sum", "frames_md5",
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rows["doc_id"].append(doc_id)
+            if payload is None:
+                for k in list(rows)[1:]:
+                    rows[k].append(None)
+                continue
+            d = decode_mp4(bytes(payload))
+            rows["fmt"].append(d["fmt"])
+            rows["width"].append(d["width"])
+            rows["height"].append(d["height"])
+            rows["n_frames"].append(d["n_frames"])
+            # exact integer: ticks are ms in the staged payloads, but
+            # the conversion uses the FILE's timescale, not a constant
+            rows["duration_us"].append(
+                sum(d["durations"]) * 1_000_000 // d["timescale"]
+            )
+            rows["pixel_sum"].append(sum(sum(fv) for fv in d["frame_values"]))
+            rows["frames_md5"].append(hashlib.md5(d["values"]).hexdigest())
+        yield pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "fmt": pd.Series(rows["fmt"], dtype="object"),
+            "width": pd.Series(rows["width"], dtype="Int32"),
+            "height": pd.Series(rows["height"], dtype="Int32"),
+            "n_frames": pd.Series(rows["n_frames"], dtype="Int32"),
+            "duration_us": pd.Series(rows["duration_us"], dtype="Int64"),
+            "pixel_sum": pd.Series(rows["pixel_sum"], dtype="Int64"),
+            "frames_md5": pd.Series(rows["frames_md5"], dtype="object"),
+        })
+
+
+def video_frame_stats(with_payload: DataFrame) -> DataFrame:
+    """Per-video stats over REAL decoded MP4/MJPEG payloads: the
+    ISO-BMFF sample-table walk resolves every frame's bytes, each
+    frame decodes through the baseline JPEG codec, and the output
+    carries frame count, exact integer duration (timescale-aware),
+    the total pixel sum and the md5 of the concatenated frame pixels
+    (frame ORDER matters — a chunk-resolution bug reorders frames and
+    hash-fails). Arrow mapInPandas, narrow transform, no shuffle."""
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _video_stats, schema=_VIDEO_SCHEMA
     )

@@ -1294,6 +1294,78 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_video",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             length(text) AS len
+      FROM documents),
+    dims AS (
+      SELECT *,
+             (1 + len % 9)::INT AS width,
+             (1 + doc_id % 6)::INT AS height,
+             (1 + doc_id % 4)::INT AS nf
+      FROM m),
+    v AS (
+      SELECT *,
+             list_transform(generate_series(0, nf - 1),
+                            i -> 32 + ((p + i * 17) % 95)) AS fvals,
+             list_transform(generate_series(0, nf - 1),
+                            i -> 40 + (i % 3)) AS durs
+      FROM dims)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE 'mp4' END AS fmt,
+           CASE WHEN text IS NULL THEN NULL ELSE width END AS width,
+           CASE WHEN text IS NULL THEN NULL ELSE height END AS height,
+           CASE WHEN text IS NULL THEN NULL ELSE nf END AS n_frames,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (list_aggregate(durs, 'sum') * 1000)::BIGINT
+                END AS duration_us,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (list_aggregate(fvals, 'sum')
+                      * width * height)::BIGINT
+                END AS pixel_sum,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(array_to_string(list_transform(
+                       fvals, q -> repeat(chr(q::INT), width * height)),
+                       ''))
+                END AS frames_md5
+    FROM v
+    """,
+    doc="REAL MP4 video decode over a binary column — the "
+    "ISO-BMFF/MP4 container walk (operators/mp4.py, pure stdlib from "
+    "ISO/IEC 14496-12): box tree parse (32/64-bit sizes), video-track "
+    "selection by hdlr, and the full sample-table resolution — "
+    "stts run-length durations, stsc chunk mapping, stsz sizes, "
+    "stco/co64 ABSOLUTE offsets — turning the blob into per-frame "
+    "byte ranges, each decoded by the in-repo baseline JPEG codec "
+    "(MJPEG: the one video codec decodable without codec libs; "
+    "avc1/hev1 raise by name — the container walk is identical for "
+    "them, which is the production swap point). Staged payloads "
+    "vary EVERY lever: per-frame values (wrong offset/chunk/size "
+    "decodes the wrong value and hash-fails via the ordered "
+    "frames_md5), variable durations (multi-entry stts), "
+    "mdat-first vs moov-first layouts by doc parity (different "
+    "absolute offsets), 2-chunk stsc above 2 frames. DuckDB "
+    "recomputes frame count, exact integer duration, pixel sum and "
+    "the concatenated-frame md5 symbolically from documents. The "
+    "sample-table walk is also why frame SAMPLING at 100 TB reads "
+    "only the bytes of the frames it keeps. Arrow mapInPandas, "
+    "narrow transform, no shuffle.",
+    tags=("multimodal", "pandas-udf", "decode", "video"),
+)
+def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_mp4_payload,
+        video_frame_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return video_frame_stats(attach_mp4_payload(d))
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
     WITH m AS (

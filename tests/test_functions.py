@@ -1423,3 +1423,58 @@ def test_url_canonicalization_and_domain_budget(spark):
     kept = sorted(i for i, r in out.items() if r.kept)
     assert kept == [1, 4, 5, 8]
     assert out[6].is_canonical and not out[6].kept
+
+
+def test_mp4_container_walk_and_mjpeg_decode():
+    """The MP4 decoder is a REAL ISO-BMFF parser: both mdat-first and
+    moov-first layouts resolve the same frames through absolute stco
+    offsets; per-frame values, variable stts durations and 2-chunk
+    stsc all round-trip; fragmented files and real video codecs raise
+    by name; corrupt sample tables fail loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.jpeg import encode_jpeg
+    from gmall_realtime_flink_spark.operators.mp4 import (
+        decode_mp4,
+        encode_mp4_mjpeg,
+    )
+    from gmall_realtime_flink_spark.operators.multimodal import decode_media
+
+    w, h = 6, 4
+    vals = [40, 90, 70, 120]
+    frames = [encode_jpeg(w, h, bytes([v]) * (w * h)) for v in vals]
+    durs = [40, 41, 42, 40]
+    for mdat_first in (True, False):
+        mp4 = encode_mp4_mjpeg(frames, w, h, durs, mdat_first=mdat_first)
+        d = decode_mp4(mp4)
+        assert d["n_frames"] == 4 and (d["width"], d["height"]) == (w, h)
+        assert d["durations"] == durs and d["timescale"] == 1000
+        assert d["frame_values"] == [bytes([v]) * (w * h) for v in vals]
+        # decode_media dispatches on the ftyp magic
+        assert decode_media(mp4)["fmt"] == "mp4"
+
+    mp4 = encode_mp4_mjpeg(frames, w, h, durs)
+
+    # real-codec 4cc raises BY NAME (container walk still succeeded)
+    avc = mp4.replace(b"jpeg", b"avc1", 1)
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4(avc)
+
+    # fragmented flag: a top-level moof is an honest named gap
+    moof = mp4 + struct.pack(">I", 8) + b"moof"
+    with _pytest.raises(NotImplementedError, match="moof"):
+        decode_mp4(moof)
+
+    # corrupt stsz: inflate the first sample size -> frame overruns /
+    # misparses; either way the decode must be LOUD, not wrong
+    idx = mp4.index(b"stsz")
+    bad = bytearray(mp4)
+    struct.pack_into(">I", bad, idx + 12 + 4, len(frames[0]) + 9999)
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_mp4(bytes(bad))
+
+    # truncated file
+    with _pytest.raises(ValueError):
+        decode_mp4(mp4[: len(mp4) // 2])
