@@ -268,10 +268,12 @@ def _png_filter_row(ftype: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def _png_unfilter_row(ftype: int, filt: bytes, prev: bytes, bpp: int) -> bytes:
-    """Reverse scanline filter `ftype` (decoder side). Sequential by
-    spec: Sub/Paeth reconstruct against already-reconstructed left
-    neighbours, so the loop carries a real data dependency."""
+def _png_unfilter_row_scalar(
+    ftype: int, filt: bytes, prev: bytes, bpp: int
+) -> bytes:
+    """Reference per-byte reconstruction (RFC 2083 §6, transliterated).
+    Kept as the parity pin for the vectorised path below — the
+    property test asserts byte equality on random rows."""
     if ftype not in (0, 1, 2, 3, 4):
         raise ValueError(f"invalid PNG filter type {ftype}")
     out = bytearray(len(filt))
@@ -289,6 +291,76 @@ def _png_unfilter_row(ftype: int, filt: bytes, prev: bytes, bpp: int) -> bytes:
             out[x] = (filt[x] + (left + up) // 2) & 0xFF
         else:
             out[x] = (filt[x] + _png_paeth(left, up, ul)) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt: bytes, prev: bytes, bpp: int) -> bytes:
+    """Reverse scanline filter `ftype` (decoder side), numpy-
+    vectorised where the spec's data dependencies allow (VERDICT r12
+    item 4): None is a copy; Up adds the previous row element-wise
+    (uint8 wraparound IS the mod-256 the spec wants); Sub's
+    left-neighbour recurrence has a closed form — a per-lane
+    cumulative sum over the bpp-strided lanes. Average and Paeth
+    reconstruct against already-reconstructed left neighbours through
+    a NONLINEAR step (floor-average / predictor select), so they keep
+    the honest sequential scan — the measured decode-throughput
+    artifact (PNG_UNFILTER_r13.json) records what each path buys."""
+    import numpy as np
+
+    if ftype == 0:
+        return bytes(filt)
+    if ftype == 2:
+        f = np.frombuffer(filt, dtype=np.uint8)
+        p = np.frombuffer(prev, dtype=np.uint8)
+        return (f + p).tobytes()
+    if ftype == 1 and len(filt) % bpp == 0:
+        lanes = np.frombuffer(filt, dtype=np.uint8).reshape(-1, bpp)
+        return np.cumsum(lanes, axis=0, dtype=np.uint8).tobytes()
+    if ftype == 3:
+        return _png_unfilter_avg(filt, prev, bpp)
+    if ftype == 4:
+        return _png_unfilter_paeth(filt, prev, bpp)
+    return _png_unfilter_row_scalar(ftype, filt, prev, bpp)
+
+
+def _png_unfilter_avg(filt: bytes, prev: bytes, bpp: int) -> bytes:
+    """Average reconstruction, specialised tight loop (no per-byte
+    filter branch; the left-neighbour dependency is irreducible)."""
+    out = bytearray(len(filt))
+    for x in range(min(bpp, len(filt))):
+        out[x] = (filt[x] + (prev[x] >> 1)) & 0xFF
+    for x in range(bpp, len(filt)):
+        out[x] = (filt[x] + ((out[x - bpp] + prev[x]) >> 1)) & 0xFF
+    return bytes(out)
+
+
+def _png_unfilter_paeth(filt: bytes, prev: bytes, bpp: int) -> bytes:
+    """Paeth reconstruction, specialised tight loop with the
+    predictor inlined (abs-free form) — for x < bpp the predictor
+    always selects `up` (left and up-left are 0)."""
+    out = bytearray(len(filt))
+    for x in range(min(bpp, len(filt))):
+        out[x] = (filt[x] + prev[x]) & 0xFF
+    for x in range(bpp, len(filt)):
+        a = out[x - bpp]
+        b = prev[x]
+        c = prev[x - bpp]
+        pa = b - c
+        pb = a - c
+        if pa < 0:
+            pa = -pa
+        if pb < 0:
+            pb = -pb
+        pc = pa + pb if (b > c) == (a > c) else (
+            pa - pb if pa > pb else pb - pa
+        )
+        if pa <= pb and pa <= pc:
+            pred = a
+        elif pb <= pc:
+            pred = b
+        else:
+            pred = c
+        out[x] = (filt[x] + pred) & 0xFF
     return bytes(out)
 
 
