@@ -140,6 +140,59 @@ def _write_batch_many(
         src.unpersist()
 
 
+def _manifest_mode() -> bool:
+    """Ordered replay with PARALLEL writers (VERDICT r12 item 3): when
+    SPARK_GRAFT_TOPOLOGY_MANIFESTS is set (alongside the steady-flow
+    FILES_PER_TRIGGER knob), every layer batch is written with full
+    task parallelism and followed by a per-batch ordered MANIFEST; the
+    downstream consumers trigger on manifests (one batch per trigger,
+    in batch order) and expand them to the batch's files inside the
+    trigger — so the single-task parquet-encode tail the writer-tasks
+    A/B isolated (r12: base_db_app 157.8 s at sf10) is gone while the
+    whole-batch-in-order replay contract is preserved."""
+    return bool(os.environ.get("SPARK_GRAFT_TOPOLOGY_MANIFESTS"))
+
+
+# per-layer monotone manifest mtimes: the consumer's file source
+# orders by modification time, so adjacent batches must never tie
+# (sub-ms batches happen on empty flushes). foreachBatch is
+# sequential per query, so per-out_dir updates are single-threaded.
+_LAST_MANIFEST_NS: dict[str, int] = {}
+
+
+def _write_manifest(out_dir: str, batch_id: int) -> None:
+    """Atomically publish the ordered manifest for one batch: a single
+    JSON-lines file naming every parquet file of the batch partition.
+    Written AFTER the data commit (a consumer triggering on the
+    manifest can never see a half-written batch) and rewritten on
+    crash-replay (same name — the dynamic partition overwrite makes
+    the content identical, and a consumer that already took the
+    manifest ignores the rewrite by path). The mtime is bumped to be
+    strictly greater than this layer's previous manifest so the
+    consumer's mtime-ordered listing replays batches in order even
+    when two batches finish within one clock tick."""
+    import json as _json
+    import time as _time
+
+    part_dir = os.path.join(out_dir, f"batch_id={batch_id}")
+    files = sorted(
+        os.path.join(part_dir, f)
+        for f in (os.listdir(part_dir) if os.path.isdir(part_dir) else [])
+        if f.endswith(".parquet")
+    )
+    mdir = os.path.join(out_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"batch-{batch_id}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for p in files:
+            f.write(_json.dumps({"batch_id": batch_id, "path": p}) + "\n")
+    t = max(_time.time_ns(), _LAST_MANIFEST_NS.get(out_dir, 0) + 2_000_000)
+    _LAST_MANIFEST_NS[out_dir] = t
+    os.utime(tmp, ns=(t, t))
+    os.replace(tmp, path)
+
+
 def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     """Effectively-once layer write: foreachBatch is at-least-once (a
     crash between the parquet write and the offset commit replays the
@@ -149,39 +202,49 @@ def _write_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
     streaming_dedup_minhash's admission sink (streaming/jobs.py)."""
     out = batch_df.withColumn("batch_id", F.lit(batch_id).cast("long"))
     if os.environ.get("SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER"):
-        # steady-flow replay mode: ONE file per batch partition, so a
-        # downstream file-per-trigger consumer replays batches whole
-        # and in order. Splitting a multi-file batch partition across
-        # micro-batches hands a 0 s-watermark consumer files in
-        # arbitrary sub-order — rows older than the already-advanced
-        # watermark are dropped (W6 doing its job on input that broke
-        # the ordered-arrival contract; measured: chained
-        # visitor/province stats lose rows under maxFilesPerTrigger=4
-        # without this). Production default keeps full write
-        # parallelism — its consumers take each batch in one trigger.
-        #
-        # repartition(1), NOT coalesce(1): coalesce is a narrow
-        # dependency, so it pulls every upstream partition into the
-        # single writer task — the stateful join / applyInPandasWithState
-        # computation over all 32 state partitions then executes
-        # SERIALLY inside one task (measured at sf10 ordered replay:
-        # 1 of 32 cores busy, ~7 min per join batch; one pegged Python
-        # state worker on the UV/CEP layers). repartition inserts an
-        # exchange, so the stateful compute keeps its 32-way
-        # parallelism and only the file write is single-task.
-        #
-        # WRITER_TASKS is a PROFILING-ONLY knob (tools/profile_base_db
-        # --writer-tasks): >1 writes multiple files per batch, which
-        # BREAKS the one-file-per-batch replay contract for any
-        # downstream file-per-trigger consumer — it exists to measure
-        # how much of a batch's addBatch is the single-task parquet
-        # encode tail, never for a chained run.
-        out = out.repartition(
-            int(os.environ.get("SPARK_GRAFT_TOPOLOGY_WRITER_TASKS", "1"))
-        )
+        if _manifest_mode():
+            # manifest contract: writes keep real parallelism (the
+            # manifest, not the file count, carries batch atomicity
+            # and order to the consumer). WRITER_TASKS sizes the
+            # encode fan-out — enough tasks to hide the encode, not
+            # so many that every batch sprays tiny files.
+            out = out.repartition(
+                int(os.environ.get("SPARK_GRAFT_TOPOLOGY_WRITER_TASKS", "8"))
+            )
+        else:
+            # legacy steady-flow contract: ONE file per batch
+            # partition, so a downstream file-per-trigger consumer
+            # replays batches whole and in order. Splitting a
+            # multi-file batch partition across micro-batches hands a
+            # 0 s-watermark consumer files in arbitrary sub-order —
+            # rows older than the already-advanced watermark are
+            # dropped (W6 doing its job on input that broke the
+            # ordered-arrival contract; measured: chained
+            # visitor/province stats lose rows under
+            # maxFilesPerTrigger=4 without this).
+            #
+            # repartition(1), NOT coalesce(1): coalesce is a narrow
+            # dependency, so it pulls every upstream partition into
+            # the single writer task — the stateful join /
+            # applyInPandasWithState computation over all 32 state
+            # partitions then executes SERIALLY inside one task
+            # (measured at sf10 ordered replay: 1 of 32 cores busy,
+            # ~7 min per join batch). repartition inserts an
+            # exchange, so the stateful compute keeps its 32-way
+            # parallelism and only the file write is single-task.
+            #
+            # In THIS mode WRITER_TASKS>1 is profiling-only
+            # (tools/profile_base_db --writer-tasks): it breaks the
+            # one-file-per-batch contract; the manifest mode above is
+            # the production answer.
+            out = out.repartition(
+                int(os.environ.get("SPARK_GRAFT_TOPOLOGY_WRITER_TASKS", "1"))
+            )
     out.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch_id").parquet(out_dir)
+    if _manifest_mode():
+        _write_manifest(out_dir, batch_id)
     if FAULT_AFTER_WRITE is not None:
         FAULT_AFTER_WRITE(out_dir, batch_id)
 
@@ -335,6 +398,47 @@ def _seed_empty_layer(spark: SparkSession, schema, out_dir: str) -> None:
         .write.mode("append")
         .parquet(os.path.join(out_dir, "batch_id=-2"))
     )
+    if _manifest_mode():
+        # manifest consumers see only manifested batches — publish
+        # the seed partition too (zero data rows; order irrelevant)
+        _write_manifest(out_dir, -2)
+
+
+def _manifest_stream(spark: SparkSession, schema, path: str) -> DataFrame:
+    """Consume a layer through its ordered per-batch manifests: the
+    streamed 'topic' is the tiny _manifests directory (one JSON file
+    per upstream batch, mtime-ordered), taken ONE PER TRIGGER so each
+    micro-batch is exactly one whole upstream batch in order — the
+    watermark can never strand part of a batch behind a trigger
+    boundary. The manifest rows expand to the batch's parquet files
+    inside the trigger via mapInArrow (pyarrow reads the files
+    executor-side; repartition on path spreads the W files across W
+    tasks, restoring the read parallelism the parallel writer
+    produced). The Arrow batches are cast to the layer's exact Spark
+    schema so types round-trip bit-identically."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name != "batch_id"]
+    )
+    target = to_arrow_schema(data_schema)
+    mf = (
+        spark.readStream.schema("batch_id LONG, path STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(os.path.join(path, "_manifests"))
+    )
+    w = int(os.environ.get("SPARK_GRAFT_TOPOLOGY_WRITER_TASKS", "8"))
+
+    def expand(batches):
+        import pyarrow.parquet as _pq
+
+        for rb in batches:
+            for row in rb.to_pylist():
+                tbl = _pq.read_table(row["path"])
+                tbl = tbl.select(target.names).cast(target)
+                yield from tbl.to_batches()
+
+    return mf.repartition(w, "path").mapInArrow(expand, schema=data_schema)
 
 
 def _reader(spark: SparkSession, schema, path: str):
@@ -345,7 +449,17 @@ def _reader(spark: SparkSession, schema, path: str):
     batches instead of 1-2 giant ones, which is what makes the
     per-batch latency percentiles (LAYER_BATCH_MS) a real steady-state
     distribution rather than one sample. Unset (production default):
-    fewest, largest batches — lowest total cost."""
+    fewest, largest batches — lowest total cost.
+
+    Under the manifest contract (_manifest_mode), a directory that
+    carries per-batch manifests (i.e. a LAYER written by
+    _write_batch; the pre-staged ODS dirs don't) is consumed through
+    them instead — whole ordered batches per trigger with parallel
+    file reads. ODS dirs keep the plain file source: their staged
+    slice files are each internally time-sorted, so file-per-trigger
+    already IS the ordered contract there."""
+    if _manifest_mode() and os.path.isdir(os.path.join(path, "_manifests")):
+        return _manifest_stream(spark, schema, path)
     r = spark.readStream.schema(schema)
     mft = os.environ.get("SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER")
     if mft:
@@ -656,6 +770,11 @@ def _build_warehouse_layers_impl(
             ),
             jump_sentinel,
         )
+        if _manifest_mode():
+            # published AFTER every user_jump batch manifest, so the
+            # far-future sentinel is the LAST batch consumers replay
+            # (mtime-ordered) — exactly its watermark-driver role
+            _write_manifest(layers["dwm_user_jump"], -1)
 
     # ------------------------------------------------------------------
     # DWM job 5 — OrderWideApp: stream-stream interval join of the two

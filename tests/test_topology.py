@@ -257,3 +257,56 @@ def test_layer_batch_latency_percentiles_captured(spark, sf_dir, layers):
         s = stats[job]
         assert s["n"] >= 1, (job, s)
         assert 0 < s["p50_ms"] <= s["p95_ms"] <= s["max_ms"], (job, s)
+
+
+def test_topology_ordered_manifest_mode_matches_batch(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The ordered-manifest contract (VERDICT r12 item 3): writers keep
+    full task parallelism (multi-file batch partitions) and publish
+    per-batch ordered manifests; consumers trigger one whole batch at
+    a time in batch order. The DWS outputs must equal the batch
+    registry forms bit-for-bit — the same equality the legacy
+    one-file-per-batch contract guaranteed, now without the
+    single-task parquet-encode tail."""
+    import os
+
+    from gmall_realtime_flink_spark.streaming.jobs import SENTINEL_CUTOFF
+
+    monkeypatch.setenv("SPARK_GRAFT_TOPOLOGY_FILES_PER_TRIGGER", "1")
+    monkeypatch.setenv("SPARK_GRAFT_TOPOLOGY_ORDERED_SLICES", "4")
+    monkeypatch.setenv("SPARK_GRAFT_TOPOLOGY_MANIFESTS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_TOPOLOGY_WRITER_TASKS", "4")
+    base = tmp_path / "wh"
+    base.mkdir()
+    layers = tp.build_warehouse_layers(spark, sf_dir, base=str(base))
+
+    # every layer carries manifests, and at least one batch partition
+    # really is multi-file (the parallelism the manifest unlocks —
+    # under the legacy contract this would corrupt the replay)
+    multi = 0
+    for d in layers.values():
+        assert os.path.isdir(os.path.join(d, "_manifests")), d
+        for part in os.listdir(d):
+            if part.startswith("batch_id="):
+                n = len([
+                    f for f in os.listdir(os.path.join(d, part))
+                    if f.endswith(".parquet")
+                ])
+                multi = max(multi, n)
+    assert multi > 1, "no multi-file batch partition — knob inert?"
+
+    for layer, batch_name in [
+        ("dws_visitor_stats", "visitor_stats_union"),
+        ("dws_product_stats", "product_stats_union"),
+        ("dws_province_stats", "province_stats_sql"),
+        ("dws_keyword_stats", "keyword_stats_sql"),
+    ]:
+        got = (
+            spark.read.parquet(layers[layer])
+            .drop("batch_id")
+            .filter(F.col("stt") < SENTINEL_CUTOFF)
+        )
+        want = REGISTRY[batch_name].builder(spark, sf_dir)
+        cols = want.columns
+        assert _rows(got, cols) == _rows(want, cols), layer
