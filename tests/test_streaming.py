@@ -898,3 +898,90 @@ def test_semantic_admission_streaming_vs_incremental(spark, sf_dir):
             assert rs.kept, f"{vid}: incremental kept but streaming dropped"
         if ri.max_lower_sim is not None and rs.max_lower_sim is not None:
             assert rs.max_lower_sim <= ri.max_lower_sim + 1e-12
+
+def test_state_bytes_per_key_regression_gate(spark, tmp_path):
+    """State-size regression gate (VERDICT r12 item 7): SCALE.md's
+    measured bytes/key (20-38 B/key SST for the stateful trio, ~26 B
+    window/join state at sf1) were claims nothing enforced. This gate
+    stages a synthetic 20k-user event stream (large enough that the
+    state store's fixed overhead amortizes below the signal), runs
+    each stateful operator bounded, and fails if RocksDB SST bytes
+    per state row cross a family ceiling set ~2x the sf1 measurement
+    — headroom for provider version noise, tight enough that a state
+    schema regression (a retained raw row, an accidental list
+    accumulator, a widened key) trips it."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.audit_state import run_audited, summarize
+
+    from gmall_realtime_flink_spark.operators.windows import tumble_agg
+    from gmall_realtime_flink_spark.streaming.source import stream_events
+    from gmall_realtime_flink_spark.streaming.state import (
+        jump_detect_stream,
+        repair_is_new_stream,
+        uv_dedup_stream,
+    )
+
+    n_users, ev_per_user = 20_000, 2
+    src = os.path.join(str(tmp_path), "events")
+    (
+        spark.range(n_users * ev_per_user)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % n_users).alias("user_id"),
+            F.timestamp_micros(
+                (F.lit(1_700_000_000_000_000)
+                 + (F.col("id") % n_users) * 1_000_000
+                 + (F.col("id") / n_users).cast("long") * 60_000_000)
+            ).alias("ts"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        # far-future sentinel closes every window / fires every timer
+        .unionByName(
+            spark.sql(
+                "SELECT -1 event_id, -1 user_id, "
+                "timestamp'2030-01-01' ts, 'view' event_type, "
+                "0.0 value, '{}' props"
+            )
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    CEILINGS = {  # RocksDB SST bytes per state row (sf1 measured ~2x)
+        "uv_dedup": 50,
+        "visitor_repair": 45,
+        "user_jump": 80,
+        "tumble_agg_10s": 120,
+    }
+
+    builders = {
+        "uv_dedup": lambda e: uv_dedup_stream(e, key="user_id"),
+        "visitor_repair": lambda e: repair_is_new_stream(e, key="user_id"),
+        "user_jump": lambda e: jump_detect_stream(
+            e, key="user_id", gap_ms=600_000
+        ),
+        "tumble_agg_10s": lambda e: tumble_agg(
+            e,
+            ts_col="ts",
+            duration="10 seconds",
+            keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("pv_ct")],
+        ),
+    }
+    for name, build in builders.items():
+        ev = stream_events(spark, src)
+        op = summarize(name, run_audited(build(ev), spark))["operators"][0]
+        rows, sst = op["state_rows"], op["rocksdb_sst_bytes"]
+        assert rows >= n_users, (name, op)
+        if not sst:
+            pytest.skip("state provider reports no SST metric")
+        bpr = sst / rows
+        assert bpr <= CEILINGS[name], (
+            f"{name}: {bpr:.1f} SST B/row exceeds the {CEILINGS[name]} B "
+            f"ceiling — state schema regression? ({op})"
+        )
