@@ -54,40 +54,29 @@ _DRIVER_PRIORITY = [
     "province_stats", "product_stats_union", "keyword_stats",
     "dedup_exact", "dedup_minhash_lsh", "similarity_topk",
     "pricing_summary",
-    # this round's new entries (never driver-checked yet): the three
-    # from the first r12 session plus the five codec/audio/streaming
-    # entries from the second (PNG/GIF/JPEG real decode, WAV signal
-    # features, micro-batch decode) — all hash-green under the
-    # VERIFY_HEAD_r12 plain-session emulation before entering here
-    "dedup_semantic_resplit", "similarity_topk_batch",
-    "similarity_topk_ivf_batch", "multimodal_decode_png",
-    "multimodal_decode_gif", "multimodal_decode_jpeg",
-    "multimodal_audio_features", "streaming_multimodal_decode",
-    # staleness burn-down (r12): 21 of the 39-entry r07 cohort — the
-    # oldest tier in DRIVER_COVERAGE. Five r07 entries originally
-    # slotted here (streaming_stats_sql, streaming_user_sessions,
-    # streaming_uv_dropdup_wm, streaming_view_click_join,
-    # token_heavy_hitters) yielded their slots to the codec entries
-    # above; every displaced entry is hash-green in the r12
-    # full-registry emulation (VERIFY_HEAD_r12.json), so no entry is
-    # without current-round evidence. The 13 r07 entries left out all
-    # carry fresh r12 evidence elsewhere: the four chained_* entries
-    # (VERIFY_CHAINED sf1+sf10 artifacts), knn_graph /
-    # contrastive_hard_negatives (sf10 oracle + sf100 solo this
-    # round), the capped lexical twins (benched every round + sf100
-    # tier), streaming_dedup_exact / streaming_multimodal_features
-    # (pytest parity + both standing gates), serving_gmv /
-    # unique_visit / dedup_jaccard_complete (standing gates).
-    "cdc_route_config", "corpus_stats", "dedup_incremental",
-    "dedup_simhash_hamming_wide", "dedup_survivors",
-    "doc_curation_funnel", "doc_decontaminate",
-    "doc_sample_token_budget", "keyword_stats_cjk_dict",
-    "keyword_stats_sql", "payment_wide", "similarity_recall_at_k",
-    "similarity_topk_filtered", "streaming_cdc_route",
-    "streaming_order_wide_left", "streaming_payment_wide",
-    "streaming_product_stats", "streaming_purchase_dim_temporal",
-    "streaming_user_jump", "streaming_visitor_repair",
-    "user_jump",
+    # round-13 new entries (never driver-checked yet): iterative BPE
+    # training, classifier quality scoring, URL/domain curation, and
+    # the MP4/MJPEG container decode — each hash-green under the
+    # plain-session emulation before entering here
+    "bpe_train_merges", "doc_quality_model_score", "doc_domain_budget",
+    "multimodal_decode_video",
+    # staleness burn-down (r13): the 25 stalest entries by
+    # last_checked_round over ALL driver artifacts including r12 —
+    # the four r06-era entries, the full r07 chained cohort (one
+    # shared topology build serves all four), and the oldest r07/r08
+    # tiers. Everything displaced from the r12 head carries fresh
+    # r12 driver evidence (CORRECTNESS_r12.json, 50/50 green).
+    "streaming_unique_visit", "streaming_visitor_stats",
+    "visitor_repair", "visitor_stats_union",
+    "chained_keyword_stats", "chained_product_stats",
+    "chained_province_stats", "chained_visitor_stats",
+    "contrastive_hard_negatives", "dedup_jaccard_complete",
+    "dedup_minhash_lsh_capped", "dedup_pagerank_capped", "knn_graph",
+    "serving_gmv", "streaming_dedup_exact",
+    "streaming_multimodal_features", "streaming_stats_sql",
+    "streaming_user_sessions", "streaming_uv_dropdup_wm",
+    "streaming_view_click_join", "token_heavy_hitters", "unique_visit",
+    "basket_part_pairs", "bracket_revenue", "brand_price_iqr_udaf",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",

@@ -62,8 +62,19 @@ def main() -> int:
         "local_emulations_scanned": local_arts,
         "registry_total": len(REGISTRY),
         "driver_checked": sum(1 for n in REGISTRY if n in seen),
+        # VERDICT r12 what's-wrong item 1: entries already rotated
+        # into the current head will be driver-checked when THIS
+        # round's CORRECTNESS artifact lands — report them as pending
+        # rather than emulation-only so the committed artifact doesn't
+        # under-claim when the audit runs before the driver does.
+        "pending_this_round_head": sorted(
+            n for n in REGISTRY
+            if n in local_seen and n not in seen and n in _DRIVER_PRIORITY
+        ),
         "local_emulation_only": sorted(
-            n for n in REGISTRY if n in local_seen and n not in seen
+            n for n in REGISTRY
+            if n in local_seen and n not in seen
+            and n not in _DRIVER_PRIORITY
         ),
         "never_checked": never,
         "head_covers_backlog": sorted(
