@@ -231,12 +231,13 @@ def encode_wav(rate: int, samples: list[int]) -> bytes:
 # -- PNG: the one "compressed" format this sandbox CAN really decode --
 # PNG's compression is DEFLATE and its CRCs are CRC-32 — both live in
 # the Python stdlib (zlib), so unlike JPEG/MP4 no external codec is
-# needed: the whole spec surface for 8-bit images is chunk walking,
-# zlib inflate, and the five scanline filters (None/Sub/Up/Average/
-# Paeth, RFC 2083 §6). Supported: bit depth 8, color types 0 (gray),
-# 2 (RGB), 3 (palette -> RGB expansion via PLTE), 6 (RGBA),
-# non-interlaced. 16-bit and Adam7 interlace stay an honest
-# NotImplementedError.
+# needed: the whole spec surface is chunk walking, zlib inflate, and
+# the five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+# Supported: bit depths 8 AND 16 (16-bit samples surface as an int
+# list), color types 0 (gray), 2 (RGB), 3 (palette -> RGB expansion
+# via PLTE, 8-bit only per spec), 6 (RGBA), sequential AND Adam7
+# interlaced (seven independently filtered sub-images scattered back
+# to the pixel grid).
 
 
 def _png_paeth(a: int, b: int, c: int) -> int:
@@ -378,35 +379,71 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]  # (x_start, y_start, x_step, y_step) per pass, RFC 2083 §2.6
+
+
 def encode_png(
     w: int,
     h: int,
     pixels: bytes,
     color_type: int = 2,
     palette: bytes | None = None,
+    interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Spec-correct 8-bit PNG encoder (stdlib zlib only): real CRCs,
+    """Spec-correct PNG encoder (stdlib zlib only): real CRCs,
     per-row filter types CYCLING 0..4 so a decoder must implement all
     five reconstruction paths — a filter bug shifts every later row.
-    `pixels` is the raw scanline stream (w*h*channels bytes, row
-    major); for color_type 3, `pixels` holds palette indices and
-    `palette` the PLTE RGB triples."""
+    `pixels` is the raw scanline stream (w*h*channels*(depth//8)
+    bytes, row major, 16-bit samples big-endian); for color_type 3,
+    `pixels` holds palette indices and `palette` the PLTE RGB
+    triples. `interlace=True` emits Adam7: seven independently
+    filtered sub-images in pass order."""
     import struct
     import zlib
 
     ch = _PNG_CHANNELS[color_type]
-    bpp = ch  # bit depth 8 -> bytes per pixel == channels
-    row_len = w * ch
+    sample_bytes = depth // 8
+    bpp = ch * sample_bytes
+    row_len = w * bpp
+    assert depth in (8, 16) and not (depth == 16 and color_type == 3)
     assert len(pixels) == row_len * h, "pixel buffer / dims mismatch"
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw_prev = bytes(row_len)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     filtered = bytearray()
-    for r in range(h):
-        raw = pixels[r * row_len : (r + 1) * row_len]
-        ftype = r % 5
-        filtered.append(ftype)
-        filtered += _png_filter_row(ftype, raw, raw_prev, bpp)
-        raw_prev = raw
+    if interlace:
+        # Adam7: each pass is an independently-filtered sub-image
+        fcount = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            raw_prev = bytes(pw * bpp)
+            for r in range(ph):
+                y = y0 + r * dy
+                raw = b"".join(
+                    pixels[(y * w + x0 + c * dx) * bpp
+                           : (y * w + x0 + c * dx + 1) * bpp]
+                    for c in range(pw)
+                )
+                ftype = fcount % 5
+                fcount += 1
+                filtered.append(ftype)
+                filtered += _png_filter_row(ftype, raw, raw_prev, bpp)
+                raw_prev = raw
+    else:
+        raw_prev = bytes(row_len)
+        for r in range(h):
+            raw = pixels[r * row_len : (r + 1) * row_len]
+            ftype = r % 5
+            filtered.append(ftype)
+            filtered += _png_filter_row(ftype, raw, raw_prev, bpp)
+            raw_prev = raw
     out = bytearray(_PNG_SIG)
     out += _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
@@ -445,28 +482,62 @@ def _decode_png(payload: bytes) -> dict:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0:
         raise NotImplementedError(
-            f"only 8-bit depth supported (depth={depth}, comp={comp})"
+            f"only 8/16-bit depth supported (depth={depth}, comp={comp})"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color_type not in _PNG_CHANNELS or (
+        depth == 16 and color_type == 3
+    ):
+        raise NotImplementedError(
+            f"PNG color type {color_type} at depth {depth}"
+        )
     ch = _PNG_CHANNELS[color_type]
-    row_len = w * ch
+    bpp = ch * (depth // 8)
+    row_len = w * bpp
     stream = zlib.decompress(bytes(idat))
-    if len(stream) != (row_len + 1) * h:
-        raise ValueError("PNG scanline stream length mismatch")
-    prev = bytes(row_len)
-    rows = []
-    for r in range(h):
-        off = r * (row_len + 1)
-        prev = _png_unfilter_row(
-            stream[off], stream[off + 1 : off + 1 + row_len], prev, ch
-        )
-        rows.append(prev)
-    values = b"".join(rows)
+    if interlace == 1:
+        # Adam7: seven independently filtered sub-images, scattered
+        # back to (y0 + r*dy, x0 + c*dx)
+        raw = bytearray(row_len * h)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prl = pw * bpp
+            prev = bytes(prl)
+            for r in range(ph):
+                if off + 1 + prl > len(stream):
+                    raise ValueError("PNG interlaced stream truncated")
+                prev = _png_unfilter_row(
+                    stream[off], stream[off + 1 : off + 1 + prl], prev, bpp
+                )
+                y = y0 + r * dy
+                for c in range(pw):
+                    x = x0 + c * dx
+                    raw[(y * w + x) * bpp : (y * w + x + 1) * bpp] = (
+                        prev[c * bpp : (c + 1) * bpp]
+                    )
+                off += 1 + prl
+        if off != len(stream):
+            raise ValueError("PNG scanline stream length mismatch")
+        values = bytes(raw)
+    else:
+        if len(stream) != (row_len + 1) * h:
+            raise ValueError("PNG scanline stream length mismatch")
+        prev = bytes(row_len)
+        rows = []
+        for r in range(h):
+            off = r * (row_len + 1)
+            prev = _png_unfilter_row(
+                stream[off], stream[off + 1 : off + 1 + row_len], prev, bpp
+            )
+            rows.append(prev)
+        values = b"".join(rows)
     out_ch = ch
     if color_type == 3:  # palette expansion: index -> RGB via PLTE
         if plte is None:
@@ -475,10 +546,17 @@ def _decode_png(payload: bytes) -> dict:
             plte[3 * idx : 3 * idx + 3] for idx in values
         )
         out_ch = 3
-    return {
+    out: dict = {
         "fmt": "png", "width": w, "height": h, "channels": out_ch,
         "sample_rate": None, "values": values,
     }
+    if depth == 16:
+        # 16-bit samples surface as an int list (the WAV convention
+        # for decode_media's values: bytes|list)
+        out["values"] = list(
+            struct.unpack(f">{w * h * ch}H", values)
+        )
+    return out
 
 
 # -- GIF: LZW is pure table arithmetic — no codec library needed ----

@@ -1055,8 +1055,15 @@ def test_png_codec_roundtrip_all_filters_and_color_types():
     )
     assert decode_media(foreign)["values"] == bytes([5, 6, 7])
 
-    # honest gaps: Adam7 interlace, 16-bit depth
-    for depth, interlace in ((8, 1), (16, 0)):
+    # honest gaps: sub-byte depths (1/2/4) stay NotImplementedError;
+    # an out-of-spec interlace method is a loud parse error.
+    # (Adam7 and 16-bit decode for REAL since r13 —
+    # test_png_adam7_and_16bit_roundtrip.)
+    for depth, interlace, exc in (
+        (4, 0, _pytest.raises(NotImplementedError)),
+        (1, 0, _pytest.raises(NotImplementedError)),
+        (8, 2, _pytest.raises(ValueError, match="interlace")),
+    ):
         bad = (
             _PNG_SIG
             + _png_chunk(
@@ -1066,7 +1073,7 @@ def test_png_codec_roundtrip_all_filters_and_color_types():
             + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
             + _png_chunk(b"IEND", b"")
         )
-        with _pytest.raises(NotImplementedError):
+        with exc:
             decode_media(bad)
 
     # paletted without PLTE is a parse error
@@ -1478,3 +1485,54 @@ def test_mp4_container_walk_and_mjpeg_decode():
     # truncated file
     with _pytest.raises(ValueError):
         decode_mp4(mp4[: len(mp4) // 2])
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """Round-13 closes the last PNG gaps: Adam7 interlace (seven
+    independently filtered sub-images scattered back to the grid —
+    random content means a pass-geometry or scatter bug lands wrong
+    pixels) and 16-bit depth (big-endian samples, bpp-aware
+    unfiltering, int-list output like WAV). Invalid combos still
+    raise: 16-bit palette is illegal per spec."""
+    import random
+    import struct
+
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        decode_media,
+        encode_png,
+    )
+
+    rnd = random.Random(23)
+    for ctype in (0, 2, 6):
+        ch = {0: 1, 2: 3, 6: 4}[ctype]
+        for w, h in ((1, 1), (7, 5), (8, 8), (13, 11), (3, 17)):
+            px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+            d = decode_media(
+                encode_png(w, h, px, color_type=ctype, interlace=True)
+            )
+            assert d["values"] == px, (ctype, w, h)
+
+    pal = bytes(rnd.randrange(256) for _ in range(12))
+    idx = bytes(rnd.randrange(4) for _ in range(9 * 6))
+    d = decode_media(
+        encode_png(9, 6, idx, color_type=3, palette=pal, interlace=True)
+    )
+    assert d["values"] == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+    for ctype in (0, 2):
+        ch = {0: 1, 2: 3}[ctype]
+        for inter in (False, True):
+            w, h = 6, 5
+            samples = [rnd.randrange(65536) for _ in range(w * h * ch)]
+            px = struct.pack(f">{len(samples)}H", *samples)
+            d = decode_media(
+                encode_png(
+                    w, h, px, color_type=ctype, depth=16, interlace=inter
+                )
+            )
+            assert d["values"] == samples and d["channels"] == ch
+
+    with _pytest.raises((NotImplementedError, AssertionError)):
+        encode_png(2, 2, bytes(8), color_type=3, palette=pal, depth=16)
