@@ -276,6 +276,15 @@ def bpe_train_merges(words: DataFrame, n_merges: int = 5) -> DataFrame:
     pair_count) — n_merges rows (fewer if the vocabulary runs out of
     adjacent pairs first).
     """
+    return _bpe_learn(words, n_merges)[0]
+
+
+def _bpe_learn(
+    words: DataFrame, n_merges: int
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared BPE loop: returns (merge table, final segmentation
+    (w, f, syms)) — bpe_train_merges keeps the rules,
+    bpe_segment_words keeps the applied tokenizer output."""
     from pyspark.sql import types as T
 
     spark = words.sparkSession
@@ -344,7 +353,7 @@ def bpe_train_merges(words: DataFrame, n_merges: int = 5) -> DataFrame:
             eager=False
         )
 
-    return spark.createDataFrame(merges, out_schema)
+    return spark.createDataFrame(merges, out_schema), seg
 
 
 MODEL_DIM = 64
@@ -411,3 +420,13 @@ def quality_model_score(
         (micro.cast("double") / F.lit(1_000_000.0)).alias("model_score"),
         (micro > F.lit(threshold_micro)).alias("keep"),
     )
+
+
+def bpe_segment_words(words: DataFrame, n_merges: int = 5) -> DataFrame:
+    """Apply BPE training end-to-end and return the SEGMENTED
+    vocabulary: the same argmax/re-segment loop as bpe_train_merges,
+    but the product is the final (w, f, syms) table — the tokenizer
+    a trained merge list defines, applied to the corpus it was
+    trained on. Same scaling shape: everything after the one corpus
+    shuffle is O(vocabulary)."""
+    return _bpe_learn(words, n_merges)[1]

@@ -252,17 +252,30 @@ def _bpe_oracle_sql(n_merges: int) -> str:
             FROM mk{i})
       WHERE NOT consumed
       GROUP BY w, f)""")
+    return ",".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
     union = "\n      UNION ALL ".join(
         f"SELECT {i} AS step, pa AS lhs, pb AS rhs, m AS merged, "
         f"c AS pair_count FROM best{i}"
         for i in range(1, n_merges + 1)
     )
-    return ",".join(parts) + f"\n    {union}"
+    return _bpe_oracle_sql(n_merges) + f"\n    {union}"
+
+
+def _bpe_segment_oracle(n_merges: int) -> str:
+    return _bpe_oracle_sql(n_merges) + f"""
+    SELECT sym AS subword,
+           sum(f)::BIGINT AS n_tokens,
+           count(DISTINCT w)::BIGINT AS n_words
+    FROM (SELECT w, f, unnest(syms) AS sym FROM seg{n_merges})
+    GROUP BY sym"""
 
 
 @register(
     "bpe_train_merges",
-    oracle=_bpe_oracle_sql(5),
+    oracle=_bpe_merges_oracle(5),
     doc="Iterative BPE merge TRAINING (Sennrich et al. 2016) — the "
     "full learn-loop, not just merge step 0: N times, take the "
     "argmax adjacent pair over the distinct-word frequency table and "
@@ -276,18 +289,50 @@ def _bpe_oracle_sql(n_merges: int) -> str:
     tags=("datapipe", "text", "tokenizer"),
 )
 def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gmall_realtime_flink_spark.operators.dedup import tokenize
     from gmall_realtime_flink_spark.operators.textstats import (
         bpe_train_merges,
     )
 
+    return bpe_train_merges(_word_freqs(spark, sf_dir), n_merges=5)
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.dedup import tokenize
+
     d = load(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(F.explode(tokenize(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    return bpe_train_merges(words, n_merges=5)
+
+
+@register(
+    "bpe_segment",
+    oracle=_bpe_segment_oracle(5),
+    doc="BPE tokenizer APPLY (the train->apply pair with "
+    "bpe_train_merges): run the learned 5-rule merge list over the "
+    "word table and emit the resulting SUBWORD vocabulary — token "
+    "count (occurrences weighted by word frequency) and the number "
+    "of distinct words each subword appears in. This is the "
+    "tokenizer a curation pipeline ships downstream: segmentation "
+    "itself is the no-shuffle aggregate fold per word; the only "
+    "shuffles are the one corpus word count and the vocab-sized "
+    "subword groupBy. Oracle: the same unrolled 5-level chain, "
+    "aggregated over the final segmentation table.",
+    tags=("datapipe", "text", "tokenizer"),
+)
+def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        bpe_segment_words,
+    )
+
+    seg = bpe_segment_words(_word_freqs(spark, sf_dir), n_merges=5)
+    ex = seg.select("w", "f", F.explode("syms").alias("subword"))
+    return ex.groupBy("subword").agg(
+        F.sum("f").alias("n_tokens"),
+        F.countDistinct("w").alias("n_words"),
+    )
 
 
 # ---------------------------------------------------------------------------
