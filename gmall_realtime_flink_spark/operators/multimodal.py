@@ -1311,3 +1311,37 @@ def video_frame_stats(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         _video_stats, schema=_VIDEO_SCHEMA
     )
+
+
+def attach_progressive_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Stage PROGRESSIVE (SOF2) JFIF bytes: the same deterministic
+    uniform-gray DC-exact derivation as attach_jpeg_payload but
+    through encode_jpeg_progressive's 4-scan script (first DC with
+    Al=1, EOB-run-coded first AC, raw-bit DC refinement, AC
+    refinement) — a wrong scan accumulation, bit-plane order or
+    EOB-run length decodes the wrong constant and hash-fails."""
+    from collections.abc import Iterator as _It
+
+    from gmall_realtime_flink_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    payloads.append(None)
+                    continue
+                p = _media_params(int(doc_id), text)["p"]
+                w, h = 1 + len(text) % 12, 1 + int(doc_id) % 7
+                payloads.append(
+                    encode_jpeg_progressive(w, h, bytes([p]) * (w * h))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )

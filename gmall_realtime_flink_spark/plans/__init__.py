@@ -58,9 +58,10 @@ _DRIVER_PRIORITY = [
     # training, classifier quality scoring, URL/domain curation, and
     # the MP4/MJPEG container decode — each hash-green under the
     # plain-session emulation before entering here
-    "bpe_train_merges", "doc_quality_model_score", "doc_domain_budget",
-    "multimodal_decode_video",
-    # staleness burn-down (r13): the 25 stalest entries by
+    "bpe_train_merges", "bpe_segment", "doc_quality_model_score",
+    "doc_domain_budget", "multimodal_decode_video",
+    "multimodal_decode_jpeg_progressive",
+    # staleness burn-down (r13): the 23 stalest entries by
     # last_checked_round over ALL driver artifacts including r12 —
     # the four r06-era entries, the full r07 chained cohort (one
     # shared topology build serves all four), and the oldest r07/r08
@@ -76,7 +77,7 @@ _DRIVER_PRIORITY = [
     "streaming_multimodal_features", "streaming_stats_sql",
     "streaming_user_sessions", "streaming_uv_dropdup_wm",
     "streaming_view_click_join", "token_heavy_hitters", "unique_visit",
-    "basket_part_pairs", "bracket_revenue", "brand_price_iqr_udaf",
+    "basket_part_pairs",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",

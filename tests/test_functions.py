@@ -1206,14 +1206,63 @@ def test_jpeg_codec_exactness_bounded_error_and_honest_gaps():
     )
     assert err.max() <= 2
 
-    # honest gaps: progressive (SOF2) named, truncated stream loud
+    # honest gaps: lossless (SOF3) named — progressive (SOF2) decodes
+    # for REAL since r13 (test_jpeg_progressive_equals_sequential) —
+    # and a truncated stream is loud
     good = bytearray(encode_jpeg(8, 8, bytes(64)))
     sof = good.find(b"\xff\xc0")
-    prog = bytes(good[:sof]) + b"\xff\xc2" + bytes(good[sof + 2 :])
-    with _pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(prog)
+    lossless = bytes(good[:sof]) + b"\xff\xc3" + bytes(good[sof + 2 :])
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(lossless)
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(good[:20]))
+
+
+def test_jpeg_progressive_equals_sequential():
+    """Progressive JPEG (SOF2, T.81 Annex G) reorganises only the
+    entropy layer, so the contract is exact: a progressive encode of
+    the same quantized coefficients must decode BIT-IDENTICALLY to
+    its sequential twin — across noise (AC refinement correction
+    bits), smooth gradients (long EOB runs), flat fields (DC-only),
+    and hard edges (ZRL + newly-significant mid-band), gray and RGB,
+    odd dims. Uniform images stay DC-exact through the progressive
+    path (the oracle lever)."""
+    import random
+
+    from gmall_realtime_flink_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rnd = random.Random(41)
+    for trial in range(25):
+        w, h = rnd.randint(1, 33), rnd.randint(1, 33)
+        ch = rnd.choice([1, 3])
+        kind = trial % 4
+        if kind == 0:
+            px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+        elif kind == 1:
+            px = bytes(
+                ((x * 3 + y * 2) % 256)
+                for y in range(h) for x in range(w * ch)
+            )
+        elif kind == 2:
+            px = bytes([rnd.randrange(256)]) * (w * h * ch)
+        else:
+            px = bytes(
+                (255 if x > w * ch // 2 else 0)
+                for y in range(h) for x in range(w * ch)
+            )
+        seq = decode_jpeg(encode_jpeg(w, h, px, channels=ch))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, px, channels=ch)
+        )
+        assert seq["values"] == prog["values"], (trial, w, h, ch, kind)
+
+    for p in (32, 77, 126):
+        d = decode_jpeg(encode_jpeg_progressive(6, 4, bytes([p]) * 24))
+        assert d["values"] == bytes([p]) * 24, p
 
 
 def test_codec_robustness_fixes_r13():
