@@ -858,9 +858,12 @@ def decode_media(payload: bytes) -> dict:
                     "<HHI", payload, i + 8
                 )
                 bits, = struct.unpack_from("<H", payload, i + 22)
+                if audio_fmt == 0x0011:  # IMA ADPCM — really decodes
+                    return decode_adpcm_wav(payload)
                 if audio_fmt != 1:
                     raise NotImplementedError(
-                        f"only PCM WAV supported (fmt={audio_fmt})"
+                        f"only PCM and IMA-ADPCM WAV supported "
+                        f"(fmt={audio_fmt})"
                     )
             elif cid == b"data":
                 data = payload[i + 8 : i + 8 + sz]
@@ -1085,7 +1088,7 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     rows[k].append(None)
                 continue
             d = decode_media(bytes(payload))
-            if d["fmt"] != "wav":
+            if d["fmt"] not in ("wav", "wav-adpcm"):
                 raise ValueError(f"audio features on {d['fmt']} payload")
             s = np.asarray(d["values"], dtype=np.int64)
             rate = d["sample_rate"]
@@ -1338,6 +1341,395 @@ def attach_progressive_jpeg_payload(docs: DataFrame) -> DataFrame:
                 payloads.append(
                     encode_jpeg_progressive(w, h, bytes([p]) * (w * h))
                 )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III) frame-header walk — ISO/IEC 11172-3
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III bitrate table (kbps), header indices 1..14
+# (index 0 = "free format", 15 = forbidden — ISO 11172-3 §2.4.2.3)
+_MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+# MPEG-1 sample-rate table, header indices 0..2 (3 = reserved)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_ID3_BODY = 17  # staged ID3v2 tag body size
+
+
+def _mp3_params(doc_id: int, text: str) -> dict:
+    """Deterministic MP3 stream parameters from (doc_id, text) — the
+    _media_params device: every parse lever varies per doc (frame
+    count, per-frame bitrate, padding parity, ID3-tag presence) so a
+    wrong header walk anywhere changes the symbolic totals."""
+    p = 32 + hashlib.md5(text.encode("utf-8")).digest()[0] % 95
+    return {
+        "p": p,
+        "rate_idx": doc_id % 3,
+        "n_frames": 1 + p % 6,
+        "has_id3": doc_id % 2 == 0,
+    }
+
+
+def encode_mp3_frames(doc_id: int, text: str) -> bytes:
+    """Emit a spec-correct MPEG-1 Layer III frame sequence (headers +
+    deterministic filler payload; no audio encode — the frame-length
+    arithmetic frameLen = 144*bitrate/sampleRate + padding is the
+    real ISO 11172-3 formula) with an ID3v2.3 prefix on even doc_ids
+    (syncsafe-size skip is part of what the parser must get right)."""
+    m = _mp3_params(doc_id, text)
+    p, rate = m["p"], _MP3_RATES[m["rate_idx"]]
+    out = bytearray()
+    if m["has_id3"]:
+        out += b"ID3\x03\x00\x00" + bytes(
+            [0, 0, _MP3_ID3_BODY >> 7, _MP3_ID3_BODY & 0x7F]
+        )
+        out += bytes((p + j) % 256 for j in range(_MP3_ID3_BODY))
+    for i in range(m["n_frames"]):
+        br_idx = 1 + (p + i * 5) % 14
+        kbps = _MP3_BITRATES[br_idx - 1]
+        pad = i % 2
+        flen = 144000 * kbps // rate + pad
+        hdr = bytes(
+            [
+                0xFF,
+                0xFB,  # sync + MPEG-1 + Layer III + no CRC
+                (br_idx << 4) | (m["rate_idx"] << 2) | (pad << 1),
+                0x00,  # stereo, no mode ext, emphasis none
+            ]
+        )
+        body = bytes((p + i + j) % 256 for j in range(flen - 4))
+        out += hdr + body
+    return bytes(out)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """Walk an MPEG audio stream by frame headers only (ISO/IEC
+    11172-3 §2.4.1.3): skip an ID3v2 tag by its syncsafe size, then
+    step frame to frame via frameLen = 144*bitrate/sampleRate +
+    padding, validating sync (11 set bits), version and layer on
+    every header. Returns stream metadata — frame count, sample
+    rate, exact integer duration (1152 samples per MPEG-1 L3 frame),
+    per-frame bitrate sum (VBR-aware: headers are re-read each
+    frame, never assumed constant) — WITHOUT decoding audio: the
+    polyphase/MDCT synthesis needs a real codec and raises by name
+    in decode_media. Corrupt structure (lost sync, reserved indices,
+    truncated frames) raises ValueError loudly."""
+    i = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("MP3: truncated ID3v2 header")
+        sz_bytes = payload[6:10]
+        if any(b & 0x80 for b in sz_bytes):
+            raise ValueError("MP3: malformed ID3v2 syncsafe size")
+        sz = (
+            (sz_bytes[0] << 21)
+            | (sz_bytes[1] << 14)
+            | (sz_bytes[2] << 7)
+            | sz_bytes[3]
+        )
+        i = 10 + sz
+    n_frames = 0
+    sample_rate = None
+    duration_us = 0
+    kbps_sum = 0
+    while i < len(payload):
+        if i + 4 > len(payload):
+            raise ValueError(f"MP3: truncated frame header at {i}")
+        b0, b1, b2 = payload[i], payload[i + 1], payload[i + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3: lost frame sync at {i}")
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if version != 3 or layer != 1:
+            raise NotImplementedError(
+                f"only MPEG-1 Layer III frames supported "
+                f"(version bits {version}, layer bits {layer})"
+            )
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if br_idx == 0:
+            raise NotImplementedError(
+                "free-format bitrate (index 0): frame length is not "
+                "derivable from the header"
+            )
+        if br_idx == 15:
+            raise ValueError("MP3: forbidden bitrate index 15")
+        if sr_idx == 3:
+            raise ValueError("MP3: reserved sample-rate index")
+        rate = _MP3_RATES[sr_idx]
+        kbps = _MP3_BITRATES[br_idx - 1]
+        flen = 144000 * kbps // rate + pad
+        if i + flen > len(payload):
+            raise ValueError(f"MP3: truncated frame at {i}")
+        if sample_rate is None:
+            sample_rate = rate
+        n_frames += 1
+        duration_us += 1152 * 1_000_000 // rate
+        kbps_sum += kbps
+        i += flen
+    if n_frames == 0:
+        raise ValueError("MP3: no audio frames")
+    return {
+        "fmt": "mp3",
+        "n_frames": n_frames,
+        "sample_rate": sample_rate,
+        "duration_us": duration_us,
+        "bitrate_kbps_sum": kbps_sum,
+        "total_bytes": len(payload),
+    }
+
+
+def attach_mp3_payload(docs: DataFrame) -> DataFrame:
+    """Stage MP3 payloads for every doc (NULL text -> NULL payload)."""
+    from collections.abc import Iterator as _It
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                None if text is None else encode_mp3_frames(int(doc_id), text)
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+MP3_STATS_SCHEMA = (
+    "doc_id long, fmt string, n_frames int, sample_rate int, "
+    "duration_us long, bitrate_kbps_sum long, total_bytes long"
+)
+
+
+def mp3_frame_stats(with_payload: DataFrame) -> DataFrame:
+    """Per-doc MP3 stream metadata via the frame-header walk — an
+    Arrow mapInPandas narrow transform (no shuffle); at 100 TB the
+    walk reads only headers+skips, so cost is O(frames), not
+    O(bytes-decoded)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "fmt", "n_frames", "sample_rate",
+                    "duration_us", "bitrate_kbps_sum", "total_bytes",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rows["doc_id"].append(doc_id)
+                if payload is None:
+                    for k in list(rows)[1:]:
+                        rows[k].append(None)
+                    continue
+                d = parse_mp3(bytes(payload))
+                for k in list(rows)[1:]:
+                    rows[k].append(d[k])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "fmt": pd.Series(rows["fmt"], dtype="object"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="Int32"),
+                    "sample_rate": pd.Series(
+                        rows["sample_rate"], dtype="Int32"
+                    ),
+                    "duration_us": pd.Series(
+                        rows["duration_us"], dtype="Int64"
+                    ),
+                    "bitrate_kbps_sum": pd.Series(
+                        rows["bitrate_kbps_sum"], dtype="Int64"
+                    ),
+                    "total_bytes": pd.Series(
+                        rows["total_bytes"], dtype="Int64"
+                    ),
+                }
+            )
+
+    return with_payload.mapInPandas(gen, schema=MP3_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4) — a REAL compressed audio codec, decoded from the
+# spec (IMA Digital Audio Pack, 1992; WAVE format tag 0x0011)
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+_ADPCM_BLOCK_ALIGN = 12  # 4-byte header + 8 data bytes = 17 samples
+_ADPCM_SAMPLES_PER_BLOCK = 17
+
+
+def _ima_decode_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM state-machine step (the 1992 IMA ADPCM
+    reference algorithm): reconstruct delta from the step size by
+    bit-weighted shifts, apply sign, clamp sample to int16 and index
+    to the 89-entry step table."""
+    step = _IMA_STEPS[idx]
+    delta = step >> 3
+    if nib & 1:
+        delta += step >> 2
+    if nib & 2:
+        delta += step >> 1
+    if nib & 4:
+        delta += step
+    if nib & 8:
+        pred = max(pred - delta, -32768)
+    else:
+        pred = min(pred + delta, 32767)
+    idx = min(max(idx + _IMA_INDEX[nib & 7], 0), 88)
+    return pred, idx
+
+
+def decode_ima_adpcm_blocks(data: bytes, block_align: int) -> list[int]:
+    """Decode mono IMA ADPCM block data: each block restarts the
+    state machine from its OWN 4-byte header (predictor int16 LE +
+    step index + reserved) — the seek/resync property that makes the
+    format splittable — then expands 2 nibbles per data byte, LOW
+    nibble first."""
+    import struct
+
+    if block_align < 5:
+        raise ValueError("ADPCM: blockAlign too small")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        block = data[off : off + block_align]
+        if len(block) < 4:
+            raise ValueError(f"ADPCM: truncated block header at {off}")
+        pred, idx, _res = struct.unpack_from("<hBB", block, 0)
+        if idx > 88:
+            raise ValueError(f"ADPCM: step index {idx} out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_decode_nibble(nib, pred, idx)
+                out.append(pred)
+    return out
+
+
+def _adpcm_params(doc_id: int, text: str) -> dict:
+    p = 32 + hashlib.md5(text.encode("utf-8")).digest()[0] % 95
+    return {
+        "p": p,
+        "n_blocks": 1 + p % 3,
+        "rate": 8000 + (doc_id % 3) * 4000,
+    }
+
+
+def encode_ima_adpcm_wav(doc_id: int, text: str) -> bytes:
+    """Stage a spec-correct IMA ADPCM WAV (format tag 0x0011, mono,
+    4-bit, blockAlign 12, a `fact` chunk with the exact sample
+    count): per-block header predictor/index and the nibble stream
+    all derive from (doc_id, text), so every decoder lever — block
+    restart, nibble order, step-table walk, clamping — is exercised
+    and symbolically recomputable."""
+    import struct
+
+    m = _adpcm_params(doc_id, text)
+    p = m["p"]
+    blocks = bytearray()
+    for b in range(m["n_blocks"]):
+        pred0 = ((p + 7 * b) * 191) % 4096 - 2048
+        idx0 = (p + 11 * b) % 89
+        blocks += struct.pack("<hBB", pred0, idx0, 0)
+        nibs = [
+            (p + 3 * (b * 16 + t)) % 16 for t in range(16)
+        ]
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            blocks += bytes([(hi << 4) | lo])
+    n_samples = m["n_blocks"] * _ADPCM_SAMPLES_PER_BLOCK
+    fmt = struct.pack(
+        "<HHIIHHH",
+        0x0011, 1, m["rate"],
+        m["rate"] * _ADPCM_BLOCK_ALIGN // _ADPCM_SAMPLES_PER_BLOCK,
+        _ADPCM_BLOCK_ALIGN, 4,
+        2,  # cbSize: 2 extra bytes follow
+    ) + struct.pack("<H", _ADPCM_SAMPLES_PER_BLOCK)
+    body = (
+        struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", 4) + struct.pack("<I", n_samples)
+        + struct.pack("<4sI", b"data", len(blocks)) + bytes(blocks)
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def decode_adpcm_wav(payload: bytes) -> dict:
+    """RIFF walk + IMA ADPCM decode for format tag 0x0011 (mono,
+    4-bit). Returns the audio_features-compatible dict
+    {fmt, sample_rate, values}."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, rate, align, data, fact_n = 12, None, None, None, None
+    fmt_tag = channels = bits = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        sz, = struct.unpack_from("<I", payload, i + 4)
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from(
+                "<HHI", payload, i + 8
+            )
+            align, bits = struct.unpack_from("<HH", payload, i + 20)
+        elif cid == b"fact":
+            fact_n, = struct.unpack_from("<I", payload, i + 8)
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    if fmt_tag != 0x0011:
+        raise ValueError(f"not IMA ADPCM (fmt={fmt_tag})")
+    if channels != 1 or bits != 4:
+        raise NotImplementedError(
+            f"only mono 4-bit IMA ADPCM supported (channels={channels}, "
+            f"bits={bits})"
+        )
+    if data is None:
+        raise ValueError("ADPCM: no data chunk")
+    values = decode_ima_adpcm_blocks(data, align)
+    if fact_n is not None:
+        if fact_n > len(values):
+            raise ValueError(
+                f"ADPCM: fact count {fact_n} exceeds decoded {len(values)}"
+            )
+        values = values[:fact_n]
+    return {
+        "fmt": "wav-adpcm", "width": None, "height": None,
+        "channels": 1, "sample_rate": rate, "values": values,
+    }
+
+
+def attach_adpcm_payload(docs: DataFrame) -> DataFrame:
+    """Stage IMA ADPCM WAV payloads for every doc (NULL text -> NULL
+    payload)."""
+    from collections.abc import Iterator as _It
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                None
+                if text is None
+                else encode_ima_adpcm_wav(int(doc_id), text)
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

@@ -430,3 +430,326 @@ def bpe_segment_words(words: DataFrame, n_merges: int = 5) -> DataFrame:
     trained on. Same scaling shape: everything after the one corpus
     shuffle is O(vocabulary)."""
     return _bpe_learn(words, n_merges)[1]
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_DIM = 64  # hashed-feature buckets (the paper uses 10k; 64 keeps
+#                the frozen per-bucket table a trivially broadcast literal
+#                surface while exercising the identical plan shape)
+DSIR_TARGET_MOD = 7  # deterministic stand-in for the target domain
+
+
+def dsir_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DSIR_DIM,
+    target_mod: int = DSIR_TARGET_MOD,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate hashed
+    bag-of-words distributions for a TARGET domain (here the
+    deterministic doc_id % target_mod == 0 subset standing in for
+    e.g. Wikipedia) and for the RAW corpus, then weight every raw
+    document by its log importance ratio
+    sum_tokens ln(p_target(bucket)/p_raw(bucket)) with add-one
+    smoothing. Positive weight = target-leaning; the production
+    resampling step (Gumbel top-k over weight + noise) is a trivial
+    ORDER BY on this output and is left to the caller because it is
+    randomized — the estimator itself is what is under test.
+
+    Cross-engine determinism: buckets are the md5 two-hex-digit
+    hashing trick (256 % dim == 0 -> uniform); the per-BUCKET log
+    ratio is snapped to integer micros (round(ln(r)*1e6) -> BIGINT)
+    at bucket grain — `dim` rows — so the per-document reduction is
+    an exact integer sum, order-independent across partitionings and
+    engines (the doc_lm_surprisal device).
+
+    Plan: one explode -> one bucket-grain partial agg (the exchange
+    carries |buckets| rows per map partition), a 1-row totals agg,
+    and a broadcast of the `dim`-row weight table back onto the token
+    stream -> one doc-keyed agg. At 100 TB the corpus is scanned
+    twice (count pass + score pass) and nothing but |docs| rows ever
+    shuffles; the n-gram generalization is the same plan with a
+    bigger explode."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("m", F.md5("tok"))
+    h1 = F.conv(F.substring("m", 1, 1), 16, 10).cast("int")
+    h2 = F.conv(F.substring("m", 2, 1), 16, 10).cast("int")
+    b = toks.select(
+        F.col(id_col),
+        ((h1 * 16 + h2) % dim).alias("bucket"),
+        (F.col(id_col) % target_mod == 0).alias("is_t"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("ct_r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct_t"),
+    )
+    tot = counts.agg(
+        F.sum("ct_r").alias("t_r"), F.sum("ct_t").alias("t_t")
+    )
+    lam = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("ct_t") + 1) * (F.col("t_r") + dim)).cast("double")
+                / ((F.col("ct_r") + 1) * (F.col("t_t") + dim)).cast(
+                    "double"
+                )
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("lm"),
+    )
+    scored = b.join(F.broadcast(lam), "bucket")
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lm").alias("wm"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("wm").cast("double") / F.lit(1_000_000.0)).alias("weight"),
+        (F.col("wm") > 0).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson/Sparck Jones; the Okapi BM25 formula)
+# ---------------------------------------------------------------------------
+
+# fixed query workload (terms drawn from the synthetic corpus
+# vocabulary so df > 0); k1 = 1.2, b = 0.75 — the canonical defaults
+BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q1", ["hash", "join", "merge"]),
+    ("q2", ["customer", "order", "query"]),
+    ("q3", ["vector", "scan"]),
+    ("q4", ["slow", "window", "stream"]),
+]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus for a fixed query
+    workload: score(d, q) = sum_term idf(t) * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl)) with idf = ln(1 + (N-df+0.5)/
+    (df+0.5)), k1=1.2, b=0.75.
+
+    Cross-engine determinism: idf is snapped to integer micros per
+    TERM (a handful of rows); dl/avgdl is snapped to integer micros
+    per doc (avgdl = T/N stays an exact integer ratio: r_micro =
+    (2*1e6*dl*N + T) DIV (2*T), half-up); with k1, b rational the
+    whole per-(doc,term) score reduces to one exact integer half-up
+    division — num = idf_micro*22*tf*1e5, den = 1e6*tf + 3e5 +
+    (9*r_micro+5) DIV 10 — and the per-(query,doc) reduction is an
+    integer sum. No float ever crosses a row boundary.
+
+    Plan: tokens are semi-joined against the BROADCAST query-term
+    table before the tf agg (the inverted-index probe analogue — at
+    100 TB only rows containing query terms survive the scan, and
+    Catalyst pushes nothing but |matching tokens| into the shuffle);
+    doc lengths are one corpus agg reused for every query; the final
+    per-query top-k is a rank over candidate docs only. Scale path
+    for thousands of queries: same plan — the query table stays
+    broadcast-sized and per-query candidate sets are disjoint
+    shuffles keyed by (qid, doc)."""
+    spark = docs.sparkSession
+    qrows = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
+    qdf = spark.createDataFrame(qrows, "qid string, term string")
+    base = docs.filter(F.col(id_col).isNotNull())
+    toks = base.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    corp = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    )
+    terms = qdf.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == F.col("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(corp)).select(
+        "term",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (
+                    F.col("n_docs").cast("double")
+                    - F.col("df").cast("double")
+                    + 0.5
+                )
+                / (F.col("df").cast("double") + 0.5)
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    sc = (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(corp))
+        .join(F.broadcast(idf), "term")
+        .withColumn(
+            "r_micro",
+            F.expr("(2 * 1000000 * dl * n_docs + t_tokens) DIV (2 * t_tokens)"),
+        )
+        .withColumn(
+            "den",
+            F.expr("1000000 * tf + 300000 + (9 * r_micro + 5) DIV 10"),
+        )
+        .withColumn("num", F.expr("idf_micro * 22 * tf * 100000"))
+        .withColumn("sm", F.expr("(2 * num + den) DIV (2 * den)"))
+    )
+    per_qd = (
+        sc.join(F.broadcast(qdf), "term")
+        .groupBy("qid", id_col)
+        .agg(F.sum("sm").alias("score_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        per_qd.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "qid",
+            id_col,
+            (F.col("score_micro").cast("double") / F.lit(1_000_000.0)).alias(
+                "score"
+            ),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 6  # character k-gram length
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars
+#               shares a fingerprint)
+
+_WINNOW_POS_SPAN = 2_097_152  # 2^21 — keys pack (hash, inverted pos)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram,
+    slide a w-gram window, and keep the MINIMUM hash of each window
+    with the RIGHTMOST-on-tie rule; the distinct selected (pos, hash)
+    pairs are the document's fingerprint set. Guarantee: any
+    substring match of length >= k + w - 1 contributes at least one
+    shared fingerprint, with ~2/(w+1) density — local document
+    fingerprinting a plagiarism/near-dup index builds on.
+
+    The rightmost-min rule is encoded arithmetically: key =
+    hash * 2^21 + (2^21-1 - pos), so an ordinary MIN over the window
+    picks the smallest hash and, among equal hashes, the LARGEST
+    position — no per-window argmin logic, just one window-min over
+    a packed integer (positions are capped at 2^21 chars; longer
+    documents would chunk first via doc_chunk).
+
+    Output per doc: n_grams, n_fingerprints, and fp_md5 — the md5 of
+    the position-ordered fingerprint list (the hash surface: one
+    wrong window min anywhere changes it).
+
+    Plan: explode to gram grain (narrow — no shuffle: the window
+    partitions by doc id, ONE shuffle keyed by doc), window-min,
+    distinct, doc-keyed agg. At 100 TB the gram stream never leaves
+    its doc partition after the single exchange; density ~2/(w+1)
+    keeps the fingerprint index ~40% of gram count."""
+    base = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("lt")
+    ).filter(F.length("lt") >= k + w - 1)
+    span = _WINNOW_POS_SPAN
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(1), F.length("lt") - (k - 1))
+        ).alias("p"),
+        F.col("lt"),
+    ).select(
+        F.col(id_col),
+        F.col("p"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.substring(F.col("lt"), F.col("p"), F.lit(k))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * span
+            + (F.lit(span - 1) - F.col("p"))
+        ).alias("key"),
+    )
+    from pyspark.sql import Window
+
+    wspec = (
+        Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        grams.select(
+            F.col(id_col), "p", F.min("key").over(wspec).alias("mk")
+        )
+        .filter(F.col("p") >= w)
+        .select(id_col, "mk")
+        .distinct()
+        .select(
+            F.col(id_col),
+            F.expr(f"mk DIV {span}").alias("fp_hash"),
+            (F.lit(span - 1) - F.col("mk") % span).alias("fp_pos"),
+        )
+    )
+    # sort key packs (pos, hash) so the digest is position-ordered
+    fps = sel.select(
+        F.col(id_col),
+        (F.col("fp_pos") * F.lit(4_294_967_296) + F.col("fp_hash")).alias(
+            "s"
+        ),
+    )
+    agg = fps.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("s")),
+                    lambda s: F.concat(
+                        (s / F.lit(4_294_967_296)).cast("long").cast(
+                            "string"
+                        ),
+                        F.lit(":"),
+                        (s % F.lit(4_294_967_296)).cast("string"),
+                    ),
+                ),
+            )
+        ).alias("fp_md5"),
+    )
+    return agg

@@ -61,6 +61,20 @@ _DRIVER_PRIORITY = [
     "bpe_train_merges", "bpe_segment", "doc_quality_model_score",
     "doc_domain_budget", "multimodal_decode_video",
     "multimodal_decode_jpeg_progressive",
+    # round-13 session-2 additions (never driver-checked): DSIR
+    # importance weighting, BM25 retrieval, winnowing fingerprints,
+    # and the MP3 frame-header walk — each hash-green under the
+    # plain-session emulation before entering here. Displaced to
+    # make room: basket_part_pairs (r8 evidence, least stale of the
+    # burn-down cohort), token_heavy_hitters / unique_visit /
+    # dedup_jaccard_complete (r7 evidence; their families stay
+    # represented in-head by streaming_token_countmin,
+    # streaming_unique_visit and dedup_jaccard_complete_capped),
+    # and contrastive_hard_negatives (r7; the similarity family is
+    # triply covered in-head by similarity_topk + knn_graph +
+    # dedup_minhash_lsh) for the IMA-ADPCM codec entry.
+    "doc_dsir_select", "bm25_topk", "doc_winnow_fingerprint",
+    "multimodal_mp3_headers", "multimodal_audio_adpcm",
     # staleness burn-down (r13): the 23 stalest entries by
     # last_checked_round over ALL driver artifacts including r12 —
     # the four r06-era entries, the full r07 chained cohort (one
@@ -71,13 +85,11 @@ _DRIVER_PRIORITY = [
     "visitor_repair", "visitor_stats_union",
     "chained_keyword_stats", "chained_product_stats",
     "chained_province_stats", "chained_visitor_stats",
-    "contrastive_hard_negatives", "dedup_jaccard_complete",
     "dedup_minhash_lsh_capped", "dedup_pagerank_capped", "knn_graph",
     "serving_gmv", "streaming_dedup_exact",
     "streaming_multimodal_features", "streaming_stats_sql",
     "streaming_user_sessions", "streaming_uv_dropdup_wm",
-    "streaming_view_click_join", "token_heavy_hitters", "unique_visit",
-    "basket_part_pairs",
+    "streaming_view_click_join",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",

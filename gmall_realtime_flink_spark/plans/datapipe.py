@@ -5104,3 +5104,354 @@ def doc_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return hll_cardinality(d.select(F.col("text").alias("item")))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting / BM25 retrieval / winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_dsir_select",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents),
+    db AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+             % 64 AS bucket,
+             coalesce(doc_id % 7 = 0, FALSE) AS is_t
+      FROM dt),
+    dc AS (
+      SELECT bucket, count(*)::BIGINT AS ct_r,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct_t
+      FROM db GROUP BY bucket),
+    tt AS (SELECT sum(ct_r)::BIGINT AS t_r, sum(ct_t)::BIGINT AS t_t FROM dc),
+    lw AS (
+      SELECT bucket,
+             CAST(round(ln(((ct_t + 1) * (t_r + 64))::DOUBLE
+                           / ((ct_r + 1) * (t_t + 64))::DOUBLE)
+                        * 1000000.0) AS BIGINT) AS lm
+      FROM dc CROSS JOIN tt),
+    ds AS (
+      SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lm)::BIGINT AS wm
+      FROM db JOIN lw USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           wm::DOUBLE / 1000000.0 AS weight,
+           wm > 0 AS selected
+    FROM ds
+    """,
+    doc="DSIR importance weighting (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling' — the "
+    "domain-matching selection step between heuristic filters and "
+    "training): hashed bag-of-words distributions for a target "
+    "domain (the deterministic doc_id%7==0 subset standing in for "
+    "Wikipedia) vs the raw corpus, add-one smoothed; each doc is "
+    "weighted by its total log importance ratio and `selected` marks "
+    "target-leaning docs (weight > 0). The per-BUCKET log ratio is "
+    "integer-micro-snapped at 64-row grain so every cross-row "
+    "reduction is an exact integer sum (doc_lm_surprisal device); "
+    "the bucket-weight table broadcasts back onto the token stream "
+    "like the frozen model weights of doc_quality_model_score. At "
+    "100 TB: two corpus scans, one |buckets|-row exchange, one "
+    "|docs|-keyed agg — nothing quadratic, no Python. "
+    "operators/textstats.py:dsir_weights.",
+    tags=("datapipe", "curation", "sampling"),
+)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import dsir_weights
+
+    return dsir_weights(load(spark, sf_dir, "documents"))
+
+
+def _bm25_queries_values() -> str:
+    """VALUES rows for the frozen BM25 query workload, generated from
+    the SAME literal the Spark side uses so they cannot drift."""
+    from gmall_realtime_flink_spark.operators.textstats import BM25_QUERIES
+
+    return ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+
+
+@register(
+    "bm25_topk",
+    oracle="""
+    WITH q(qid, term) AS (VALUES {_BM25_VALUES}),
+    bt AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                x -> length(x) > 0)) AS tok
+      FROM documents WHERE doc_id IS NOT NULL),
+    bdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM bt GROUP BY doc_id),
+    bc AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS t_tokens
+           FROM bdl),
+    btf AS (
+      SELECT doc_id, tok AS term, count(*)::BIGINT AS tf
+      FROM bt WHERE tok IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, tok),
+    bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),
+    bidf AS (
+      SELECT term,
+             CAST(round(ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5)
+                                  / (df::DOUBLE + 0.5)) * 1000000.0)
+                  AS BIGINT) AS idf_micro
+      FROM bdf CROSS JOIN bc),
+    bsc AS (
+      SELECT t.doc_id, t.term,
+             (2 * (i.idf_micro * 22 * t.tf * 100000)
+              + (1000000 * t.tf + 300000
+                 + (9 * ((2 * 1000000 * d.dl * c.n_docs + c.t_tokens)
+                         // (2 * c.t_tokens)) + 5) // 10))
+             // (2 * (1000000 * t.tf + 300000
+                      + (9 * ((2 * 1000000 * d.dl * c.n_docs + c.t_tokens)
+                              // (2 * c.t_tokens)) + 5) // 10)) AS sm
+      FROM btf t JOIN bdl d USING (doc_id)
+      CROSS JOIN bc c JOIN bidf i USING (term)),
+    bqd AS (
+      SELECT q.qid, s.doc_id, sum(s.sm)::BIGINT AS score_micro
+      FROM bsc s JOIN q ON s.term = q.term
+      GROUP BY q.qid, s.doc_id),
+    brk AS (
+      SELECT qid, doc_id, score_micro,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_micro DESC, doc_id)
+               AS rk
+      FROM bqd)
+    SELECT qid, doc_id, score_micro::DOUBLE / 1000000.0 AS score, rk
+    FROM brk WHERE rk <= 10
+    """.replace("{_BM25_VALUES}", _bm25_queries_values()),
+    doc="Okapi BM25 top-k retrieval (Robertson & Sparck Jones; the "
+    "k1=1.2/b=0.75 canonical form) for a frozen 4-query workload "
+    "over the corpus — the retrieval primitive of RAG indexing and "
+    "eval-set mining. Every transcendental is snapped to integer "
+    "micros at TINY grain (idf per term — 10 rows; dl/avgdl per doc "
+    "via an exact integer half-up ratio), after which the "
+    "per-(doc,term) BM25 score is ONE exact integer half-up "
+    "division and all cross-row reductions are integer sums — no "
+    "float ever crosses a row boundary (doc_lm_surprisal device). "
+    "Plan: tokens semi-join the BROADCAST query-term table before "
+    "the tf agg (inverted-index probe analogue: only matching "
+    "tokens shuffle), doc-length and corpus stats are one reused "
+    "agg, per-query rank runs over candidates only. "
+    "operators/textstats.py:bm25_topk.",
+    tags=("datapipe", "retrieval", "text"),
+)
+def bm25_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_winnow_fingerprint",
+    oracle="""
+    WITH wd AS (
+      SELECT doc_id, lower(text) AS lt FROM documents
+      WHERE text IS NOT NULL AND length(text) >= 9),
+    wk AS (
+      SELECT doc_id, (length(lt) - 5)::BIGINT AS n_grams,
+             list_transform(generate_series(1, (length(lt) - 5)::BIGINT),
+               p -> ('0x' || substr(md5(substr(lt, p::INT, 6)), 1, 8))::BIGINT
+                    * 2097152 + (2097151 - p)) AS keys
+      FROM wd),
+    sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(4, n_grams),
+               e -> list_aggregate(list_slice(keys, (e - 3)::INT, e::INT),
+                                   'min'))) AS mks
+      FROM wk),
+    fp AS (
+      SELECT doc_id, len(mks)::BIGINT AS n_fingerprints,
+             md5(array_to_string(
+               list_transform(
+                 list_sort(list_transform(mks, m ->
+                   (2097151 - m % 2097152) * 4294967296 + m // 2097152)),
+                 s -> (s // 4294967296)::VARCHAR || ':'
+                      || (s % 4294967296)::VARCHAR),
+               ',')) AS fp_md5
+      FROM sel)
+    SELECT doc_id, n_fingerprints, fp_md5 FROM fp
+    """,
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & "
+    "Aiken, SIGMOD 2003 — the MOSS local fingerprinting algorithm): "
+    "hash every 6-char k-gram, slide a 4-gram window, keep each "
+    "window's minimum hash with the rightmost-on-tie rule; distinct "
+    "selected (pos, hash) pairs are the fingerprint set (guarantee: "
+    "any match >= k+w-1 chars shares a fingerprint, density "
+    "~2/(w+1)). The tie rule is arithmetic, not procedural: key = "
+    "hash*2^21 + (2^21-1-pos), so plain window MIN picks smallest "
+    "hash then largest position. fp_md5 digests the position-ordered "
+    "set — one wrong window-min anywhere hash-fails. Plan: one "
+    "doc-keyed exchange (the window partition), then distinct + agg "
+    "inside the same partitioning; gram streams never cross docs. "
+    "operators/textstats.py:winnow_fingerprints.",
+    tags=("datapipe", "dedup", "text"),
+)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_mp3_headers",
+    oracle="""
+    WITH m3 AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             (doc_id % 3)::INT AS ri
+      FROM documents),
+    m3d AS (
+      SELECT doc_id, text, p,
+             [44100, 48000, 32000][ri + 1] AS rate,
+             1 + p % 6 AS nf
+      FROM m3),
+    m3f AS (
+      SELECT doc_id, text, rate, nf,
+             list_transform(generate_series(0, nf - 1),
+               i -> [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                    [((p + i * 5) % 14) + 1]) AS kbps
+      FROM m3d)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE 'mp3' END AS fmt,
+           CASE WHEN text IS NULL THEN NULL ELSE nf::INT END AS n_frames,
+           CASE WHEN text IS NULL THEN NULL ELSE rate::INT END
+             AS sample_rate,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE (nf * (1152 * 1000000 // rate))::BIGINT
+                END AS duration_us,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE list_aggregate(kbps, 'sum')::BIGINT
+                END AS bitrate_kbps_sum,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE ((CASE WHEN doc_id % 2 = 0 THEN 27 ELSE 0 END)
+                      + list_aggregate(list_transform(kbps,
+                          k -> 144000 * k // rate), 'sum')
+                      + nf // 2)::BIGINT
+                END AS total_bytes
+    FROM m3f
+    """,
+    doc="MP3 stream metadata over a binary column via the REAL "
+    "MPEG-1 Layer III frame-header walk (ISO/IEC 11172-3 §2.4: "
+    "11-bit sync + version/layer/bitrate-index/sample-rate-index/"
+    "padding per header, frameLen = 144*bitrate/sampleRate + pad, "
+    "ID3v2 skipped by syncsafe size) — the audio analogue of the "
+    "MP4 container walk: duration/bitrate/frame stats WITHOUT "
+    "decoding audio (polyphase+MDCT synthesis needs a real codec "
+    "and raises by name). Staged payloads vary every parse lever: "
+    "per-frame bitrate (VBR — headers re-read every frame), padding "
+    "parity, sample rate by doc, ID3 tag by doc parity; DuckDB "
+    "recomputes frame count, exact integer duration (1152 samples/"
+    "frame), bitrate sum and TOTAL BYTE LENGTH symbolically — a "
+    "single mis-stepped frame boundary breaks total_bytes. Arrow "
+    "mapInPandas, narrow, no shuffle; at 100 TB the walk is "
+    "O(frames) header reads + skips, not O(payload). "
+    "operators/multimodal.py:parse_mp3.",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def multimodal_mp3_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_mp3_payload,
+        mp3_frame_stats,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return mp3_frame_stats(attach_mp3_payload(d))
+
+
+def _ima_steps_literal() -> str:
+    """The 89-entry IMA step table as a DuckDB list literal, built
+    from the SAME constant the decoder uses so they cannot drift."""
+    from gmall_realtime_flink_spark.operators.multimodal import _IMA_STEPS
+
+    return "[" + ",".join(str(s) for s in _IMA_STEPS) + "]"
+
+
+@register(
+    "multimodal_audio_adpcm",
+    oracle="""
+    WITH RECURSIVE ap AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             (8000 + (doc_id % 3) * 4000)::INT AS rate
+      FROM documents),
+    ab AS (
+      SELECT doc_id, p, rate, unnest(generate_series(0, p % 3)) AS b
+      FROM ap WHERE text IS NOT NULL),
+    st AS (
+      -- t = 0 is the block-header sample; 16 nibble steps follow
+      SELECT doc_id, p, b, 0 AS t,
+             ((p + 7*b) * 191) % 4096 - 2048 AS pred,
+             (p + 11*b) % 89 AS idx
+      FROM ab
+      UNION ALL
+      SELECT doc_id, p, b, t + 1,
+             CASE WHEN nib >= 8 THEN greatest(pred - delta, -32768)
+                  ELSE least(pred + delta, 32767) END,
+             least(greatest(idx + idxadj, 0), 88)
+      FROM (
+        SELECT doc_id, p, b, t, pred, idx, nib,
+               step // 8 + (nib % 2) * (step // 4)
+                 + ((nib // 2) % 2) * (step // 2)
+                 + ((nib // 4) % 2) * step AS delta,
+               ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1] AS idxadj
+        FROM (
+          SELECT doc_id, p, b, t, pred, idx,
+                 (p + 3 * (b * 16 + t)) % 16 AS nib,
+                 ({_IMA_STEPS_LIT})[idx + 1] AS step
+          FROM st WHERE t < 16) s1) s2),
+    sm AS (SELECT doc_id, b * 17 + t AS pos, pred AS v FROM st),
+    feat AS (
+      SELECT doc_id, count(*)::BIGINT AS n, sum(v * v)::BIGINT AS sum_sq,
+             max(abs(v))::INT AS peak_abs
+      FROM sm GROUP BY doc_id),
+    zc AS (
+      SELECT doc_id, count(*)::BIGINT AS z FROM (
+        SELECT doc_id, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY pos) AS pv
+        FROM sm) q WHERE pv * v < 0 GROUP BY doc_id)
+    SELECT a.doc_id,
+           CASE WHEN a.text IS NULL THEN NULL ELSE a.rate END
+             AS sample_rate,
+           f.n AS n_samples,
+           CASE WHEN a.text IS NULL THEN NULL ELSE coalesce(z.z, 0) END
+             AS zero_crossings,
+           f.sum_sq, f.peak_abs,
+           CASE WHEN a.text IS NULL THEN NULL
+                ELSE f.n * 1000000 // a.rate END AS duration_us
+    FROM ap a LEFT JOIN feat f USING (doc_id)
+    LEFT JOIN zc z USING (doc_id)
+    """.replace("{_IMA_STEPS_LIT}", _ima_steps_literal()),
+    doc="Audio features over a REAL compressed audio codec: IMA "
+    "ADPCM (DVI4; WAVE format tag 0x0011) decoded from the 1992 IMA "
+    "spec — per-block state restart from the 4-byte header (the "
+    "seek/resync property that makes ADPCM splittable at 100 TB: "
+    "blocks decode independently, so a task can start at any block "
+    "boundary), low-nibble-first expansion, the 89-entry step table "
+    "with bit-weighted delta reconstruction and int16/index "
+    "clamping. The ORACLE EMULATES THE FULL STATE MACHINE in SQL — "
+    "a recursive CTE advances (predictor, index) through all 16 "
+    "nibble steps of every block of every doc, then recomputes "
+    "zero-crossings/energy/peak/duration from the emulated samples "
+    "— so a single wrong table step, clamp or nibble order anywhere "
+    "hash-fails. All integer arithmetic end-to-end. Arrow "
+    "mapInPandas, narrow, no shuffle. "
+    "operators/multimodal.py:decode_ima_adpcm_blocks.",
+    tags=("multimodal", "pandas-udf", "audio", "decode"),
+)
+def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_adpcm_payload,
+        audio_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return audio_features(attach_adpcm_payload(d))

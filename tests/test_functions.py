@@ -988,7 +988,10 @@ def test_decode_media_parses_foreign_bytes():
     # parse error, not a codec gap
     with _pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\n....")
-    with _pytest.raises(NotImplementedError):
+    # MP4 now REALLY parses (ISO-BMFF walk) — a box that declares a
+    # size past EOF is a parse error, not a codec gap (the named
+    # NotImplementedError for avc1/moof is covered in the mp4 tests)
+    with _pytest.raises(ValueError):
         decode_media(b"\x00\x00\x00\x18ftypmp42")
     with _pytest.raises(ValueError):
         decode_media(b"ZZZZZZZZ")
@@ -1585,3 +1588,191 @@ def test_png_adam7_and_16bit_roundtrip():
 
     with _pytest.raises((NotImplementedError, AssertionError)):
         encode_png(2, 2, bytes(8), color_type=3, palette=pal, depth=16)
+
+
+def test_mp3_frame_walk_and_failure_modes():
+    """The MP3 header walk is REAL ISO 11172-3 arithmetic: ID3v2
+    syncsafe skip, VBR per-frame bitrate re-read, frameLen =
+    144*bitrate/rate + padding; corrupt structure fails loudly and
+    codec gaps raise by name."""
+    import struct as _s  # noqa: F401
+
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        _MP3_BITRATES,
+        encode_mp3_frames,
+        parse_mp3,
+    )
+
+    import pytest as _pytest
+
+    b = encode_mp3_frames(6, "a winnowed document body")  # even: ID3
+    d = parse_mp3(b)
+    assert b[:3] == b"ID3" and d["fmt"] == "mp3"
+    assert d["total_bytes"] == len(b)
+    assert d["duration_us"] == d["n_frames"] * (
+        1152 * 1_000_000 // d["sample_rate"]
+    )
+
+    # hand-built 2-frame VBR stream: 64 kbps then 160 kbps @ 32000
+    def frame(br_idx, sr_idx, pad):
+        kbps = _MP3_BITRATES[br_idx - 1]
+        rate = (44100, 48000, 32000)[sr_idx]
+        flen = 144000 * kbps // rate + pad
+        return bytes(
+            [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0]
+        ) + b"\x00" * (flen - 4)
+
+    vbr = frame(5, 2, 0) + frame(10, 2, 1)
+    d = parse_mp3(vbr)
+    assert d["n_frames"] == 2
+    assert d["bitrate_kbps_sum"] == 64 + 160
+    assert d["sample_rate"] == 32000
+
+    with _pytest.raises(ValueError, match="lost frame sync"):
+        parse_mp3(frame(5, 2, 0) + b"\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="truncated frame"):
+        parse_mp3(frame(5, 2, 0)[:-1])
+    with _pytest.raises(ValueError, match="forbidden bitrate"):
+        parse_mp3(bytes([0xFF, 0xFB, 0xF0, 0]) + b"\x00" * 100)
+    with _pytest.raises(ValueError, match="reserved sample-rate"):
+        parse_mp3(bytes([0xFF, 0xFB, (5 << 4) | 0x0C, 0]) + b"\x00" * 400)
+    with _pytest.raises(NotImplementedError, match="free-format"):
+        parse_mp3(bytes([0xFF, 0xFB, 0x08, 0]) + b"\x00" * 100)
+    # MPEG-2 (version bits 10) is a named gap, not a misparse
+    with _pytest.raises(NotImplementedError, match="MPEG-1"):
+        parse_mp3(bytes([0xFF, 0xF3, 0x52, 0]) + b"\x00" * 400)
+    with _pytest.raises(ValueError, match="syncsafe"):
+        parse_mp3(b"ID3\x03\x00\x00\x00\x00\x00\x80" + b"\x00" * 40)
+
+
+def test_winnow_fingerprints_guarantee_and_tie_rule(spark):
+    """Winnowing invariants (Schleimer et al. 2003): shared
+    substrings >= k+w-1 chars share a fingerprint; identical docs
+    have identical digests; the rightmost-min tie rule picks the
+    LATEST position among equal window hashes."""
+    from gmall_realtime_flink_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, common + " alpha beta gamma"),
+        (2, "unrelated prefix text " + common),
+        (3, common + " alpha beta gamma"),
+        (4, "zzzzzzzzzzzzzzzzzzzzzzzz"),  # all k-grams identical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert out[1]["fp_md5"] == out[3]["fp_md5"]  # deterministic
+    assert out[1]["n_fingerprints"] > 0
+    # doc 4: every gram hash equal -> rightmost rule selects a NEW
+    # position every window -> one fingerprint per window position
+    n_grams4 = len(rows[3][1]) - 5
+    assert out[4]["n_fingerprints"] == n_grams4 - 3
+
+
+def test_dsir_weights_target_leaning(spark):
+    """DSIR sanity: documents written in the target subset's
+    vocabulary get positive weight; off-distribution docs negative."""
+    from gmall_realtime_flink_spark.operators.textstats import dsir_weights
+
+    # target docs (id % 7 == 0) use vocab A; others vocab B, except
+    # doc 15 which is written in vocab A -> should be selected
+    rows = (
+        [(i * 7, "apple banana cherry damson elder fig " * 3)
+         for i in range(4)]
+        + [(i, "xylo yurt zebra quill umbra vortex " * 3)
+           for i in (1, 2, 3, 4, 5)]
+        + [(15, "apple banana cherry damson elder fig " * 3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dsir_weights(df).collect()}
+    assert out[15]["selected"] and out[15]["weight"] > 0
+    assert not out[1]["selected"] and out[1]["weight"] < 0
+    assert out[0]["selected"]
+
+
+def test_bm25_scores_rank_term_frequency(spark):
+    """BM25 sanity: a doc saturated with query terms outranks a doc
+    with one hit; rank is dense 1..k with deterministic tie-break."""
+    from gmall_realtime_flink_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "hash join merge hash join merge hash join"),
+        (2, "hash lineage unrelated content words here"),
+        (3, "completely different text with no query words"),
+        (4, "customer order query customer order"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df).collect()
+    q1 = {r["doc_id"]: r for r in out if r["qid"] == "q1"}
+    assert q1[1]["rk"] == 1 and q1[1]["score"] > q1[2]["score"]
+    assert 3 not in q1  # no hit, no candidate
+    q2 = [r for r in out if r["qid"] == "q2"]
+    assert q2[0]["doc_id"] == 4 and q2[0]["rk"] == 1
+
+
+def test_ima_adpcm_codec_roundtrip_and_failure_modes():
+    """The IMA ADPCM decoder is the real 1992 state machine: known
+    nibble sequences reconstruct through the step table with
+    clamping; each block restarts from its own header; corrupt
+    structure fails loudly and non-mono raises by name."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        _IMA_STEPS,
+        decode_adpcm_wav,
+        decode_ima_adpcm_blocks,
+        decode_media,
+        encode_ima_adpcm_wav,
+    )
+
+    # hand-run the spec: pred=0, idx=0 (step 7), nibble 3 ->
+    # delta = 7>>3 + 7>>2 + 7>>1 = 0+1+3 = 4, idx += -1 -> clamp 0
+    vals = decode_ima_adpcm_blocks(_s.pack("<hBB", 0, 0, 0) + b"\x03", 5)
+    assert vals == [0, 4, 4]  # second nibble 0: delta = 7>>3 = 0
+    # nibble 0xB = 8|3: sign bit -> subtract the same delta
+    vals = decode_ima_adpcm_blocks(_s.pack("<hBB", 100, 0, 0) + b"\xbb", 5)
+    assert vals[1] == 96
+    # sample clamp at the top step: nibble 7 at step 32767 ->
+    # delta = 4095+8191+16383+32767 = 61436 -> clamps to int16 max
+    vals = decode_ima_adpcm_blocks(
+        _s.pack("<hBB", 0, 88, 0) + b"\x77", 5
+    )
+    assert _IMA_STEPS[88] == 32767 and vals[1] == 32767 == vals[2]
+
+    # block restart: decoding two blocks equals decoding each alone
+    b1 = _s.pack("<hBB", 500, 10, 0) + bytes([0x21, 0x43, 0x65, 0x87])
+    b2 = _s.pack("<hBB", -800, 40, 0) + bytes([0x0F, 0x2D, 0x4B, 0x69])
+    assert decode_ima_adpcm_blocks(b1 + b2, 8) == (
+        decode_ima_adpcm_blocks(b1, 8) + decode_ima_adpcm_blocks(b2, 8)
+    )
+
+    # staged WAV round-trips through decode_media dispatch
+    wav = encode_ima_adpcm_wav(7, "adpcm staging text")
+    d = decode_media(wav)
+    assert d["fmt"] == "wav-adpcm" and len(d["values"]) % 17 == 0
+
+    with _pytest.raises(ValueError, match="step index"):
+        decode_ima_adpcm_blocks(_s.pack("<hBB", 0, 90, 0) + b"\x00", 5)
+    with _pytest.raises(ValueError, match="truncated block"):
+        decode_ima_adpcm_blocks(b"\x00\x01", 5)
+    with _pytest.raises(ValueError, match="blockAlign"):
+        decode_ima_adpcm_blocks(b"\x00\x00\x00\x00", 4)
+    # stereo ADPCM is a named gap
+    stereo = bytearray(wav)
+    fmt_off = wav.index(b"fmt ") + 8
+    _s.pack_into("<H", stereo, fmt_off + 2, 2)
+    with _pytest.raises(NotImplementedError, match="mono"):
+        decode_adpcm_wav(bytes(stereo))
+    # fact count beyond decoded data is corrupt, not silently padded
+    fact_off = wav.index(b"fact") + 8
+    bad = bytearray(wav)
+    _s.pack_into("<I", bad, fact_off, 10_000)
+    with _pytest.raises(ValueError, match="fact count"):
+        decode_adpcm_wav(bytes(bad))
