@@ -1,0 +1,395 @@
+"""FLAC — a REAL lossless audio codec, implemented from the public
+spec (RFC 9639 / the xiph.org FLAC format) with stdlib only.
+
+Decoder scope (honest named gaps raise NotImplementedError): mono,
+16-bit, CONSTANT / VERBATIM / FIXED(0-4) subframes, Rice residuals
+(4-bit parameter) including the escape-to-raw code, partition order
+0, fixed blocking strategy. LPC subframes, stereo decorrelation and
+multi-partition residuals raise by name — the bit-reader, CRC and
+predictor machinery they need is all here, which is the swap point.
+
+Integrity is verified at every layer the spec defines: frame-header
+CRC-8 (poly 0x07), whole-frame CRC-16 (poly 0x8005), and the
+STREAMINFO MD5 of the raw little-endian sample stream. Because FLAC
+is lossless, the staged corpus reuses the `_media_params` sample
+formula — the DuckDB oracle recomputes the audio features
+symbolically, exactly as for PCM WAV, and the decode (bit reader,
+Rice codes, predictors, CRCs) must be right for the hash to match.
+
+Scale posture: decode runs as an Arrow `mapInPandas` narrow
+transform, no shuffle; FLAC frames are independently decodable
+(each frame restarts from verbatim warm-up), so a production reader
+can split on frame boundaries exactly like the ADPCM block restart.
+
+Reference parity note: the reference engine has no media codecs;
+this extends the multimodal tier of SURVEY §2 (beyond-reference
+scope) alongside PNG/GIF/JPEG/MP4/ADPCM.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+FIXED_COEFFS = (
+    (),
+    (1,),
+    (2, -1),
+    (3, -3, 1),
+    (4, -6, 4, -1),
+)
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
+    FLAC frame-header CRC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0
+    — the FLAC whole-frame CRC."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            if self.byte >= len(self.data):
+                raise ValueError("FLAC: bitstream exhausted")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("FLAC: runaway unary code")
+        return q
+
+    def read_signed(self, bits: int) -> int:
+        v = self.read(bits)
+        return v - (1 << bits) if v >= 1 << (bits - 1) else v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+RICE_ESCAPE_BITS = 21  # raw-residual width used by the staged encoder
+
+
+def _write_residuals(w: _BitWriter, res: list[int], rice_param: int) -> None:
+    """Residual block, partition order 0: 2-bit method (00 = 4-bit
+    Rice), 4-bit partition order, one partition. rice_param 0b1111
+    escapes to raw fixed-width residuals (5-bit width follows)."""
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(rice_param, 4)
+    if rice_param == 0xF:
+        w.write(RICE_ESCAPE_BITS, 5)
+        for v in res:
+            w.write(v & ((1 << RICE_ESCAPE_BITS) - 1), RICE_ESCAPE_BITS)
+    else:
+        for v in res:
+            u = _zigzag(v)
+            w.write_unary(u >> rice_param)
+            w.write(u, rice_param)
+
+
+def _read_residuals(r: _BitReader, n: int) -> list[int]:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"FLAC: reserved residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    part_order = r.read(4)
+    if part_order != 0:
+        raise NotImplementedError(
+            f"multi-partition residuals (order {part_order}) not supported"
+        )
+    param = r.read(pbits)
+    if param == (1 << pbits) - 1:
+        width = r.read(5)
+        return [
+            (
+                v - (1 << width)
+                if width and v >= 1 << (width - 1)
+                else v
+            )
+            for v in (r.read(width) for _ in range(n))
+        ]
+    return [_unzigzag((r.read_unary() << param) | r.read(param)) for _ in range(n)]
+
+
+def encode_flac(rate: int, samples: list[int], type_seed: int = 0) -> bytes:
+    """Encode mono 16-bit samples as a spec-correct FLAC stream:
+    fLaC magic + STREAMINFO (with the raw-audio MD5), then frames of
+    <= 16 samples whose subframe types cycle VERBATIM / FIXED(0..4)
+    from `type_seed` — every decoder path (warm-up, predictors,
+    Rice, escape) is exercised across a corpus. Lossless by
+    construction: decode_flac returns exactly `samples`."""
+    n = len(samples)
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    md5 = hashlib.md5(raw).digest()
+    streaminfo = bytearray()
+    streaminfo += struct.pack(">HH", 16, 16)  # min/max block size
+    streaminfo += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    # 20-bit rate | 3-bit channels-1 | 5-bit bits-1 | 36-bit total
+    bw = _BitWriter()
+    bw.write(rate, 20)
+    bw.write(0, 3)  # mono
+    bw.write(15, 5)  # 16-bit
+    bw.write(n, 36)
+    streaminfo += bw.bytes()
+    streaminfo += md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34]) + streaminfo  # last-block flag set
+
+    frame_no = 0
+    pos = 0
+    while pos < n:
+        bs = min(16, n - pos)
+        block = samples[pos : pos + bs]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)  # sync
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking strategy
+        w.write(6, 4)  # block size: 8-bit value follows
+        w.write(0, 4)  # sample rate: from STREAMINFO
+        w.write(0, 4)  # channel assignment: mono
+        w.write(0b100, 3)  # 16 bits per sample
+        w.write(0, 1)  # reserved
+        w.align()
+        hdr = bytearray(w.bytes())
+        if frame_no > 0x7F:
+            raise NotImplementedError("multi-byte frame numbers unstaged")
+        hdr.append(frame_no)  # UTF-8 coded frame number (single byte)
+        hdr.append(bs - 1)  # 8-bit block size - 1
+        hdr.append(crc8(bytes(hdr)))
+
+        w = _BitWriter()
+        t = (type_seed + frame_no) % 6
+        if t == 0 or bs <= 4:
+            w.write(0, 1)
+            w.write(0b000001, 6)  # VERBATIM
+            w.write(0, 1)
+            for s in block:
+                w.write(s & 0xFFFF, 16)
+        else:
+            order = t - 1  # FIXED order 0..4
+            w.write(0, 1)
+            w.write(0b001000 | order, 6)
+            w.write(0, 1)
+            for s in block[:order]:
+                w.write(s & 0xFFFF, 16)
+            coeffs = FIXED_COEFFS[order]
+            res = [
+                block[i]
+                - sum(c * block[i - 1 - j] for j, c in enumerate(coeffs))
+                for i in range(order, bs)
+            ]
+            # order 0 residuals fit 16 bits -> real Rice; deeper
+            # orders can reach 2^20 -> the escape-to-raw path
+            _write_residuals(w, res, 14 if order == 0 else 0xF)
+        w.align()
+        frame = bytes(hdr) + w.bytes()
+        out += frame + struct.pack(">H", crc16(frame))
+        pos += bs
+        frame_no += 1
+    return bytes(out)
+
+
+def decode_flac(payload: bytes) -> dict:
+    """Decode a FLAC stream: STREAMINFO parse, frame walk with CRC-8
+    / CRC-16 verification, subframe decode (CONSTANT / VERBATIM /
+    FIXED with Rice or escaped residuals), fixed-predictor
+    reconstruction, and the final STREAMINFO MD5 check over the
+    reconstructed raw samples. Returns the decode_media dict."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (no fLaC magic)")
+    i = 4
+    streaminfo = None
+    while True:
+        if i + 4 > len(payload):
+            raise ValueError("FLAC: truncated metadata header")
+        hdr = payload[i]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        size = int.from_bytes(payload[i + 1 : i + 4], "big")
+        body = payload[i + 4 : i + 4 + size]
+        if len(body) < size:
+            raise ValueError("FLAC: truncated metadata block")
+        if btype == 0:
+            streaminfo = body
+        i += 4 + size
+        if last:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        raise ValueError("FLAC: missing STREAMINFO")
+    r = _BitReader(streaminfo, 10)
+    rate = r.read(20)
+    channels = r.read(3) + 1
+    bits = r.read(5) + 1
+    total = r.read(36)
+    md5_expect = streaminfo[18:34]
+    if channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only mono 16-bit FLAC supported (channels={channels}, "
+            f"bits={bits})"
+        )
+
+    samples: list[int] = []
+    while len(samples) < total:
+        frame_start = i
+        r = _BitReader(payload, i)
+        if r.read(14) != 0b11111111111110:
+            raise ValueError(f"FLAC: lost frame sync at {i}")
+        r.read(1)  # reserved
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        chan = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)
+        if chan != 0:
+            raise NotImplementedError(
+                f"stereo/decorrelated channel assignment {chan} "
+                "not supported"
+            )
+        if ss_code != 0b100:
+            raise NotImplementedError(
+                f"sample-size code {ss_code} not supported (16-bit only)"
+            )
+        first = r.read(8)  # frame number, UTF-8 coded
+        if first >= 0x80:
+            raise NotImplementedError("multi-byte frame numbers unsupported")
+        if bs_code == 6:
+            bs = r.read(8) + 1
+        elif bs_code == 7:
+            bs = r.read(16) + 1
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 8:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError(f"FLAC: reserved block-size code {bs_code}")
+        if sr_code not in (0,):
+            raise NotImplementedError(
+                f"in-frame sample-rate code {sr_code} not supported"
+            )
+        r.align()
+        header_len = r.byte - frame_start
+        if crc8(payload[frame_start : frame_start + header_len]) != payload[
+            r.byte
+        ]:
+            raise ValueError(f"FLAC: frame-header CRC-8 mismatch at {i}")
+        r.byte += 1
+
+        if r.read(1) != 0:
+            raise ValueError("FLAC: invalid subframe padding bit")
+        stype = r.read(6)
+        if r.read(1) != 0:
+            raise NotImplementedError("wasted-bits subframes not supported")
+        if stype == 0:
+            v = r.read_signed(16)
+            block = [v] * bs
+        elif stype == 1:
+            block = [r.read_signed(16) for _ in range(bs)]
+        elif 8 <= stype <= 12:
+            order = stype - 8
+            block = [r.read_signed(16) for _ in range(order)]
+            res = _read_residuals(r, bs - order)
+            coeffs = FIXED_COEFFS[order]
+            for e in res:
+                pred = sum(
+                    c * block[len(block) - 1 - j]
+                    for j, c in enumerate(coeffs)
+                )
+                block.append(pred + e)
+        elif stype >= 32:
+            raise NotImplementedError(
+                f"LPC subframe (order {stype - 31}) not supported"
+            )
+        else:
+            raise ValueError(f"FLAC: reserved subframe type {stype}")
+        r.align()
+        body_end = r.byte
+        expect, = struct.unpack_from(">H", payload, body_end)
+        if crc16(payload[frame_start:body_end]) != expect:
+            raise ValueError(f"FLAC: frame CRC-16 mismatch at {i}")
+        samples.extend(block)
+        i = body_end + 2
+    if len(samples) != total:
+        raise ValueError(
+            f"FLAC: decoded {len(samples)} samples, STREAMINFO says {total}"
+        )
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    if hashlib.md5(raw).digest() != md5_expect:
+        raise ValueError("FLAC: STREAMINFO MD5 mismatch on decoded audio")
+    return {
+        "fmt": "flac", "width": None, "height": None, "channels": 1,
+        "sample_rate": rate, "values": samples,
+    }

@@ -803,6 +803,10 @@ def decode_media(payload: bytes) -> dict:
         from gmall_realtime_flink_spark.operators.mp4 import decode_mp4
 
         return decode_mp4(payload)
+    if payload[:4] == b"fLaC":
+        from gmall_realtime_flink_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
 
     if payload[:2] == b"BM":
         off, = struct.unpack_from("<I", payload, 10)
@@ -1088,7 +1092,7 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     rows[k].append(None)
                 continue
             d = decode_media(bytes(payload))
-            if d["fmt"] not in ("wav", "wav-adpcm"):
+            if d["fmt"] not in ("wav", "wav-adpcm", "flac"):
                 raise ValueError(f"audio features on {d['fmt']} payload")
             s = np.asarray(d["values"], dtype=np.int64)
             rate = d["sample_rate"]
@@ -1730,6 +1734,40 @@ def attach_adpcm_payload(docs: DataFrame) -> DataFrame:
                 else encode_ima_adpcm_wav(int(doc_id), text)
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"])
             ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+def attach_flac_payload(docs: DataFrame) -> DataFrame:
+    """Stage FLAC payloads for every doc: the `_media_params` sample
+    formula (same as WAV — FLAC is lossless, so the symbolic oracle
+    is identical) encoded with subframe types cycling by the doc's
+    p value, so the corpus exercises VERBATIM and every FIXED
+    predictor order plus both residual codings."""
+    from collections.abc import Iterator as _It
+
+    from gmall_realtime_flink_spark.operators.flac import encode_flac
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    payloads.append(None)
+                    continue
+                m = _media_params(int(doc_id), text)
+                samples = [
+                    ((m["p"] * 3 + i * 7) % 256 - 128) * 256
+                    for i in range(m["n_samples"])
+                ]
+                payloads.append(
+                    encode_flac(m["rate"], samples, type_seed=m["p"])
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

@@ -753,3 +753,92 @@ def winnow_fingerprints(
         ).alias("fp_md5"),
     )
     return agg
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The published Gopher document-quality rules, each as an
+    integer-exact flag (ratio thresholds are cross-multiplied so no
+    float is ever computed — 3 <= mean word length <= 10 is
+    3*n_words <= n_chars_in_words <= 10*n_words, etc.):
+
+    - r_wordcount: 50 <= word count <= 100,000
+    - r_meanlen:   mean word length in [3, 10]
+    - r_symbols:   symbol-to-word ratio (# and ellipsis) < 0.1
+    - r_bullets:   <= 90% of lines start with a bullet
+    - r_ellipsis:  <= 30% of lines end with an ellipsis
+    - r_alpha:     >= 80% of words contain an alphabetic character
+    - r_stop:      contains >= 2 distinct Gopher stop words
+    - keep:        AND of all seven
+
+    Words are whitespace-split (the paper's tokenization); lines are
+    newline-split. Plan: pure JVM expressions over one narrow scan —
+    no explode, no shuffle, no Python; at 100 TB this is the cheap
+    first stage of the curation funnel and fuses into whatever scan
+    follows it."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    nw = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    symbols = (
+        F.size(F.split(F.col(text_col), "#", -1))
+        - 1
+        + F.size(F.split(F.col(text_col), r"\.\.\.", -1))
+        - 1
+        + F.size(F.split(F.col(text_col), "…", -1))
+        - 1
+    )
+    nl = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(words, lambda x: F.lower(x)),
+                lambda x: x.isin(*GOPHER_STOPWORDS),
+            )
+        )
+    )
+    out = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        ((nw >= 50) & (nw <= 100_000)).alias("r_wordcount"),
+        (
+            (word_chars >= 3 * nw) & (word_chars <= 10 * nw) & (nw > 0)
+        ).alias("r_meanlen"),
+        (symbols * 10 < nw).alias("r_symbols"),
+        (bullet_lines * 10 <= nl * 9).alias("r_bullets"),
+        (ellipsis_lines * 10 <= nl * 3).alias("r_ellipsis"),
+        ((alpha_words * 5 >= nw * 4) & (nw > 0)).alias("r_alpha"),
+        (stop_hits >= 2).alias("r_stop"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("r_wordcount")
+        & F.col("r_meanlen")
+        & F.col("r_symbols")
+        & F.col("r_bullets")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stop"),
+    )

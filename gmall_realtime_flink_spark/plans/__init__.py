@@ -72,9 +72,12 @@ _DRIVER_PRIORITY = [
     # streaming_unique_visit and dedup_jaccard_complete_capped),
     # and contrastive_hard_negatives (r7; the similarity family is
     # triply covered in-head by similarity_topk + knn_graph +
-    # dedup_minhash_lsh) for the IMA-ADPCM codec entry.
+    # dedup_minhash_lsh) for the IMA-ADPCM codec entry, and
+    # streaming_view_click_join (r7; eight other streaming reps stay
+    # in-head) for the FLAC codec entry.
     "doc_dsir_select", "bm25_topk", "doc_winnow_fingerprint",
     "multimodal_mp3_headers", "multimodal_audio_adpcm",
+    "multimodal_audio_flac",
     # staleness burn-down (r13): the 23 stalest entries by
     # last_checked_round over ALL driver artifacts including r12 —
     # the four r06-era entries, the full r07 chained cohort (one
@@ -89,7 +92,6 @@ _DRIVER_PRIORITY = [
     "serving_gmv", "streaming_dedup_exact",
     "streaming_multimodal_features", "streaming_stats_sql",
     "streaming_user_sessions", "streaming_uv_dropdup_wm",
-    "streaming_view_click_join",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",

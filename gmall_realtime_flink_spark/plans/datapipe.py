@@ -5455,3 +5455,148 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return audio_features(attach_adpcm_payload(d))
+
+
+@register(
+    "multimodal_audio_flac",
+    # deliberately IDENTICAL to the multimodal_audio_features oracle:
+    # FLAC is lossless, so the decoded samples must equal the same
+    # symbolic _media_params formula the PCM WAV entry stages — the
+    # entire codec (bit reader, CRC-8/16, Rice + escape residuals,
+    # fixed predictors, STREAMINFO md5) sits between the payload and
+    # this truth.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             (8000 + ((doc_id // 3) % 3) * 4000)::INT AS rate,
+             (16 + length(text) % 49)::BIGINT AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, p, rate, n,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE list_transform(
+                    generate_series(0, (n - 1)::INT),
+                    i -> (((p * 3 + i * 7) % 256 - 128) * 256)::BIGINT)
+                  END AS samples
+      FROM m)
+    SELECT doc_id,
+           CASE WHEN samples IS NULL THEN NULL ELSE rate END
+             AS sample_rate,
+           CASE WHEN samples IS NULL THEN NULL ELSE n END AS n_samples,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (SELECT count(*) FROM unnest(
+                        generate_series(1, (n - 1)::INT)) AS t(i)
+                      WHERE samples[i] * samples[i + 1] < 0)::BIGINT
+                END AS zero_crossings,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (SELECT sum(x * x)
+                      FROM unnest(samples) AS u(x))::BIGINT
+                END AS sum_sq,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (SELECT max(abs(x))
+                      FROM unnest(samples) AS u(x))::INT
+                END AS peak_abs,
+           CASE WHEN samples IS NULL THEN NULL
+                ELSE (n * 1000000) // rate END AS duration_us
+    FROM s
+    """,
+    doc="Audio features over REAL FLAC payloads — a recognized "
+    "real-world lossless codec implemented from the public spec "
+    "(RFC 9639) with stdlib only (operators/flac.py): STREAMINFO "
+    "parse, frame walk with CRC-8 header and CRC-16 frame "
+    "verification, VERBATIM/CONSTANT/FIXED(0-4) subframe decode, "
+    "Rice residuals including the escape-to-raw code, fixed-"
+    "predictor reconstruction, and the STREAMINFO MD5 check over "
+    "the reconstructed stream. Staged subframe types cycle per doc "
+    "so the corpus exercises every predictor order and both "
+    "residual codings; LOSSLESSNESS IS THE ORACLE LEVER — the "
+    "DuckDB SQL recomputes the same symbolic features as the PCM "
+    "WAV entry, and only a bit-exact decode matches it. LPC/stereo "
+    "raise by name (the production-codec swap point). FLAC frames "
+    "restart from verbatim warm-up, so a 100 TB reader splits on "
+    "frame boundaries like the ADPCM block restart. Arrow "
+    "mapInPandas, narrow, no shuffle.",
+    tags=("multimodal", "pandas-udf", "audio", "decode"),
+)
+def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_flac_payload,
+        audio_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return audio_features(attach_flac_payload(d))
+
+
+def _gopher_stop_literal() -> str:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        GOPHER_STOPWORDS,
+    )
+
+    return "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+@register(
+    "doc_gopher_rules",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> length(x) > 0) AS words,
+             string_split(text, chr(10)) AS lines
+      FROM documents WHERE text IS NOT NULL),
+    gm AS (
+      SELECT doc_id, text, words, lines,
+             len(words)::BIGINT AS nw,
+             coalesce(list_aggregate(list_transform(words,
+                        x -> length(x)), 'sum'), 0) AS wc,
+             (len(string_split(text, '#')) - 1
+              + len(string_split(text, '...')) - 1
+              + len(string_split(text, '…')) - 1) AS symbols,
+             len(lines) AS nl,
+             len(list_filter(lines,
+                 x -> regexp_matches(x, '^\\s*[-*•]'))) AS bl,
+             len(list_filter(lines,
+                 x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS el,
+             len(list_filter(words,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+             len(list_distinct(list_filter(
+                 list_transform(words, x -> lower(x)),
+                 x -> list_contains({_GOPHER_STOPS}, x)))) AS sh
+      FROM g)
+    SELECT doc_id, nw AS n_words,
+           nw >= 50 AND nw <= 100000 AS r_wordcount,
+           wc >= 3 * nw AND wc <= 10 * nw AND nw > 0 AS r_meanlen,
+           symbols * 10 < nw AS r_symbols,
+           bl * 10 <= nl * 9 AS r_bullets,
+           el * 10 <= nl * 3 AS r_ellipsis,
+           aw * 5 >= nw * 4 AND nw > 0 AS r_alpha,
+           sh >= 2 AS r_stop,
+           (nw >= 50 AND nw <= 100000)
+             AND (wc >= 3 * nw AND wc <= 10 * nw AND nw > 0)
+             AND (symbols * 10 < nw)
+             AND (bl * 10 <= nl * 9)
+             AND (el * 10 <= nl * 3)
+             AND (aw * 5 >= nw * 4 AND nw > 0)
+             AND (sh >= 2) AS keep
+    FROM gm
+    """.replace("{_GOPHER_STOPS}", _gopher_stop_literal()),
+    doc="The published Gopher document-quality rules (Rae et al. "
+    "2021, Table A1 — the heuristic gate most open-source curation "
+    "pipelines reimplement): word-count bounds, mean-word-length "
+    "[3,10], symbol-to-word ratio, bullet-line and ellipsis-line "
+    "caps, alphabetic-word ratio, and the >=2-stop-words rule — "
+    "each emitted as its own flag plus the AND. Every ratio "
+    "threshold is CROSS-MULTIPLIED (3*n <= chars <= 10*n), so the "
+    "operator computes no float at all and the oracle is exact by "
+    "construction. Plan: pure JVM array/regex expressions over one "
+    "narrow scan — no explode, no shuffle, no Python; the cheap "
+    "stage-zero of the curation funnel at 100 TB. "
+    "operators/textstats.py:gopher_rules.",
+    tags=("datapipe", "quality"),
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(load(spark, sf_dir, "documents"))
