@@ -601,3 +601,60 @@ def test_similarity_topk_batch_plan_shape(spark, sf_dir):
     ivf = plan_of(spark, sf_dir, "similarity_topk_ivf_batch")
     assert "CartesianProduct" not in ivf
     assert "BroadcastHashJoin" in ivf, "cell probe join not broadcast"
+
+
+def test_bm25_query_terms_broadcast_no_cartesian(spark, sf_dir):
+    """bm25_topk: the query-term table and the per-term idf table
+    must broadcast onto the token stream (the inverted-index probe
+    analogue), and nothing in the plan may be a cartesian product —
+    the 1-row corpus-stats join is a broadcast nested loop, which is
+    fine; a CartesianProduct is not."""
+    plan = plan_of(spark, sf_dir, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_bucket_weights_broadcast(spark, sf_dir):
+    """doc_dsir_select: the 64-row bucket-weight table joins the
+    token stream as a broadcast, never a shuffle join keyed on
+    bucket (64 keys over billions of tokens would be the textbook
+    skew shuffle)."""
+    plan = plan_of(spark, sf_dir, "doc_dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_single_doc_keyed_exchange(spark, sf_dir):
+    """doc_winnow_fingerprint: the gram stream crosses the wire on
+    the doc key for the window, and the later distinct/agg reuse
+    that partitioning — the plan must not re-shuffle grams on any
+    other key (hashpartitioning only ever on doc_id)."""
+    plan = plan_of(spark, sf_dir, "doc_winnow_fingerprint")
+    import re
+
+    keys = set(
+        re.findall(r"hashpartitioning\((?:cast\()?(\w+)", plan)
+    )
+    assert keys <= {"doc_id"}, f"unexpected exchange keys: {keys}"
+    assert "CartesianProduct" not in plan
+
+
+def test_media_decode_entries_are_narrow(spark, sf_dir):
+    """The MP3/ADPCM/FLAC decode entries are mapInPandas narrow
+    transforms: no Exchange anywhere in their plans."""
+    for name in (
+        "multimodal_mp3_headers",
+        "multimodal_audio_adpcm",
+        "multimodal_audio_flac",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_gopher_rules_zero_shuffle_single_scan(spark, sf_dir):
+    """doc_gopher_rules is a pure narrow projection: one scan, no
+    Exchange, no explode (Generate) — the stage-zero curation gate
+    must fuse into whatever reads it."""
+    plan = plan_of(spark, sf_dir, "doc_gopher_rules")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
