@@ -115,6 +115,12 @@ def _production() -> dict:
         # balanced driver corpus (cap never trips), so this row prices
         # the INSURANCE itself — the per-cell count broadcast join
         "dedup_semantic_capped": REGISTRY["dedup_semantic_capped"].builder,
+        # r13 session-2 additions: retrieval/curation ops and the
+        # deepest audio codec — per-round tracking from birth
+        "bm25_topk": REGISTRY["bm25_topk"].builder,
+        "doc_dsir_select": REGISTRY["doc_dsir_select"].builder,
+        "doc_winnow_fingerprint": REGISTRY["doc_winnow_fingerprint"].builder,
+        "multimodal_audio_flac": REGISTRY["multimodal_audio_flac"].builder,
     }
 
 

@@ -1864,3 +1864,40 @@ def test_gopher_rules_flags(spark):
     assert not out[3]["r_symbols"]
     assert not out[4]["r_bullets"]
     assert not out[5]["r_stop"]
+
+
+def test_html_extraction_rules_and_entities():
+    """The HTML block extractor is a real parse: entities round-trip,
+    link density and length rules classify correctly, the inline-link
+    paragraph is kept with its link text included."""
+    from gmall_realtime_flink_spark.operators.html import (
+        build_page,
+        classify_blocks,
+        extract_blocks,
+    )
+
+    page = (
+        "<html><body>"
+        '<nav><a href="/">home</a><a href="/x">about</a></nav>'
+        "<p>this paragraph is long enough to keep and has no links</p>"
+        '<p><a href="#">anchor</a> word word word word word word</p>'
+        "<p>tiny</p>"
+        '<p><a>everything inside this block is one giant link text</a></p>'
+        "<p>5 &lt; 7 &amp; 9 &gt; 3 entities decode back to chars</p>"
+        "</body></html>"
+    )
+    blocks = extract_blocks(page)
+    kept = classify_blocks(blocks)
+    assert blocks[0] == ("homeabout", 9)  # nav: all link chars
+    assert "this paragraph is long enough to keep and has no links" in kept
+    assert any(k.startswith("anchor word") for k in kept)  # sparse link
+    assert "tiny" not in kept  # too short
+    assert not any("giant link" in k for k in kept)  # density 1
+    assert "5 < 7 & 9 > 3 entities decode back to chars" in kept
+
+    # staged page: generator/extractor round-trip preserves words
+    text = "alpha <b>eta & gamma\tdelta epsilon zeta eta theta " * 3
+    blocks = extract_blocks(build_page(4, text))
+    joined = " ".join(t for t, _ in blocks[1:-2])  # content paras
+    for w in ("alpha", "<b>eta", "&", "gamma"):
+        assert w in joined
