@@ -74,10 +74,14 @@ _DRIVER_PRIORITY = [
     # triply covered in-head by similarity_topk + knn_graph +
     # dedup_minhash_lsh) for the IMA-ADPCM codec entry, and
     # streaming_view_click_join (r7; eight other streaming reps stay
-    # in-head) for the FLAC codec entry.
+    # in-head) for the FLAC codec entry, and serving_gmv /
+    # streaming_user_sessions (r7; standing-gate-covered every round)
+    # for the Gopher-rules and HTML-extraction entries — with which
+    # EVERY never-driver-checked entry sits in this head, zeroing the
+    # backlog once the r13 driver artifact lands.
     "doc_dsir_select", "bm25_topk", "doc_winnow_fingerprint",
     "multimodal_mp3_headers", "multimodal_audio_adpcm",
-    "multimodal_audio_flac",
+    "multimodal_audio_flac", "doc_gopher_rules", "doc_html_extract",
     # staleness burn-down (r13): the 23 stalest entries by
     # last_checked_round over ALL driver artifacts including r12 —
     # the four r06-era entries, the full r07 chained cohort (one
@@ -89,9 +93,9 @@ _DRIVER_PRIORITY = [
     "chained_keyword_stats", "chained_product_stats",
     "chained_province_stats", "chained_visitor_stats",
     "dedup_minhash_lsh_capped", "dedup_pagerank_capped", "knn_graph",
-    "serving_gmv", "streaming_dedup_exact",
+    "streaming_dedup_exact",
     "streaming_multimodal_features", "streaming_stats_sql",
-    "streaming_user_sessions", "streaming_uv_dropdup_wm",
+    "streaming_uv_dropdup_wm",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",
     "streaming_dedup_minhash", "streaming_token_countmin",

@@ -819,3 +819,34 @@ def chained_province_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def chained_keyword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topology.chained_keyword_stats(spark, sf_dir)
+
+
+def _html_extract_oracle() -> str:
+    """The batch doc_html_extract oracle verbatim (registered before
+    this module loads): streaming == batch on bounded input."""
+    from gmall_realtime_flink_spark.plans.registry import REGISTRY
+
+    return REGISTRY["doc_html_extract"].oracle
+
+
+@register(
+    "streaming_html_extract",
+    oracle=None,  # replaced below — needs the datapipe oracle
+    doc="HTML boilerplate removal under streaming: staged pages "
+    "parsed and block-classified inside each micro-batch by the same "
+    "Arrow mapInPandas kernels as the batch doc_html_extract — one "
+    "parser body, two engines, same oracle. Stateless, "
+    "slicing-invariant (streaming/jobs.py streaming_html_extract).",
+    tags=("streaming", "datapipe", "pandas-udf", "curation"),
+)
+def streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jobs.streaming_html_extract(spark, sf_dir)
+
+
+# wire the shared oracle in after registration (the decorator takes
+# literals; the oracle lives on the batch entry registered earlier)
+from gmall_realtime_flink_spark.plans.registry import (  # noqa: E402
+    REGISTRY as _REG,
+)
+
+_REG["streaming_html_extract"].oracle = _html_extract_oracle()

@@ -1428,3 +1428,31 @@ def streaming_purchase_dim_temporal(
         ),
     )
     return run_bounded(joined, spark)
+
+
+def streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction under Structured Streaming: docs
+    arrive as a file stream, pages are staged and block-classified by
+    the SAME Arrow mapInPandas kernels as the batch doc_html_extract
+    (attach_html_payload -> extract_main_text — one parser body, two
+    engines). Stateless inside each micro-batch and slicing-invariant
+    by construction: per-doc verdicts depend only on that doc's page,
+    so continuous ingest extracts at file-arrival parallelism with no
+    shuffle and no state."""
+    from gmall_realtime_flink_spark.operators.html import (
+        attach_html_payload,
+        extract_main_text,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_table_dir(sf_dir, "documents"))
+    )
+    return run_bounded(
+        extract_main_text(attach_html_payload(stream)), spark
+    )
