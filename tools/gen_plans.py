@@ -69,6 +69,15 @@ EXTRA = [
     "dedup_semantic_resplit",
     "similarity_topk_batch",
     "similarity_topk_ivf_batch",
+    # r13 session-2: retrieval/curation ops (plan pins in
+    # tests/test_plans.py cite these shapes); the media-decode
+    # entries are pinned Exchange-free there and add no skeleton
+    # beyond a scan + mapInPandas
+    "bm25_topk",
+    "doc_dsir_select",
+    "doc_winnow_fingerprint",
+    "doc_gopher_rules",
+    "doc_html_extract",
 ]
 
 
