@@ -1775,3 +1775,159 @@ def attach_flac_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         gen, schema="doc_id long, payload binary"
     )
+
+
+def decode_ima_adpcm_batched(payloads: list[bytes]) -> list[dict]:
+    """Production ADPCM kernel: the SAME state machine as
+    decode_adpcm_wav, but vectorised ACROSS BLOCKS — every block in
+    the Arrow batch advances one nibble step per numpy op (blocks
+    are independent by spec: each restarts from its own header), so
+    the Python-interpreter cost is O(samples_per_block) vector steps
+    per batch instead of O(total nibbles) scalar steps. This is the
+    same shape a SIMD/GPU ADPCM decoder uses, and the PNG-unfilter
+    vectorisation story (SCALE.md round-13) applied to audio.
+    Restriction: all payloads in the batch must share one blockAlign
+    (true for the staged corpus; a production reader groups by align
+    first). Returns audio_features dicts per payload."""
+    import numpy as np
+
+    import struct
+
+    metas = []  # (rate, align, n_blocks, fact_n)
+    preds, idxs, nibble_rows = [], [], []
+    aligns = set()
+    for payload in payloads:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        i, rate, align, data, fact_n = 12, None, None, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            sz, = struct.unpack_from("<I", payload, i + 4)
+            if cid == b"fmt ":
+                tag, ch, rate = struct.unpack_from("<HHI", payload, i + 8)
+                align, bits = struct.unpack_from("<HH", payload, i + 20)
+                if tag != 0x0011 or ch != 1 or bits != 4:
+                    raise NotImplementedError(
+                        "batched kernel: mono 4-bit IMA ADPCM only"
+                    )
+            elif cid == b"fact":
+                fact_n, = struct.unpack_from("<I", payload, i + 8)
+            elif cid == b"data":
+                data = payload[i + 8 : i + 8 + sz]
+            i += 8 + sz + (sz & 1)
+        if data is None or align is None or align < 5:
+            raise ValueError("ADPCM: missing/invalid data or fmt chunk")
+        if len(data) % align:
+            raise ValueError("ADPCM: data not a whole number of blocks")
+        aligns.add(align)
+        nb = len(data) // align
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(nb, align)
+        pred0 = arr[:, 0].astype(np.int32) | (
+            arr[:, 1].astype(np.int32) << 8
+        )
+        pred0 = np.where(pred0 >= 32768, pred0 - 65536, pred0)
+        idx0 = arr[:, 2].astype(np.int32)
+        if (idx0 > 88).any():
+            raise ValueError("ADPCM: step index out of range")
+        preds.append(pred0)
+        idxs.append(idx0)
+        nibble_rows.append(arr[:, 4:])
+        metas.append((rate, align, nb, fact_n))
+    if len(aligns) > 1:
+        raise NotImplementedError(
+            f"batched kernel needs one blockAlign per batch, got {aligns}"
+        )
+    align = aligns.pop() if aligns else 0
+
+    steps_t = np.asarray(_IMA_STEPS, dtype=np.int32)
+    itab = np.asarray(_IMA_INDEX, dtype=np.int32)
+    pred = np.concatenate(preds) if preds else np.zeros(0, np.int32)
+    idx = np.concatenate(idxs) if idxs else np.zeros(0, np.int32)
+    raw = (
+        np.concatenate(nibble_rows)
+        if nibble_rows
+        else np.zeros((0, 0), np.uint8)
+    )
+    n_steps = 2 * (align - 4)
+    total_blocks = pred.shape[0]
+    out = np.empty((total_blocks, n_steps + 1), dtype=np.int32)
+    out[:, 0] = pred
+    for t in range(n_steps):
+        byte = raw[:, t // 2].astype(np.int32)
+        nib = np.where(t % 2 == 0, byte & 0x0F, byte >> 4)
+        step = steps_t[idx]
+        delta = (
+            (step >> 3)
+            + (nib & 1) * (step >> 2)
+            + ((nib >> 1) & 1) * (step >> 1)
+            + ((nib >> 2) & 1) * step
+        )
+        pred = np.where(nib & 8, pred - delta, pred + delta)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = idx + itab[nib & 7]
+        np.clip(idx, 0, 88, out=idx)
+        out[:, t + 1] = pred
+
+    results = []
+    b0 = 0
+    for rate, _align, nb, fact_n in metas:
+        s = out[b0 : b0 + nb].reshape(-1).astype(np.int64)
+        b0 += nb
+        if fact_n is not None:
+            if fact_n > s.shape[0]:
+                raise ValueError(
+                    f"ADPCM: fact count {fact_n} exceeds decoded "
+                    f"{s.shape[0]}"
+                )
+            s = s[:fact_n]
+        results.append(
+            {
+                "sample_rate": rate,
+                "n_samples": int(s.shape[0]),
+                "zero_crossings": int(
+                    np.count_nonzero(s[:-1] * s[1:] < 0)
+                ),
+                "sum_sq": int(np.dot(s, s)),
+                "peak_abs": int(np.abs(s).max()) if s.shape[0] else 0,
+                "duration_us": int(s.shape[0]) * 1_000_000 // rate,
+            }
+        )
+    return results
+
+
+def audio_features_adpcm_batched(with_payload: DataFrame) -> DataFrame:
+    """audio_features twin backed by the cross-block vectorised ADPCM
+    kernel — identical output contract; the oracle-gated entry keeps
+    the scalar reference decoder."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = pdf["payload"].notna()
+            decoded = decode_ima_adpcm_batched(
+                [bytes(b) for b in pdf["payload"][mask]]
+            )
+            it = iter(decoded)
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "zero_crossings",
+                "sum_sq", "peak_abs", "duration_us",
+            )}
+            for doc_id, ok in zip(pdf["doc_id"], mask):
+                rows["doc_id"].append(doc_id)
+                d = next(it) if ok else None
+                for k in list(rows)[1:]:
+                    rows[k].append(None if d is None else d[k])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="Int32"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="Int64"),
+                "zero_crossings": pd.Series(
+                    rows["zero_crossings"], dtype="Int64"
+                ),
+                "sum_sq": pd.Series(rows["sum_sq"], dtype="Int64"),
+                "peak_abs": pd.Series(rows["peak_abs"], dtype="Int32"),
+                "duration_us": pd.Series(rows["duration_us"], dtype="Int64"),
+            })
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        gen, schema=_AUDIO_SCHEMA
+    )

@@ -1901,3 +1901,41 @@ def test_html_extraction_rules_and_entities():
     joined = " ".join(t for t, _ in blocks[1:-2])  # content paras
     for w in ("alpha", "<b>eta", "&", "gamma"):
         assert w in joined
+
+
+def test_adpcm_batched_kernel_matches_scalar(spark):
+    """The cross-block vectorised ADPCM kernel is bit-identical to
+    the scalar reference decoder — locally over varied payloads, and
+    through Spark as the full audio_features twin."""
+    import numpy as np
+
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_adpcm_payload,
+        audio_features,
+        audio_features_adpcm_batched,
+        decode_adpcm_wav,
+        decode_ima_adpcm_batched,
+        encode_ima_adpcm_wav,
+    )
+
+    payloads = [
+        encode_ima_adpcm_wav(i, f"doc {i} body {'y' * (i % 23)}")
+        for i in range(60)
+    ]
+    for pl, b in zip(payloads, decode_ima_adpcm_batched(payloads)):
+        s = np.asarray(decode_adpcm_wav(pl)["values"], dtype=np.int64)
+        assert b["sum_sq"] == int(np.dot(s, s))
+        assert b["zero_crossings"] == int(
+            np.count_nonzero(s[:-1] * s[1:] < 0)
+        )
+
+    rows = [(i, f"spark doc {i} {'z' * (i % 17)}") for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = attach_adpcm_payload(df)
+    a = {r["doc_id"]: r.asDict() for r in audio_features(staged).collect()}
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in audio_features_adpcm_batched(staged).collect()
+    }
+    assert a == b and a[99]["sum_sq"] is None
