@@ -2,9 +2,10 @@
 spec (RFC 9639 / the xiph.org FLAC format) with stdlib only.
 
 Decoder scope (honest named gaps raise NotImplementedError): mono,
-16-bit, CONSTANT / VERBATIM / FIXED(0-4) subframes, Rice residuals
+16-bit, CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes (quantized
+coefficients at any precision, non-negative shift), Rice residuals
 (4-bit parameter) including the escape-to-raw code, partition order
-0, fixed blocking strategy. LPC subframes, stereo decorrelation and
+0, fixed blocking strategy. Stereo decorrelation and
 multi-partition residuals raise by name — the bit-reader, CRC and
 predictor machinery they need is all here, which is the swap point.
 
@@ -187,8 +188,8 @@ def _read_residuals(r: _BitReader, n: int) -> list[int]:
 def encode_flac(rate: int, samples: list[int], type_seed: int = 0) -> bytes:
     """Encode mono 16-bit samples as a spec-correct FLAC stream:
     fLaC magic + STREAMINFO (with the raw-audio MD5), then frames of
-    <= 16 samples whose subframe types cycle VERBATIM / FIXED(0..4)
-    from `type_seed` — every decoder path (warm-up, predictors,
+    <= 16 samples whose subframe types cycle VERBATIM / FIXED(0..4) /
+    LPC(order 2, quantized [3,-1]>>1) from `type_seed` — every decoder path (warm-up, predictors,
     Rice, escape) is exercised across a corpus. Lossless by
     construction: decode_flac returns exactly `samples`."""
     n = len(samples)
@@ -231,8 +232,34 @@ def encode_flac(rate: int, samples: list[int], type_seed: int = 0) -> bytes:
         hdr.append(crc8(bytes(hdr)))
 
         w = _BitWriter()
-        t = (type_seed + frame_no) % 6
-        if t == 0 or bs <= 4:
+        t = (type_seed + frame_no) % 7
+        if t == 6 and bs > 2:
+            # LPC order 2, coeffs [3, -1] at precision 5, shift 1:
+            # predicts (3*s1 - s2) >> 1 — any quantized predictor is
+            # lossless since residuals carry the exact difference
+            order, prec, shift, coeffs = 2, 5, 1, (3, -1)
+            w.write(0, 1)
+            w.write(0b100000 | (order - 1), 6)
+            w.write(0, 1)
+            for s in block[:order]:
+                w.write(s & 0xFFFF, 16)
+            w.write(prec - 1, 4)
+            w.write(shift, 5)
+            for c in coeffs:
+                w.write(c & ((1 << prec) - 1), prec)
+            res = [
+                block[i]
+                - (
+                    sum(
+                        c * block[i - 1 - j]
+                        for j, c in enumerate(coeffs)
+                    )
+                    >> shift
+                )
+                for i in range(order, bs)
+            ]
+            _write_residuals(w, res, 0xF)
+        elif t == 0 or t == 6 or bs <= 4:
             w.write(0, 1)
             w.write(0b000001, 6)  # VERBATIM
             w.write(0, 1)
@@ -370,9 +397,26 @@ def decode_flac(payload: bytes) -> dict:
                 )
                 block.append(pred + e)
         elif stype >= 32:
-            raise NotImplementedError(
-                f"LPC subframe (order {stype - 31}) not supported"
-            )
+            order = stype - 31
+            block = [r.read_signed(16) for _ in range(order)]
+            prec_code = r.read(4)
+            if prec_code == 0xF:
+                raise ValueError("FLAC: invalid QLP precision code")
+            prec = prec_code + 1
+            shift = r.read_signed(5)
+            if shift < 0:
+                raise ValueError("FLAC: negative LPC shift")
+            coeffs = [r.read_signed(prec) for _ in range(order)]
+            res = _read_residuals(r, bs - order)
+            for e in res:
+                pred = (
+                    sum(
+                        c * block[len(block) - 1 - j]
+                        for j, c in enumerate(coeffs)
+                    )
+                    >> shift
+                )
+                block.append(pred + e)
         else:
             raise ValueError(f"FLAC: reserved subframe type {stype}")
         r.align()

@@ -5506,14 +5506,16 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(RFC 9639) with stdlib only (operators/flac.py): STREAMINFO "
     "parse, frame walk with CRC-8 header and CRC-16 frame "
     "verification, VERBATIM/CONSTANT/FIXED(0-4) subframe decode, "
-    "Rice residuals including the escape-to-raw code, fixed-"
-    "predictor reconstruction, and the STREAMINFO MD5 check over "
-    "the reconstructed stream. Staged subframe types cycle per doc "
-    "so the corpus exercises every predictor order and both "
-    "residual codings; LOSSLESSNESS IS THE ORACLE LEVER — the "
-    "DuckDB SQL recomputes the same symbolic features as the PCM "
-    "WAV entry, and only a bit-exact decode matches it. LPC/stereo "
-    "raise by name (the production-codec swap point). FLAC frames "
+    "Rice residuals including the escape-to-raw code, fixed- AND "
+    "quantized-LPC-predictor reconstruction (signed coefficients at "
+    "any precision, arithmetic shift), and the STREAMINFO MD5 check "
+    "over the reconstructed stream. Staged subframe types cycle per "
+    "doc so the corpus exercises every FIXED order, an order-2 LPC "
+    "predictor and both residual codings; LOSSLESSNESS IS THE "
+    "ORACLE LEVER — the DuckDB SQL recomputes the same symbolic "
+    "features as the PCM WAV entry, and only a bit-exact decode "
+    "matches it. Stereo decorrelation raises by name (the "
+    "production-codec swap point). FLAC frames "
     "restart from verbatim warm-up, so a 100 TB reader splits on "
     "frame boundaries like the ADPCM block restart. Arrow "
     "mapInPandas, narrow, no shuffle.",
