@@ -76,12 +76,15 @@ _DRIVER_PRIORITY = [
     # streaming_view_click_join (r7; eight other streaming reps stay
     # in-head) for the FLAC codec entry, and serving_gmv /
     # streaming_user_sessions (r7; standing-gate-covered every round)
-    # for the Gopher-rules and HTML-extraction entries — with which
+    # for the Gopher-rules and HTML-extraction entries, and
+    # streaming_stats_sql (r7; its batch SQL siblings province/keyword
+    # _stats_sql stay in-head) for the tokenizer-eval entry — with which
     # EVERY never-driver-checked entry sits in this head, zeroing the
     # backlog once the r13 driver artifact lands.
     "doc_dsir_select", "bm25_topk", "doc_winnow_fingerprint",
     "multimodal_mp3_headers", "multimodal_audio_adpcm",
     "multimodal_audio_flac", "doc_gopher_rules", "doc_html_extract",
+    "bpe_compression_eval",
     # staleness burn-down (r13): the 23 stalest entries by
     # last_checked_round over ALL driver artifacts including r12 —
     # the four r06-era entries, the full r07 chained cohort (one
@@ -94,7 +97,7 @@ _DRIVER_PRIORITY = [
     "chained_province_stats", "chained_visitor_stats",
     "dedup_minhash_lsh_capped", "dedup_pagerank_capped", "knn_graph",
     "streaming_dedup_exact",
-    "streaming_multimodal_features", "streaming_stats_sql",
+    "streaming_multimodal_features",
     "streaming_uv_dropdup_wm",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",

@@ -5680,3 +5680,62 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return extract_main_text(attach_html_payload(d))
+
+
+@register(
+    "bpe_compression_eval",
+    oracle=_bpe_oracle_sql(5) + """
+    SELECT count(*)::BIGINT AS vocab_words,
+           sum(f)::BIGINT AS corpus_words,
+           sum(f * length(w))::BIGINT AS chars_total,
+           sum(f * len(syms))::BIGINT AS bpe_tokens_total,
+           ((sum(f * len(syms)) * 1000000 // sum(f * length(w)))::BIGINT)
+             ::DOUBLE / 1000000.0 AS tokens_per_char,
+           ((sum(f * len(syms)) * 1000000 // sum(f))::BIGINT)
+             ::DOUBLE / 1000000.0 AS tokens_per_word
+    FROM seg5
+    """,
+    doc="Tokenizer compression / fertility evaluation (the metric a "
+    "tokenizer-training pipeline reports after bpe_train_merges): "
+    "corpus-weighted tokens-per-character and tokens-per-word of the "
+    "learned 5-merge segmentation — fertility is THE standard "
+    "tokenizer quality number (lower = better compression). One row "
+    "out; ratios are integer-micro floor divisions so the result is "
+    "exact cross-engine. Same scaling shape as the trainer: one "
+    "corpus shuffle to the vocabulary table, then O(vocab) "
+    "arithmetic. Oracle: the unrolled 5-level gaps-and-islands chain "
+    "aggregated once.",
+    tags=("datapipe", "text", "tokenizer"),
+)
+def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.textstats import (
+        bpe_segment_words,
+    )
+
+    seg = bpe_segment_words(_word_freqs(spark, sf_dir), n_merges=5)
+    agg = seg.agg(
+        F.count("*").cast("long").alias("vocab_words"),
+        F.sum("f").cast("long").alias("corpus_words"),
+        F.sum(F.col("f") * F.length("w")).cast("long").alias("chars_total"),
+        F.sum(F.col("f") * F.size("syms"))
+        .cast("long")
+        .alias("bpe_tokens_total"),
+    )
+    return agg.select(
+        "vocab_words",
+        "corpus_words",
+        "chars_total",
+        "bpe_tokens_total",
+        (
+            F.expr("bpe_tokens_total * 1000000 DIV chars_total").cast(
+                "double"
+            )
+            / 1_000_000.0
+        ).alias("tokens_per_char"),
+        (
+            F.expr("bpe_tokens_total * 1000000 DIV corpus_words").cast(
+                "double"
+            )
+            / 1_000_000.0
+        ).alias("tokens_per_word"),
+    )
