@@ -1,13 +1,15 @@
 """FLAC — a REAL lossless audio codec, implemented from the public
 spec (RFC 9639 / the xiph.org FLAC format) with stdlib only.
 
-Decoder scope (honest named gaps raise NotImplementedError): mono,
-16-bit, CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes (quantized
-coefficients at any precision, non-negative shift), Rice residuals
-(4-bit parameter) including the escape-to-raw code, partition order
-0, fixed blocking strategy. Stereo decorrelation and
-multi-partition residuals raise by name — the bit-reader, CRC and
-predictor machinery they need is all here, which is the swap point.
+Decoder scope (honest named gaps raise NotImplementedError): mono
+and stereo 16-bit — including all three decorrelated channel
+assignments (left/side, right/side, mid/side with parity-bit
+recovery, the side channel at 17 bits) — CONSTANT / VERBATIM /
+FIXED(0-4) / LPC subframes (quantized coefficients at any precision,
+non-negative shift), Rice residuals (4-bit parameter) including the
+escape-to-raw code, multi-partition residuals, fixed blocking
+strategy. Remaining named gaps: >2 channels, wasted-bits subframes,
+non-16-bit depths, variable blocking, multi-byte frame numbers.
 
 Integrity is verified at every layer the spec defines: frame-header
 CRC-8 (poly 0x07), whole-frame CRC-16 (poly 0x8005), and the
@@ -143,12 +145,7 @@ def _unzigzag(u: int) -> int:
 RICE_ESCAPE_BITS = 21  # raw-residual width used by the staged encoder
 
 
-def _write_residuals(w: _BitWriter, res: list[int], rice_param: int) -> None:
-    """Residual block, partition order 0: 2-bit method (00 = 4-bit
-    Rice), 4-bit partition order, one partition. rice_param 0b1111
-    escapes to raw fixed-width residuals (5-bit width follows)."""
-    w.write(0, 2)
-    w.write(0, 4)
+def _write_partition(w: _BitWriter, res: list[int], rice_param: int) -> None:
     w.write(rice_param, 4)
     if rice_param == 0xF:
         w.write(RICE_ESCAPE_BITS, 5)
@@ -161,16 +158,36 @@ def _write_residuals(w: _BitWriter, res: list[int], rice_param: int) -> None:
             w.write(u, rice_param)
 
 
-def _read_residuals(r: _BitReader, n: int) -> list[int]:
-    method = r.read(2)
-    if method not in (0, 1):
-        raise ValueError(f"FLAC: reserved residual coding method {method}")
-    pbits = 4 if method == 0 else 5
-    part_order = r.read(4)
-    if part_order != 0:
-        raise NotImplementedError(
-            f"multi-partition residuals (order {part_order}) not supported"
-        )
+def _write_residuals(
+    w: _BitWriter,
+    res: list[int],
+    rice_param: int,
+    part_order: int = 0,
+    block_size: int = 0,
+    pred_order: int = 0,
+) -> None:
+    """Residual block: 2-bit method (00 = 4-bit Rice), 4-bit
+    partition order, then 2^order partitions each with its own
+    parameter (0b1111 escapes to raw fixed-width residuals; a 5-bit
+    width follows). Partition sizes per RFC 9639: every partition
+    holds block_size/2^order samples except the FIRST, which is
+    short by the predictor order (warm-up samples are not
+    residuals)."""
+    w.write(0, 2)
+    w.write(part_order, 4)
+    if part_order == 0:
+        _write_partition(w, res, rice_param)
+        return
+    n_parts = 1 << part_order
+    per = block_size >> part_order
+    pos = 0
+    for k in range(n_parts):
+        cnt = per - pred_order if k == 0 else per
+        _write_partition(w, res[pos : pos + cnt], rice_param)
+        pos += cnt
+
+
+def _read_partition(r: _BitReader, n: int, pbits: int) -> list[int]:
     param = r.read(pbits)
     if param == (1 << pbits) - 1:
         width = r.read(5)
@@ -182,7 +199,40 @@ def _read_residuals(r: _BitReader, n: int) -> list[int]:
             )
             for v in (r.read(width) for _ in range(n))
         ]
-    return [_unzigzag((r.read_unary() << param) | r.read(param)) for _ in range(n)]
+    return [
+        _unzigzag((r.read_unary() << param) | r.read(param))
+        for _ in range(n)
+    ]
+
+
+def _read_residuals(
+    r: _BitReader, n: int, block_size: int = 0, pred_order: int = 0
+) -> list[int]:
+    """Residual decode incl. multi-partition blocks (RFC 9639 §9.2.7:
+    2^order partitions, block_size/2^order samples each, the first
+    short by the predictor order)."""
+    method = r.read(2)
+    if method not in (0, 1):
+        raise ValueError(f"FLAC: reserved residual coding method {method}")
+    pbits = 4 if method == 0 else 5
+    part_order = r.read(4)
+    if part_order == 0:
+        return _read_partition(r, n, pbits)
+    if block_size == 0:
+        block_size = n + pred_order
+    if block_size % (1 << part_order):
+        raise ValueError(
+            f"FLAC: block size {block_size} not divisible by "
+            f"2^{part_order} partitions"
+        )
+    per = block_size >> part_order
+    if per <= pred_order and pred_order:
+        raise ValueError("FLAC: first partition would be empty")
+    out: list[int] = []
+    for k in range(1 << part_order):
+        cnt = per - pred_order if k == 0 else per
+        out.extend(_read_partition(r, cnt, pbits))
+    return out
 
 
 def encode_flac(rate: int, samples: list[int], type_seed: int = 0) -> bytes:
@@ -279,14 +329,70 @@ def encode_flac(rate: int, samples: list[int], type_seed: int = 0) -> bytes:
                 for i in range(order, bs)
             ]
             # order 0 residuals fit 16 bits -> real Rice; deeper
-            # orders can reach 2^20 -> the escape-to-raw path
-            _write_residuals(w, res, 14 if order == 0 else 0xF)
+            # orders can reach 2^20 -> the escape-to-raw path.
+            # Full 16-sample blocks split into 2 partitions (the
+            # multi-partition path); ragged tails use order 0
+            po = 1 if bs == 16 else 0
+            _write_residuals(
+                w, res, 14 if order == 0 else 0xF, po, bs, order
+            )
         w.align()
         frame = bytes(hdr) + w.bytes()
         out += frame + struct.pack(">H", crc16(frame))
         pos += bs
         frame_no += 1
     return bytes(out)
+
+
+def _decode_subframe(r: _BitReader, bs: int, bits: int) -> list[int]:
+    """One subframe at the given bit depth (decorrelated side
+    channels carry bits+1): CONSTANT / VERBATIM / FIXED / LPC with
+    Rice or escaped residuals."""
+    if r.read(1) != 0:
+        raise ValueError("FLAC: invalid subframe padding bit")
+    stype = r.read(6)
+    if r.read(1) != 0:
+        raise NotImplementedError("wasted-bits subframes not supported")
+    if stype == 0:
+        v = r.read_signed(bits)
+        return [v] * bs
+    if stype == 1:
+        return [r.read_signed(bits) for _ in range(bs)]
+    if 8 <= stype <= 12:
+        order = stype - 8
+        block = [r.read_signed(bits) for _ in range(order)]
+        res = _read_residuals(r, bs - order, bs, order)
+        coeffs = FIXED_COEFFS[order]
+        for e in res:
+            pred = sum(
+                c * block[len(block) - 1 - j]
+                for j, c in enumerate(coeffs)
+            )
+            block.append(pred + e)
+        return block
+    if stype >= 32:
+        order = stype - 31
+        block = [r.read_signed(bits) for _ in range(order)]
+        prec_code = r.read(4)
+        if prec_code == 0xF:
+            raise ValueError("FLAC: invalid QLP precision code")
+        prec = prec_code + 1
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC: negative LPC shift")
+        coeffs = [r.read_signed(prec) for _ in range(order)]
+        res = _read_residuals(r, bs - order, bs, order)
+        for e in res:
+            pred = (
+                sum(
+                    c * block[len(block) - 1 - j]
+                    for j, c in enumerate(coeffs)
+                )
+                >> shift
+            )
+            block.append(pred + e)
+        return block
+    raise ValueError(f"FLAC: reserved subframe type {stype}")
 
 
 def decode_flac(payload: bytes) -> dict:
@@ -322,14 +428,14 @@ def decode_flac(payload: bytes) -> dict:
     bits = r.read(5) + 1
     total = r.read(36)
     md5_expect = streaminfo[18:34]
-    if channels != 1 or bits != 16:
+    if channels not in (1, 2) or bits != 16:
         raise NotImplementedError(
-            f"only mono 16-bit FLAC supported (channels={channels}, "
-            f"bits={bits})"
+            f"only mono/stereo 16-bit FLAC supported (channels="
+            f"{channels}, bits={bits})"
         )
 
     samples: list[int] = []
-    while len(samples) < total:
+    while len(samples) < total * channels:
         frame_start = i
         r = _BitReader(payload, i)
         if r.read(14) != 0b11111111111110:
@@ -341,10 +447,25 @@ def decode_flac(payload: bytes) -> dict:
         chan = r.read(4)
         ss_code = r.read(3)
         r.read(1)
-        if chan != 0:
+        if chan == 0:
+            sub_bits = (16,)
+        elif chan == 1:
+            sub_bits = (16, 16)
+        elif chan == 8:  # left/side: side carries one extra bit
+            sub_bits = (16, 17)
+        elif chan == 9:  # right/side
+            sub_bits = (17, 16)
+        elif chan == 10:  # mid/side
+            sub_bits = (16, 17)
+        else:
             raise NotImplementedError(
-                f"stereo/decorrelated channel assignment {chan} "
-                "not supported"
+                f"channel assignment {chan} not supported "
+                "(mono, stereo and the three decorrelated pairs only)"
+            )
+        if len(sub_bits) != channels:
+            raise ValueError(
+                f"FLAC: frame channel assignment {chan} disagrees with "
+                f"STREAMINFO channels={channels}"
             )
         if ss_code != 0b100:
             raise NotImplementedError(
@@ -375,65 +496,134 @@ def decode_flac(payload: bytes) -> dict:
             raise ValueError(f"FLAC: frame-header CRC-8 mismatch at {i}")
         r.byte += 1
 
-        if r.read(1) != 0:
-            raise ValueError("FLAC: invalid subframe padding bit")
-        stype = r.read(6)
-        if r.read(1) != 0:
-            raise NotImplementedError("wasted-bits subframes not supported")
-        if stype == 0:
-            v = r.read_signed(16)
-            block = [v] * bs
-        elif stype == 1:
-            block = [r.read_signed(16) for _ in range(bs)]
-        elif 8 <= stype <= 12:
-            order = stype - 8
-            block = [r.read_signed(16) for _ in range(order)]
-            res = _read_residuals(r, bs - order)
-            coeffs = FIXED_COEFFS[order]
-            for e in res:
-                pred = sum(
-                    c * block[len(block) - 1 - j]
-                    for j, c in enumerate(coeffs)
-                )
-                block.append(pred + e)
-        elif stype >= 32:
-            order = stype - 31
-            block = [r.read_signed(16) for _ in range(order)]
-            prec_code = r.read(4)
-            if prec_code == 0xF:
-                raise ValueError("FLAC: invalid QLP precision code")
-            prec = prec_code + 1
-            shift = r.read_signed(5)
-            if shift < 0:
-                raise ValueError("FLAC: negative LPC shift")
-            coeffs = [r.read_signed(prec) for _ in range(order)]
-            res = _read_residuals(r, bs - order)
-            for e in res:
-                pred = (
-                    sum(
-                        c * block[len(block) - 1 - j]
-                        for j, c in enumerate(coeffs)
-                    )
-                    >> shift
-                )
-                block.append(pred + e)
-        else:
-            raise ValueError(f"FLAC: reserved subframe type {stype}")
+        subframes = [
+            _decode_subframe(r, bs, b) for b in sub_bits
+        ]
         r.align()
+        if chan == 0:
+            block = subframes[0]
+        elif chan == 1:
+            block = [
+                v for pair in zip(subframes[0], subframes[1]) for v in pair
+            ]
+        elif chan == 8:  # left/side: R = L - S
+            block = [
+                v
+                for lft, sd in zip(subframes[0], subframes[1])
+                for v in (lft, lft - sd)
+            ]
+        elif chan == 9:  # right/side: L = R + S
+            block = [
+                v
+                for sd, rgt in zip(subframes[0], subframes[1])
+                for v in (rgt + sd, rgt)
+            ]
+        else:  # mid/side (RFC 9639 §4.2): mid<<1 | side&1, then +/-
+            block = []
+            for mid, sd in zip(subframes[0], subframes[1]):
+                m2 = (mid << 1) | (sd & 1)
+                block.extend(((m2 + sd) >> 1, (m2 - sd) >> 1))
         body_end = r.byte
         expect, = struct.unpack_from(">H", payload, body_end)
         if crc16(payload[frame_start:body_end]) != expect:
             raise ValueError(f"FLAC: frame CRC-16 mismatch at {i}")
         samples.extend(block)
         i = body_end + 2
-    if len(samples) != total:
+    if len(samples) != total * channels:
         raise ValueError(
-            f"FLAC: decoded {len(samples)} samples, STREAMINFO says {total}"
+            f"FLAC: decoded {len(samples)} samples, STREAMINFO says "
+            f"{total} x {channels}"
         )
     raw = b"".join(struct.pack("<h", s) for s in samples)
     if hashlib.md5(raw).digest() != md5_expect:
         raise ValueError("FLAC: STREAMINFO MD5 mismatch on decoded audio")
     return {
-        "fmt": "flac", "width": None, "height": None, "channels": 1,
-        "sample_rate": rate, "values": samples,
+        "fmt": "flac", "width": None, "height": None,
+        "channels": channels, "sample_rate": rate, "values": samples,
     }
+
+
+def _write_verbatim(w: _BitWriter, block: list[int], bits: int) -> None:
+    w.write(0, 1)
+    w.write(0b000001, 6)
+    w.write(0, 1)
+    for s in block:
+        w.write(s & ((1 << bits) - 1), bits)
+
+
+def encode_flac_stereo(
+    rate: int,
+    left: list[int],
+    right: list[int],
+    assign_seed: int = 0,
+) -> bytes:
+    """Stereo FLAC with REAL inter-channel decorrelation: frames
+    cycle through independent / left-side / right-side / mid-side
+    channel assignments from `assign_seed` (the side channel carries
+    17-bit verbatim samples, mid = (L+R)>>1 with the parity bit
+    recovered from side per RFC 9639 §4.2). Lossless round-trip of
+    interleaved (L, R); the STREAMINFO MD5 covers the interleaved
+    stream as the spec requires."""
+    assert len(left) == len(right)
+    n = len(left)
+    inter = [v for pair in zip(left, right) for v in pair]
+    raw = b"".join(struct.pack("<h", s) for s in inter)
+    md5 = hashlib.md5(raw).digest()
+    streaminfo = bytearray()
+    streaminfo += struct.pack(">HH", 16, 16)
+    streaminfo += b"\x00\x00\x00" * 2
+    bw = _BitWriter()
+    bw.write(rate, 20)
+    bw.write(1, 3)  # stereo (channels - 1)
+    bw.write(15, 5)
+    bw.write(n, 36)
+    streaminfo += bw.bytes()
+    streaminfo += md5
+    out = bytearray(b"fLaC")
+    out += bytes([0x80, 0, 0, 34]) + streaminfo
+
+    frame_no = 0
+    pos = 0
+    while pos < n:
+        bs = min(16, n - pos)
+        lb = left[pos : pos + bs]
+        rb = right[pos : pos + bs]
+        assign = (8, 9, 10, 1)[(assign_seed + frame_no) % 4]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)
+        w.write(0, 1)
+        w.write(6, 4)
+        w.write(0, 4)
+        w.write(assign, 4)
+        w.write(0b100, 3)
+        w.write(0, 1)
+        w.align()
+        hdr = bytearray(w.bytes())
+        if frame_no > 0x7F:
+            raise NotImplementedError("multi-byte frame numbers unstaged")
+        hdr.append(frame_no)
+        hdr.append(bs - 1)
+        hdr.append(crc8(bytes(hdr)))
+
+        w = _BitWriter()
+        side = [a - b for a, b in zip(lb, rb)]
+        if assign == 1:
+            _write_verbatim(w, lb, 16)
+            _write_verbatim(w, rb, 16)
+        elif assign == 8:
+            _write_verbatim(w, lb, 16)
+            _write_verbatim(w, side, 17)
+        elif assign == 9:
+            _write_verbatim(w, side, 17)
+            _write_verbatim(w, rb, 16)
+        else:  # mid/side
+            mid = [(a + b) >> 1 for a, b in zip(lb, rb)]
+            _write_verbatim(w, mid, 16)
+            _write_verbatim(w, side, 17)
+        w.align()
+        frame = bytes(hdr) + w.bytes()
+        out += frame + struct.pack(">H", crc16(frame))
+        pos += bs
+        frame_no += 1
+    return bytes(out)

@@ -1931,3 +1931,108 @@ def audio_features_adpcm_batched(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         gen, schema=_AUDIO_SCHEMA
     )
+
+
+def attach_flac_stereo_payload(docs: DataFrame) -> DataFrame:
+    """Stage STEREO FLAC payloads: left channel uses the standard
+    `_media_params` formula, right a second deterministic formula,
+    and the channel-assignment sequence (left-side / right-side /
+    mid-side / independent) cycles from the doc's p value so every
+    decorrelation mode is exercised across the corpus."""
+    from collections.abc import Iterator as _It
+
+    from gmall_realtime_flink_spark.operators.flac import (
+        encode_flac_stereo,
+    )
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    payloads.append(None)
+                    continue
+                m = _media_params(int(doc_id), text)
+                p, n = m["p"], m["n_samples"]
+                left = [
+                    ((p * 3 + i * 7) % 256 - 128) * 256 for i in range(n)
+                ]
+                right = [
+                    ((p * 5 + i * 11) % 256 - 128) * 256 for i in range(n)
+                ]
+                payloads.append(
+                    encode_flac_stereo(m["rate"], left, right, p)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+
+
+_STEREO_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, "
+    "zc_l long, zc_r long, sum_sq_l long, sum_sq_r long, "
+    "peak_l int, peak_r int, duration_us long"
+)
+
+
+def stereo_audio_features(with_payload: DataFrame) -> DataFrame:
+    """Per-channel audio features over decoded STEREO payloads
+    (interleaved L,R from decode_media): the audio_features contract
+    doubled — integer-exact so the oracle recomputes both channels
+    symbolically. Arrow mapInPandas, narrow, no shuffle."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "zc_l", "zc_r",
+                "sum_sq_l", "sum_sq_r", "peak_l", "peak_r",
+                "duration_us",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                cols["doc_id"].append(doc_id)
+                if payload is None:
+                    for k in list(cols)[1:]:
+                        cols[k].append(None)
+                    continue
+                d = decode_media(bytes(payload))
+                if d["channels"] != 2:
+                    raise ValueError("stereo features on mono payload")
+                inter = np.asarray(d["values"], dtype=np.int64)
+                lch, rch = inter[0::2], inter[1::2]
+                rate = d["sample_rate"]
+                cols["sample_rate"].append(rate)
+                cols["n_samples"].append(len(lch))
+                for name, s in (("l", lch), ("r", rch)):
+                    cols[f"zc_{name}"].append(
+                        int(np.count_nonzero(s[:-1] * s[1:] < 0))
+                    )
+                    cols[f"sum_sq_{name}"].append(int(np.dot(s, s)))
+                    cols[f"peak_{name}"].append(
+                        int(np.abs(s).max()) if len(s) else 0
+                    )
+                cols["duration_us"].append(
+                    len(lch) * 1_000_000 // rate
+                )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                "sample_rate": pd.Series(cols["sample_rate"], dtype="Int32"),
+                "n_samples": pd.Series(cols["n_samples"], dtype="Int64"),
+                "zc_l": pd.Series(cols["zc_l"], dtype="Int64"),
+                "zc_r": pd.Series(cols["zc_r"], dtype="Int64"),
+                "sum_sq_l": pd.Series(cols["sum_sq_l"], dtype="Int64"),
+                "sum_sq_r": pd.Series(cols["sum_sq_r"], dtype="Int64"),
+                "peak_l": pd.Series(cols["peak_l"], dtype="Int32"),
+                "peak_r": pd.Series(cols["peak_r"], dtype="Int32"),
+                "duration_us": pd.Series(
+                    cols["duration_us"], dtype="Int64"
+                ),
+            })
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        gen, schema=_STEREO_AUDIO_SCHEMA
+    )

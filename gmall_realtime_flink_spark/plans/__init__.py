@@ -84,7 +84,7 @@ _DRIVER_PRIORITY = [
     "doc_dsir_select", "bm25_topk", "doc_winnow_fingerprint",
     "multimodal_mp3_headers", "multimodal_audio_adpcm",
     "multimodal_audio_flac", "doc_gopher_rules", "doc_html_extract",
-    "bpe_compression_eval",
+    "bpe_compression_eval", "multimodal_audio_flac_stereo",
     # staleness burn-down (r13): the 23 stalest entries by
     # last_checked_round over ALL driver artifacts including r12 —
     # the four r06-era entries, the full r07 chained cohort (one
@@ -97,7 +97,6 @@ _DRIVER_PRIORITY = [
     "chained_province_stats", "chained_visitor_stats",
     "dedup_minhash_lsh_capped", "dedup_pagerank_capped", "knn_graph",
     "streaming_dedup_exact",
-    "streaming_multimodal_features",
     "streaming_uv_dropdup_wm",
     # macro-family representatives (pinned by test_registry)
     "streaming_product_stats_enriched", "streaming_uv_dropdup",

@@ -5739,3 +5739,74 @@ def bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("tokens_per_word"),
     )
+
+
+@register(
+    "multimodal_audio_flac_stereo",
+    oracle="""
+    WITH fs AS (
+      SELECT doc_id, text,
+             32 + (('0x' || substr(md5(text), 1, 2))::INT % 95) AS p,
+             (8000 + ((doc_id // 3) % 3) * 4000)::INT AS rate,
+             (16 + length(text) % 49)::BIGINT AS n
+      FROM documents),
+    ch AS (
+      SELECT doc_id, text, p, rate, n,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE list_transform(generate_series(0, (n - 1)::INT),
+                    i -> (((p * 3 + i * 7) % 256 - 128) * 256)::BIGINT)
+                  END AS lch,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE list_transform(generate_series(0, (n - 1)::INT),
+                    i -> (((p * 5 + i * 11) % 256 - 128) * 256)::BIGINT)
+                  END AS rch
+      FROM fs)
+    SELECT doc_id,
+           CASE WHEN lch IS NULL THEN NULL ELSE rate END AS sample_rate,
+           CASE WHEN lch IS NULL THEN NULL ELSE n END AS n_samples,
+           CASE WHEN lch IS NULL THEN NULL
+                ELSE (SELECT count(*) FROM unnest(
+                        generate_series(1, (n - 1)::INT)) AS t(i)
+                      WHERE lch[i] * lch[i + 1] < 0)::BIGINT END AS zc_l,
+           CASE WHEN rch IS NULL THEN NULL
+                ELSE (SELECT count(*) FROM unnest(
+                        generate_series(1, (n - 1)::INT)) AS t(i)
+                      WHERE rch[i] * rch[i + 1] < 0)::BIGINT END AS zc_r,
+           CASE WHEN lch IS NULL THEN NULL
+                ELSE (SELECT sum(x * x) FROM unnest(lch) AS u(x))::BIGINT
+                END AS sum_sq_l,
+           CASE WHEN rch IS NULL THEN NULL
+                ELSE (SELECT sum(x * x) FROM unnest(rch) AS u(x))::BIGINT
+                END AS sum_sq_r,
+           CASE WHEN lch IS NULL THEN NULL
+                ELSE (SELECT max(abs(x)) FROM unnest(lch) AS u(x))::INT
+                END AS peak_l,
+           CASE WHEN rch IS NULL THEN NULL
+                ELSE (SELECT max(abs(x)) FROM unnest(rch) AS u(x))::INT
+                END AS peak_r,
+           CASE WHEN lch IS NULL THEN NULL
+                ELSE (n * 1000000) // rate END AS duration_us
+    FROM ch
+    """,
+    doc="Per-channel audio features over STEREO FLAC with real "
+    "inter-channel decorrelation (the final FLAC named gap closed): "
+    "frames cycle left-side / right-side / mid-side / independent "
+    "assignments per doc, the side channel decodes at 17 bits, and "
+    "mid/side reconstruction recovers the parity bit per RFC 9639 "
+    "§4.2 — then both channels' zero-crossings/energy/peak are "
+    "integer-recomputed symbolically by the oracle from the two "
+    "staged sample formulas. A single wrong decorrelation transform, "
+    "bit-depth or interleave order anywhere hash-fails (and the "
+    "STREAMINFO MD5 over the interleaved stream fails first). Arrow "
+    "mapInPandas, narrow, no shuffle. "
+    "operators/flac.py:encode_flac_stereo.",
+    tags=("multimodal", "pandas-udf", "audio", "decode"),
+)
+def multimodal_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_realtime_flink_spark.operators.multimodal import (
+        attach_flac_stereo_payload,
+        stereo_audio_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return stereo_audio_features(attach_flac_stereo_payload(d))

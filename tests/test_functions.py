@@ -1940,3 +1940,35 @@ def test_adpcm_batched_kernel_matches_scalar(spark):
         for r in audio_features_adpcm_batched(staged).collect()
     }
     assert a == b and a[99]["sum_sq"] is None
+
+
+def test_flac_stereo_decorrelation_roundtrip():
+    """All four stereo channel assignments reconstruct losslessly,
+    including mid/side parity recovery; channel-count disagreement
+    between frame and STREAMINFO fails loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.flac import (
+        decode_flac,
+        encode_flac_stereo,
+    )
+
+    rng = random.Random(23)
+    for n in (1, 16, 33):
+        for seed in range(4):
+            lch = [rng.randint(-32768, 32767) for _ in range(n)]
+            rch = [rng.randint(-32768, 32767) for _ in range(n)]
+            d = decode_flac(encode_flac_stereo(32000, lch, rch, seed))
+            assert d["channels"] == 2
+            assert d["values"][0::2] == lch and d["values"][1::2] == rch
+    # odd L+R exercises the mid/side parity bit specifically
+    d = decode_flac(encode_flac_stereo(8000, [7], [4], 2))  # mid/side
+    assert d["values"] == [7, 4]
+    # a mono frame inside a stereo stream is a loud structure error
+    b = bytearray(encode_flac_stereo(8000, [1] * 16, [2] * 16, 3))
+    fstart = 4 + 4 + 34
+    b[fstart + 3] = (b[fstart + 3] & 0x0F) | 0x00  # assignment -> mono
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(b))
