@@ -510,30 +510,46 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    lsh = jaccard_verify(
-        lsh_candidates(minhash_signatures(d)), d, threshold=0.8
-    ).select("doc_a", "doc_b")
-    exact = jaccard_verify(
-        prefix_filter_candidates(d, threshold=0.8), d, threshold=0.8
-    ).select("doc_a", "doc_b")
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    nh = lsh.join(exact, ["doc_a", "doc_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("hits")
+    # r13 optimization (guide §2.3/§2.4): the original ran
+    # jaccard_verify TWICE (once per candidate source) — two full
+    # tokenize+shingle+intersect passes over overlapping pair sets,
+    # plus a third join for the hit count. Verify the UNION of
+    # candidate pairs ONCE, carrying per-source provenance flags, and
+    # derive all three counts from one aggregation. Equivalent by
+    # construction (no completeness lemma needed): a pair verifies at
+    # J >= 0.8 independently of which generator proposed it, so
+    # {verified & from_lsh} == old lsh, {verified & from_prefix} ==
+    # old exact, and their conjunction is the old semi-join.
+    lshc = lsh_candidates(minhash_signatures(d)).select(
+        "doc_a", "doc_b", F.lit(1).alias("il"), F.lit(0).alias("ip")
     )
-    return (
-        ne.crossJoin(nl)
-        .crossJoin(nh)
-        .select(
-            F.lit(0.8).alias("threshold"),
-            "n_exact",
-            "n_lsh",
-            "hits",
-            F.when(
-                F.col("n_exact") > 0,
-                F.round(F.col("hits") / F.col("n_exact"), 6) + F.lit(0.0),
-            ).alias("recall"),
-        )
+    pfc = prefix_filter_candidates(d, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(0).alias("il"), F.lit(1).alias("ip")
+    )
+    cand = (
+        lshc.unionByName(pfc)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("il").alias("il"), F.max("ip").alias("ip"))
+    )
+    ver = jaccard_verify(
+        cand.select("doc_a", "doc_b"), d, threshold=0.8
+    ).select("doc_a", "doc_b")
+    stats = ver.join(cand, ["doc_a", "doc_b"]).agg(
+        F.coalesce(F.sum("ip"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("il"), F.lit(0)).cast("long").alias("n_lsh"),
+        F.coalesce(F.sum(F.col("il") * F.col("ip")), F.lit(0))
+        .cast("long")
+        .alias("hits"),
+    )
+    return stats.select(
+        F.lit(0.8).alias("threshold"),
+        "n_exact",
+        "n_lsh",
+        "hits",
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("hits") / F.col("n_exact"), 6) + F.lit(0.0),
+        ).alias("recall"),
     )
 
 
