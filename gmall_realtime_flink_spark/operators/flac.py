@@ -43,29 +43,51 @@ FIXED_COEFFS = (
 )
 
 
-def crc8(data: bytes) -> int:
-    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
-    FLAC frame-header CRC."""
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _crc8_table() -> tuple:
+    tbl = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
-    return crc
+        tbl.append(crc)
+    return tuple(tbl)
 
 
-def crc16(data: bytes) -> int:
-    """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0
-    — the FLAC whole-frame CRC."""
-    crc = 0
-    for byte in data:
-        crc ^= byte << 8
+def _crc16_table() -> tuple:
+    tbl = []
+    for b in range(256):
+        crc = b << 8
         for _ in range(8):
             crc = (
                 ((crc << 1) ^ 0x8005) & 0xFFFF
                 if crc & 0x8000
                 else (crc << 1) & 0xFFFF
             )
+        tbl.append(crc)
+    return tuple(tbl)
+
+
+_CRC8_TABLE = _crc8_table()
+_CRC16_TABLE = _crc16_table()
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
+    FLAC frame-header CRC. Table-driven, one lookup per byte."""
+    crc = 0
+    tbl = _CRC8_TABLE
+    for byte in data:
+        crc = tbl[crc ^ byte]
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0
+    — the FLAC whole-frame CRC. Table-driven, one lookup per byte."""
+    crc = 0
+    tbl = _CRC16_TABLE
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFF) ^ tbl[(crc >> 8) ^ byte]
     return crc
 
 
@@ -99,30 +121,69 @@ class _BitWriter:
 
 
 class _BitReader:
+    """(byte, bit)-exact bit reader: multi-bit reads slice the needed
+    byte span once via int.from_bytes (O(span) in C) instead of
+    looping per bit; unary reads scan whole zero bytes at a time.
+    The byte/bit attributes keep the original semantics (next unread
+    bit), so the frame walk's direct use of r.byte (CRC offsets,
+    skipping the CRC-8 byte) is unchanged."""
+
+    __slots__ = ("data", "byte", "bit")
+
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.byte = pos
         self.bit = 0
 
     def read(self, bits: int) -> int:
-        v = 0
-        for _ in range(bits):
-            if self.byte >= len(self.data):
-                raise ValueError("FLAC: bitstream exhausted")
-            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        byte, bit, data = self.byte, self.bit, self.data
+        span = (bit + bits + 7) >> 3
+        chunk = data[byte : byte + span]
+        if len(chunk) < span:
+            raise ValueError("FLAC: bitstream exhausted")
+        v = (
+            int.from_bytes(chunk, "big") >> ((span << 3) - bit - bits)
+        ) & ((1 << bits) - 1)
+        nb = bit + bits
+        self.byte = byte + (nb >> 3)
+        self.bit = nb & 7
         return v
 
     def read_unary(self) -> int:
+        data, byte, bit = self.data, self.byte, self.bit
+        n = len(data)
         q = 0
-        while self.read(1) == 0:
-            q += 1
+        if bit:
+            if byte >= n:
+                raise ValueError("FLAC: bitstream exhausted")
+            cur = data[byte] & (0xFF >> bit)
+            if cur:
+                p = 8 - cur.bit_length()
+                q = p - bit
+                nb = p + 1
+                self.byte = byte + (nb >> 3)
+                self.bit = nb & 7
+                return q
+            q = 8 - bit
+            byte += 1
+        while True:
+            if byte >= n:
+                raise ValueError("FLAC: bitstream exhausted")
+            b = data[byte]
+            if b == 0:
+                q += 8
+                byte += 1
+                if q > 1 << 20:
+                    raise ValueError("FLAC: runaway unary code")
+                continue
+            p = 8 - b.bit_length()
+            q += p
             if q > 1 << 20:
                 raise ValueError("FLAC: runaway unary code")
-        return q
+            nb = p + 1
+            self.byte = byte + (nb >> 3)
+            self.bit = nb & 7
+            return q
 
     def read_signed(self, bits: int) -> int:
         v = self.read(bits)

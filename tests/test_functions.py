@@ -1972,3 +1972,102 @@ def test_flac_stereo_decorrelation_roundtrip():
     b[fstart + 3] = (b[fstart + 3] & 0x0F) | 0x00  # assignment -> mono
     with _pytest.raises(ValueError):
         decode_flac(bytes(b))
+
+
+def test_flac_fast_kernels_match_bitwise_reference():
+    """The table-driven CRCs and the span-slicing bit reader must be
+    bit-identical to the per-bit spec definitions on random data,
+    including mid-byte starts, unary runs spanning zero bytes, and
+    the exhausted / runaway failure modes."""
+    import random as _random
+
+    import pytest as _pytest
+
+    from gmall_realtime_flink_spark.operators.flac import (
+        _BitReader,
+        crc8,
+        crc16,
+    )
+
+    def ref_crc8(data):
+        crc = 0
+        for byte in data:
+            crc ^= byte
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x07) & 0xFF
+                    if crc & 0x80
+                    else (crc << 1) & 0xFF
+                )
+        return crc
+
+    def ref_crc16(data):
+        crc = 0
+        for byte in data:
+            crc ^= byte << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return crc
+
+    rng = _random.Random(42)
+    for n in (0, 1, 2, 7, 64, 513):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert crc8(data) == ref_crc8(data)
+        assert crc16(data) == ref_crc16(data)
+
+    class RefReader:
+        def __init__(self, data, pos=0):
+            self.data, self.byte, self.bit = data, pos, 0
+
+        def read(self, bits):
+            v = 0
+            for _ in range(bits):
+                if self.byte >= len(self.data):
+                    raise ValueError("exhausted")
+                v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+                self.bit += 1
+                if self.bit == 8:
+                    self.bit, self.byte = 0, self.byte + 1
+            return v
+
+        def read_unary(self):
+            q = 0
+            while self.read(1) == 0:
+                q += 1
+            return q
+
+    for trial in range(200):
+        data = bytes(
+            rng.choice((0, 0, rng.randrange(256))) for _ in range(40)
+        )
+        fast, ref = _BitReader(data), RefReader(data)
+        ops = []
+        try:
+            while True:
+                if rng.random() < 0.3:
+                    v = ref.read_unary()
+                    ops.append(("unary", v, ref.byte, ref.bit))
+                else:
+                    w = rng.randrange(1, 20)
+                    v = ref.read(w)
+                    ops.append((w, v, ref.byte, ref.bit))
+        except ValueError:
+            ops.append(("end", None, None, None))
+        for op, want, rb, rbit in ops:
+            if op == "end":
+                with _pytest.raises(ValueError):
+                    while True:
+                        fast.read(8)
+                break
+            got = fast.read_unary() if op == "unary" else fast.read(op)
+            assert got == want
+            assert (fast.byte, fast.bit) == (rb, rbit)
+
+    # runaway unary: >2^20 zero bits then a terminator still raises
+    big = bytes(1 << 18) + b"\x01"
+    with _pytest.raises(ValueError, match="runaway"):
+        _BitReader(big).read_unary()
