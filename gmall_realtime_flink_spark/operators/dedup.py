@@ -309,30 +309,65 @@ def jaccard_verify(
             )
             .select("doc_a", "doc_b")
         )
+    # Per-pair verification is per-ROW compute (a hash-set intersect
+    # over two shingle arrays), but the candidate rows are NARROW, so
+    # AQE's byte-based partition coalescing packs them into one or two
+    # tasks and the verify runs nearly single-threaded. Round-robin
+    # repartition to the cluster's core count (REPARTITION_BY_NUM is
+    # exempt from AQE coalescing); pair rows are ~16 bytes, so even
+    # billion-pair candidate sets stay a few MB per partition.
+    candidates = candidates.repartition(
+        candidates.sparkSession.sparkContext.defaultParallelism
+    )
+    # |A∪B| = |A| + |B| − |A∩B|: one hash-set build per pair instead
+    # of two (array_union built and hashed the full union only to be
+    # size()d) — the union size is determined by the two set sizes and
+    # the intersection size, so dropping array_union cannot change the
+    # rounded quotient
+    jac = F.round(
+        F.size(F.array_intersect("set_a", "set_b"))
+        / (
+            F.col("sz_a")
+            + F.col("sz_b")
+            - F.size(F.array_intersect("set_a", "set_b"))
+        ),
+        6,
+    )
+    # threshold filter via array-filter + explode, NOT .filter(): a
+    # plain Filter on the computed column is pushed into the broadcast
+    # join as a residual condition, re-evaluating the intersect once in
+    # the join and again in the projection (no cross-operator CSE); the
+    # generator form evaluates it once per row inside one Project (the
+    # duplicated size(array_intersect) within the expression IS deduped
+    # by project-level subexpression elimination) and drops non-passing
+    # rows by exploding an empty array. Same rows out: NULL jaccard
+    # fails both the old filter and the array predicate.
     j = (
         candidates.join(
             sets_df.select(
-                F.col(id_col).alias("doc_a"), F.col("sset").alias("set_a")
+                F.col(id_col).alias("doc_a"),
+                F.col("sset").alias("set_a"),
+                F.size("sset").alias("sz_a"),
             ),
             "doc_a",
         )
         .join(
             sets_df.select(
-                F.col(id_col).alias("doc_b"), F.col("sset").alias("set_b")
+                F.col(id_col).alias("doc_b"),
+                F.col("sset").alias("set_b"),
+                F.size("sset").alias("sz_b"),
             ),
             "doc_b",
         )
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.size(F.array_intersect("set_a", "set_b"))
-                / F.size(F.array_union("set_a", "set_b")),
-                6,
+            F.explode(
+                F.filter(F.array(jac), lambda v: v >= F.lit(threshold))
             ).alias("jaccard"),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    return j
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

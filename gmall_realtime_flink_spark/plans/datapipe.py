@@ -1940,7 +1940,13 @@ def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    cand = lsh_candidates(minhash_signatures(d))
+    # round-robin spread before the verify: the O(200×200) DP is
+    # per-row compute over narrow pair rows, which AQE's byte-based
+    # coalescing would otherwise pack into one task (same reasoning as
+    # jaccard_verify's repartition)
+    cand = lsh_candidates(minhash_signatures(d)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     x = d.select(
         F.col("doc_id").alias("doc_a"),
         F.substring("text", 1, 200).alias("text_a"),
@@ -1949,13 +1955,24 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.substring("text", 1, 200).alias("text_b"),
     )
-    scored = (
+    # threshold filter via array-filter + explode: a plain Filter on
+    # the computed column is pushed into the broadcast join as a
+    # residual condition, running the levenshtein DP once in the join
+    # and AGAIN in the projection; the generator form evaluates it
+    # once per row and drops non-passing rows via the empty array
+    return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .withColumn("edit_dist", F.levenshtein("text_a", "text_b"))
-    )
-    return scored.filter(F.col("edit_dist") <= 120).select(
-        "doc_a", "doc_b", "edit_dist"
+        .select(
+            "doc_a",
+            "doc_b",
+            F.explode(
+                F.filter(
+                    F.array(F.levenshtein("text_a", "text_b")),
+                    lambda v: v <= F.lit(120),
+                )
+            ).alias("edit_dist"),
+        )
     )
 
 
