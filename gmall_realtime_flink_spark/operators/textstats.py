@@ -468,26 +468,34 @@ def dsir_weights(
     an exact integer sum, order-independent across partitionings and
     engines (the doc_lm_surprisal device).
 
-    Plan: one explode -> one bucket-grain partial agg (the exchange
-    carries |buckets| rows per map partition), a 1-row totals agg,
-    and a broadcast of the `dim`-row weight table back onto the token
-    stream -> one doc-keyed agg. At 100 TB the corpus is scanned
-    twice (count pass + score pass) and nothing but |docs| rows ever
-    shuffles; the n-gram generalization is the same plan with a
-    bigger explode."""
+    Plan (r13 optimization): the old form ran the tokenize + explode
+    + md5 token stream TWICE — once into the bucket-grain count agg
+    and once (joined with the broadcast weight table) into the
+    doc-keyed score agg. The per-token weight only depends on the
+    token's BUCKET, so the corpus now collapses once to (doc,
+    bucket, count) — a single explode into one doc×bucket-keyed agg,
+    at most `dim` rows per document — and both the bucket totals and
+    the per-document integer score derive from that table
+    (sum(lm·cnt) ≡ the old per-token sum exactly). One corpus scan
+    instead of two; every downstream exchange carries ≤ |docs|·dim
+    narrow rows."""
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     ).withColumn("m", F.md5("tok"))
     h1 = F.conv(F.substring("m", 1, 1), 16, 10).cast("int")
     h2 = F.conv(F.substring("m", 2, 1), 16, 10).cast("int")
-    b = toks.select(
-        F.col(id_col),
-        ((h1 * 16 + h2) % dim).alias("bucket"),
-        (F.col(id_col) % target_mod == 0).alias("is_t"),
+    pb = (
+        toks.select(F.col(id_col), ((h1 * 16 + h2) % dim).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
     )
-    counts = b.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("ct_r"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+    counts = pb.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("ct_r"),
+        F.sum(
+            F.when(
+                F.col(id_col) % target_mod == 0, F.col("cnt")
+            ).otherwise(0)
+        )
         .cast("long")
         .alias("ct_t"),
     )
@@ -508,10 +516,13 @@ def dsir_weights(
         .cast("long")
         .alias("lm"),
     )
-    scored = b.join(F.broadcast(lam), "bucket")
-    agg = scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.sum("lm").alias("wm"),
+    agg = (
+        pb.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("lm") * F.col("cnt")).alias("wm"),
+        )
     )
     return agg.select(
         F.col(id_col),
@@ -555,33 +566,45 @@ def bm25_topk(
     (9*r_micro+5) DIV 10 — and the per-(query,doc) reduction is an
     integer sum. No float ever crosses a row boundary.
 
-    Plan: tokens are semi-joined against the BROADCAST query-term
-    table before the tf agg (the inverted-index probe analogue — at
-    100 TB only rows containing query terms survive the scan, and
-    Catalyst pushes nothing but |matching tokens| into the shuffle);
-    doc lengths are one corpus agg reused for every query; the final
+    Plan (r13 optimization): the old form exploded the token stream
+    TWICE — once for doc lengths, once (semi-joined against the
+    query terms) for tfs — paying two tokenize passes and two
+    doc-keyed exchanges. The query-term vocabulary is a fixed
+    handful, so dl and every per-term tf now come out of ONE
+    explode + ONE doc-keyed agg (count(*) plus one conditional sum
+    per term — partial-aggregated map-side, guide §2.3), unpivoted
+    back to (doc, term, tf) rows by `stack`. Everything downstream
+    (df, idf, scores) derives from that vocab-sized table; the final
     per-query top-k is a rank over candidate docs only. Scale path
-    for thousands of queries: same plan — the query table stays
-    broadcast-sized and per-query candidate sets are disjoint
-    shuffles keyed by (qid, doc)."""
+    for thousands of queries: the conditional-sum column list grows
+    with the query VOCABULARY, not the corpus — beyond a few
+    thousand distinct terms, flip back to the broadcast semi-join
+    form."""
     spark = docs.sparkSession
     qrows = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
     qdf = spark.createDataFrame(qrows, "qid string, term string")
+    terms = sorted({t for _, ts in BM25_QUERIES for t in ts})
     base = docs.filter(F.col(id_col).isNotNull())
     toks = base.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
-    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
-    corp = dl.agg(
+    aggs = [F.count("*").cast("long").alias("dl")] + [
+        F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    corp = per_doc.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("t_tokens"),
     )
-    terms = qdf.select("term").distinct()
-    tf = (
-        toks.join(F.broadcast(terms), toks["tok"] == F.col("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
+    stack_args = ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms))
+    tf = per_doc.select(
+        F.col(id_col),
+        "dl",
+        F.expr(f"stack({len(terms)}, {stack_args}) AS (term, tf)"),
+    ).filter(F.col("tf") > 0)
     dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     idf = dfreq.crossJoin(F.broadcast(corp)).select(
         "term",
@@ -601,8 +624,7 @@ def bm25_topk(
         .alias("idf_micro"),
     )
     sc = (
-        tf.join(dl, id_col)
-        .crossJoin(F.broadcast(corp))
+        tf.crossJoin(F.broadcast(corp))
         .join(F.broadcast(idf), "term")
         .withColumn(
             "r_micro",
@@ -673,86 +695,88 @@ def winnow_fingerprints(
     a packed integer (positions are capped at 2^21 chars; longer
     documents would chunk first via doc_chunk).
 
-    Output per doc: n_grams, n_fingerprints, and fp_md5 — the md5 of
-    the position-ordered fingerprint list (the hash surface: one
-    wrong window min anywhere changes it).
+    Output per doc: n_fingerprints and fp_md5 — the md5 of the
+    position-ordered fingerprint list (the hash surface: one wrong
+    window min anywhere changes it).
 
-    Plan: explode to gram grain (narrow — no shuffle: the window
-    partitions by doc id, ONE shuffle keyed by doc), window-min,
-    distinct, doc-keyed agg. At 100 TB the gram stream never leaves
-    its doc partition after the single exchange; density ~2/(w+1)
-    keeps the fingerprint index ~40% of gram count."""
-    base = docs.select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("lt")
-    ).filter(F.length("lt") >= k + w - 1)
+    Plan (r13 optimization): winnowing is per-DOCUMENT local work —
+    no gram ever needs to cross documents — so the whole selection
+    runs inside ONE Arrow kernel (guide §4.2): round-robin
+    repartition of the narrow (id, text) rows to the cluster's core
+    count (the docs scan is otherwise a single small split, guide
+    §2.5/§2.6), then mapInArrow computes grams, window minima with
+    the packed rightmost-min rule, and the digest per doc. Zero
+    doc-keyed shuffles; the old expr form paid one |grams| exchange
+    plus a window sort, a distinct and a collect_list sort at gram
+    grain, and its md5-per-gram ran in the single scan task anyway.
+    Equality with the expr form (and the DuckDB oracle) is pinned by
+    test_winnow_fingerprints_guarantee_and_tie_rule and the
+    doc_winnow_fingerprint oracle; character positions use Spark
+    substring semantics (code points — Python slicing matches)."""
+    import pyarrow as pa
+
     span = _WINNOW_POS_SPAN
-    grams = base.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.lit(1), F.length("lt") - (k - 1))
-        ).alias("p"),
-        F.col("lt"),
-    ).select(
-        F.col(id_col),
-        F.col("p"),
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.substring(F.col("lt"), F.col("p"), F.lit(k))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            * span
-            + (F.lit(span - 1) - F.col("p"))
-        ).alias("key"),
-    )
-    from pyspark.sql import Window
+    min_len = k + w - 1
 
-    wspec = (
-        Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
-    )
-    sel = (
-        grams.select(
-            F.col(id_col), "p", F.min("key").over(wspec).alias("mk")
-        )
-        .filter(F.col("p") >= w)
-        .select(id_col, "mk")
-        .distinct()
-        .select(
-            F.col(id_col),
-            F.expr(f"mk DIV {span}").alias("fp_hash"),
-            (F.lit(span - 1) - F.col("mk") % span).alias("fp_pos"),
-        )
-    )
-    # sort key packs (pos, hash) so the digest is position-ordered
-    fps = sel.select(
-        F.col(id_col),
-        (F.col("fp_pos") * F.lit(4_294_967_296) + F.col("fp_hash")).alias(
-            "s"
-        ),
-    )
-    agg = fps.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_fingerprints"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list("s")),
-                    lambda s: F.concat(
-                        (s / F.lit(4_294_967_296)).cast("long").cast(
-                            "string"
-                        ),
-                        F.lit(":"),
-                        (s % F.lit(4_294_967_296)).cast("string"),
-                    ),
-                ),
+    def gen(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_id, out_n, out_md5 = [], [], []
+            for did, text in zip(ids, texts):
+                if text is None:
+                    continue
+                lt = text.lower()
+                if len(lt) < min_len:
+                    continue
+                n = len(lt) - (k - 1)
+                enc = lt.encode("utf-8")
+                # positions are CHARACTER positions (Spark substring);
+                # non-ascii needs per-gram char slicing before encode
+                if len(enc) != len(lt):
+                    gs = [lt[p: p + k].encode("utf-8") for p in range(n)]
+                else:
+                    gs = [enc[p: p + k] for p in range(n)]
+                # packed key = hash * 2^21 + (2^21 - 1 - pos), pos
+                # 1-based as in the expr form: plain min() picks the
+                # smallest hash, rightmost position on ties
+                keys = [
+                    int(md5(g).hexdigest()[:8], 16) * span
+                    + (span - 2 - p)
+                    for p, g in enumerate(gs)
+                ]
+                mins = {
+                    min(keys[p - w + 1: p + 1]) for p in range(w - 1, n)
+                }
+                out_id.append(did)
+                out_n.append(len(mins))
+                # digest is ordered by (pos, hash), formatted pos:hash
+                # exactly like the expr form's packed sort key
+                srt = sorted(
+                    (span - 1 - mk % span, mk // span) for mk in mins
+                )
+                digest = md5(
+                    ",".join(f"{p}:{h}" for p, h in srt).encode()
+                ).hexdigest()
+                out_md5.append(digest)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                    pa.array(out_md5, pa.string()),
+                ],
+                names=[id_col, "n_fingerprints", "fp_md5"],
             )
-        ).alias("fp_md5"),
+
+    narrow = docs.select(id_col, text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
     )
-    return agg
+    return narrow.mapInArrow(
+        gen, schema=f"{id_col} long, n_fingerprints long, fp_md5 string"
+    )
 
 
 # ---------------------------------------------------------------------------

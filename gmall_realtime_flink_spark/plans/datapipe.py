@@ -5188,11 +5188,13 @@ def doc_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "target-leaning docs (weight > 0). The per-BUCKET log ratio is "
     "integer-micro-snapped at 64-row grain so every cross-row "
     "reduction is an exact integer sum (doc_lm_surprisal device); "
-    "the bucket-weight table broadcasts back onto the token stream "
-    "like the frozen model weights of doc_quality_model_score. At "
-    "100 TB: two corpus scans, one |buckets|-row exchange, one "
-    "|docs|-keyed agg — nothing quadratic, no Python. "
-    "operators/textstats.py:dsir_weights.",
+    "the bucket-weight table broadcasts back onto the (doc, bucket) "
+    "count table like the frozen model weights of "
+    "doc_quality_model_score. At 100 TB: ONE corpus scan collapsing "
+    "to (doc, bucket, count) — at most 64 rows per doc — then "
+    "bucket totals and the per-doc integer score both derive from "
+    "that table (r13: the old second scan removed); nothing "
+    "quadratic, no Python. operators/textstats.py:dsir_weights.",
     tags=("datapipe", "curation", "sampling"),
 )
 def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5267,11 +5269,13 @@ def _bm25_queries_values() -> str:
     "per-(doc,term) BM25 score is ONE exact integer half-up "
     "division and all cross-row reductions are integer sums — no "
     "float ever crosses a row boundary (doc_lm_surprisal device). "
-    "Plan: tokens semi-join the BROADCAST query-term table before "
-    "the tf agg (inverted-index probe analogue: only matching "
-    "tokens shuffle), doc-length and corpus stats are one reused "
-    "agg, per-query rank runs over candidates only. "
-    "operators/textstats.py:bm25_topk.",
+    "Plan (r13): dl and every per-term tf come out of ONE explode + "
+    "ONE doc-keyed agg (count(*) + one conditional sum per query "
+    "term, map-side combined) unpivoted by stack — the old form's "
+    "second tokenize pass and second exchange are gone; df/idf/"
+    "scores derive from the vocab-sized tf table and the per-query "
+    "rank runs over candidates only. operators/textstats.py:"
+    "bm25_topk.",
     tags=("datapipe", "retrieval", "text"),
 )
 def bm25_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5318,12 +5322,14 @@ def bm25_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     "selected (pos, hash) pairs are the fingerprint set (guarantee: "
     "any match >= k+w-1 chars shares a fingerprint, density "
     "~2/(w+1)). The tie rule is arithmetic, not procedural: key = "
-    "hash*2^21 + (2^21-1-pos), so plain window MIN picks smallest "
-    "hash then largest position. fp_md5 digests the position-ordered "
-    "set — one wrong window-min anywhere hash-fails. Plan: one "
-    "doc-keyed exchange (the window partition), then distinct + agg "
-    "inside the same partitioning; gram streams never cross docs. "
-    "operators/textstats.py:winnow_fingerprints.",
+    "hash*2^21 + (2^21-1-pos), so plain min picks smallest hash "
+    "then largest position. fp_md5 digests the position-ordered "
+    "set — one wrong window-min anywhere hash-fails. Plan (r13): "
+    "winnowing is per-document local work, so the whole selection "
+    "runs in ONE Arrow kernel after a round-robin spread of the "
+    "narrow (id, text) rows — zero doc-keyed shuffles (the old expr "
+    "form paid a |grams| exchange + window sort + distinct + "
+    "collect_list sort). operators/textstats.py:winnow_fingerprints.",
     tags=("datapipe", "dedup", "text"),
 )
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

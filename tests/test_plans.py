@@ -624,18 +624,16 @@ def test_dsir_bucket_weights_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_winnow_single_doc_keyed_exchange(spark, sf_dir):
-    """doc_winnow_fingerprint: the gram stream crosses the wire on
-    the doc key for the window, and the later distinct/agg reuse
-    that partitioning — the plan must not re-shuffle grams on any
-    other key (hashpartitioning only ever on doc_id)."""
+def test_winnow_zero_keyed_exchange_arrow_kernel(spark, sf_dir):
+    """doc_winnow_fingerprint (r13 form): winnowing is per-document
+    local work, so the plan is a round-robin spread of the narrow
+    (id, text) rows into ONE Arrow kernel — no hashpartitioning
+    (the gram stream never crosses the wire at gram grain), no
+    window/sort, no join of any kind."""
     plan = plan_of(spark, sf_dir, "doc_winnow_fingerprint")
-    import re
-
-    keys = set(
-        re.findall(r"hashpartitioning\((?:cast\()?(\w+)", plan)
-    )
-    assert keys <= {"doc_id"}, f"unexpected exchange keys: {keys}"
+    assert "hashpartitioning" not in plan, "gram-grain shuffle is back"
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 
