@@ -441,9 +441,20 @@ def star_contraction(
             _small_star(_large_star(cur))
             .localCheckpoint(eager=True)
         )
+        # fixed-point test in ONE action (r13; was count + count +
+        # subtract = 3 actions and a two-sided exchange): both sides
+        # are distinct edge sets, so tagging rows 1/2 and summing per
+        # edge yields 3 iff the edge is in both — any row != 3 is a
+        # symmetric-difference witness.
         same = (
-            nxt.count() == cur.count()
-            and nxt.subtract(cur).limit(1).count() == 0
+            cur.select("u", "v", F.lit(1).alias("sde"))
+            .unionByName(nxt.select("u", "v", F.lit(2).alias("sde")))
+            .groupBy("u", "v")
+            .agg(F.sum("sde").alias("t"))
+            .filter(F.col("t") != 3)
+            .limit(1)
+            .count()
+            == 0
         )
         cur = nxt
         if same:

@@ -144,17 +144,19 @@ def simhash_near_pairs(
         "band",
         "bv",
     )
-    pairs = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # r13: the exact hamming verify runs BEFORE the pair-dedup
+    # exchange, and the distinct row narrows to (doc_a, doc_b,
+    # hamming) — sh_a/sh_b are functionally determined by the ids, so
+    # filter-then-distinct emits the same rows as the old
+    # distinct-then-filter while the distinct shuffles |near pairs|
+    # narrow rows instead of |band collisions| wide ones (guide §2.3).
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
-        pairs.withColumn("hamming", ham)
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

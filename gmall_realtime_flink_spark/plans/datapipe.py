@@ -3935,13 +3935,22 @@ def _integer_pagerank(cand: DataFrame) -> DataFrame:
     """3 fixed iterations of damping-0.85 PageRank over an undirected
     candidate-pair graph, all-integer (ranks scaled by 1e12) so both
     engines agree bit-for-bit."""
+    # r13: every unrolled iteration's plan embeds the full candidate-
+    # generation lineage (signatures -> banding -> self-join), so the
+    # LSH pipeline ran 4+ times per action; a LAZY localCheckpoint
+    # materializes the pair list once INSIDE the first timed action
+    # and the deg/edges/iteration branches all read the stored copy
+    # (guide §5 — cut lineage; lazy so no work moves outside the
+    # timed region, and a fresh builder invocation always recomputes
+    # from parquet).
+    cand = cand.localCheckpoint(eager=False)
     edges = cand.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionByName(
         cand.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "s")
+    edges_deg = edges.join(deg, "s").localCheckpoint(eager=False)
     rank = deg.select(F.col("s").alias("id"), F.lit(10**12).alias("r"))
     for _ in range(3):
         contrib = edges_deg.join(rank, edges_deg["s"] == rank["id"]).select(
