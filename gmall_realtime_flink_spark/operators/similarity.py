@@ -435,9 +435,14 @@ def kmeans_centroids(
     # (observed at sf10: 12 of 13 byte-range splits were empty).
     # Values are unaffected: every downstream agg is order-independent
     # (max_by on a totally-ordered struct, exact decimal means).
+    # r13: lazy-checkpointed — every Lloyd iteration references `e`,
+    # and without the cut each iteration branch re-ran the scan +
+    # norm + repartition (MLlib's iterative trainers cache their
+    # input for the same reason; at production scale this is the
+    # standard train-input persist, spillable to disk).
     e = e.repartition(
         int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
+    ).localCheckpoint(eager=False)
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
     )
@@ -451,7 +456,14 @@ def _lloyd_iterate(e: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
     (vec_id, emb[, emb_nrm]); `cent` is the seed frame (cid, cvec).
     Arithmetic identical to the historical inline loop: 6dp-rounded
     cosine assignment with ties to the lowest cid, exact
-    DECIMAL(38,12) member means, empty cells keep their centroid."""
+    DECIMAL(38,12) member means, empty cells keep their centroid.
+
+    r13: each iteration ends in a LAZY localCheckpoint of the K-row
+    centroid frame — without it, iteration i's plan embeds iteration
+    i-1 TWICE (once under `assigned`, once under the coalesce join),
+    so the input cross re-executed 2^iters times per action (guide
+    §5 — lineage). Lazy keeps the work inside the first timed action;
+    K rows × dim doubles is trivially small."""
     for _ in range(iters):
         cent_n = cent.withColumn(  # K rows — cheap
             "cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec")))
@@ -484,9 +496,11 @@ def _lloyd_iterate(e: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
                 ).alias("mvec")
             )
         )
-        cent = cent.join(
-            means, cent["cid"] == means["cell"], "left"
-        ).select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
+        cent = (
+            cent.join(means, cent["cid"] == means["cell"], "left")
+            .select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=False)
+        )
     return cent
 
 
