@@ -38,6 +38,31 @@ from gmall_realtime_flink_spark.operators.textstats import (
 )
 from gmall_realtime_flink_spark.plans.registry import register
 
+
+def _spread_docs(d: DataFrame) -> DataFrame:
+    """Round-robin spread of the narrow (doc_id, text) rows to the
+    cluster's core count before a per-document Python decode kernel
+    (guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read" / §2.6 idle capacity):
+    the docs table arrives as a single-row-group parquet split at the
+    bench SFs, so every downstream mapInPandas codec otherwise runs in
+    ONE task while the other cores idle. Scale-adaptive — the target
+    count is defaultParallelism, not a constant — and the exchange
+    moves only the two narrow driver columns the payload generators
+    need (guide §2.3 project-before-exchange; the synthesized payload
+    bytes are created AFTER the exchange, so they never cross it).
+
+    Conditional: when the scan already yields >= defaultParallelism
+    splits (any production-sized table), the exchange is skipped
+    entirely — the spread exists for unsplittable small inputs, not as
+    a constant tax on scans that parallelize by themselves."""
+    narrow = d.select("doc_id", "text")
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() >= par:
+        return narrow
+    return narrow.repartition(par)
+
+
 # shared oracle CTEs for the minhash family (word 2-gram shingles,
 # 8 minhashes, 4 bands × 2) — DuckDB lists are 1-based like
 # element_at, so the SQL is a transliteration of operators/dedup.py
@@ -1350,7 +1375,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media_stats,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return decode_media_stats(attach_jpeg_payload(d))
 
 
@@ -1404,7 +1429,7 @@ def multimodal_decode_jpeg_progressive(
         decode_media_stats,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return decode_media_stats(attach_progressive_jpeg_payload(d))
 
 
@@ -1476,7 +1501,7 @@ def multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_stats,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return video_frame_stats(attach_mp4_payload(d))
 
 
@@ -5411,7 +5436,7 @@ def multimodal_mp3_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp3_frame_stats,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return mp3_frame_stats(attach_mp3_payload(d))
 
 
@@ -5501,7 +5526,7 @@ def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_features,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return audio_features(attach_adpcm_payload(d))
 
 
@@ -5575,7 +5600,7 @@ def multimodal_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_features,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return audio_features(attach_flac_payload(d))
 
 
@@ -5726,7 +5751,7 @@ def doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_main_text,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return extract_main_text(attach_html_payload(d))
 
 
@@ -5856,5 +5881,5 @@ def multimodal_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
         stereo_audio_features,
     )
 
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return stereo_audio_features(attach_flac_stereo_payload(d))
