@@ -55,11 +55,25 @@ def tokenize_mixed(col: Column) -> Column:
 def shingles(toks_col: str, n: int = 2) -> Column:
     """Word n-gram shingles via a 1-based sequence/element_at transform
     (the same 1-based indexing DuckDB lists use, so the oracle SQL is a
-    transliteration, not a reimplementation)."""
+    transliteration, not a reimplementation).
+
+    TOTAL on any array size: guarded by a CASE so a sub-n-token array
+    yields [] instead of evaluating `sequence(1, size-n+1)` — which
+    for size < n produces a DESCENDING sequence ([1,0], not []) whose
+    element_at(toks, 0) throws under ANSI. Callers all filter short
+    docs first, but optimizer rules (InferFiltersFromGenerate pushing
+    `size(shingles(...)) > 0` below the guard filter, then codegen
+    subexpression elimination hoisting the transform above the
+    short-circuit) can evaluate the expression on unfiltered rows in
+    a DEFAULT session — correctness must not depend on the engine
+    session's excluded-rule list. CASE branches stay lazily evaluated
+    and are never hoisted unconditionally."""
     parts = ", ".join(f"element_at({toks_col}, i + {j})" for j in range(n))
     return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
         f"transform(sequence(1, size({toks_col}) - {n - 1}), "
-        f"i -> concat_ws(' ', {parts}))"
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE cast(array() as array<string>) END"
     )
 
 

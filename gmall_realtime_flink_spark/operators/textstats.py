@@ -313,9 +313,15 @@ def _bpe_learn(
             .select(
                 "f",
                 F.explode(
+                    # guarded like operators/dedup.shingles: the
+                    # sequence is descending for size < 2 and syms[0]
+                    # throws under ANSI if an optimizer copy evaluates
+                    # before the size filter
                     F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
                         "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(syms[i-1] AS pa, syms[i] AS pb))"
+                        "i -> struct(syms[i-1] AS pa, syms[i] AS pb)) "
+                        "ELSE array() END"
                     )
                 ).alias("p"),
             )

@@ -215,8 +215,13 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = f.filter(F.length("w") >= 2).select(
         "f",
         F.explode(
-            F.expr("transform(sequence(1, length(w) - 1, 1), "
-                   "i -> substring(w, i, 2))")
+            # guarded: sequence(1, 0, 1) THROWS ("Illegal sequence
+            # boundaries") if a pushed-down/hoisted copy ever sees a
+            # 1-char word, so the bound check rides inside the expr
+            F.expr("CASE WHEN length(w) >= 2 THEN "
+                   "transform(sequence(1, length(w) - 1, 1), "
+                   "i -> substring(w, i, 2)) "
+                   "ELSE cast(array() as array<string>) END")
         ).alias("pair"),
     )
     return pairs.groupBy("pair").agg(F.sum("f").alias("pair_count"))
@@ -551,10 +556,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pfc = prefix_filter_candidates(d, threshold=0.8).select(
         "doc_a", "doc_b", F.lit(0).alias("il"), F.lit(1).alias("ip")
     )
+    # r13 optimization 2 (guide §5 — lineage): `cand` is consumed by
+    # BOTH the verify input and the provenance re-join, and the plan
+    # showed zero ReusedExchange — the two candidate generators (each
+    # a full tokenize→shingle→minhash/prefix pipeline) executed twice
+    # inside one action. Lazy localCheckpoint materializes the narrow
+    # (pair, flags) table once inside the timed action; both branches
+    # read the cut. Fresh builder invocations still recompute from
+    # parquet (nothing crosses runs).
     cand = (
         lshc.unionByName(pfc)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("il").alias("il"), F.max("ip").alias("ip"))
+        .localCheckpoint(eager=False)
     )
     ver = jaccard_verify(
         cand.select("doc_a", "doc_b"), d, threshold=0.8
@@ -4829,10 +4843,15 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.explode(
+                # guarded like operators/dedup.shingles: sequence is
+                # descending for size < 2, so element_at would see
+                # index 0 if an optimizer copy runs before the filter
                 F.expr(
+                    "CASE WHEN size(toks) >= 2 THEN "
                     "transform(sequence(1, size(toks) - 1), "
                     "i -> concat(element_at(toks, i), ' ', "
-                    "element_at(toks, i + 1)))"
+                    "element_at(toks, i + 1))) "
+                    "ELSE cast(array() as array<string>) END"
                 )
             ).alias("b"),
         )

@@ -2071,3 +2071,31 @@ def test_flac_fast_kernels_match_bitwise_reference():
     big = bytes(1 << 18) + b"\x01"
     with _pytest.raises(ValueError, match="runaway"):
         _BitReader(big).read_unary()
+
+
+def test_shingles_total_on_short_arrays(spark):
+    """shingles()/bigram transforms are TOTAL: arrays shorter than n
+    yield [] instead of evaluating a DESCENDING sequence whose
+    element_at(toks, 0) throws under ANSI. Callers filter short docs
+    anyway, but a default session (no excluded optimizer rules) can
+    push an inferred `size(shingles(...)) > 0` below the guard filter
+    and CSE-hoist it above the short-circuit — the r13 hostile-corpus
+    regression this pins. Evaluated here with NO pre-filter, which
+    previously raised INVALID_ARRAY_INDEX_IN_ELEMENT_AT."""
+    from pyspark.sql import functions as F
+
+    from gmall_realtime_flink_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(0, []), (1, ["one"]), (2, ["two", "words"]),
+         (3, ["a", "b", "c"])],
+        "id int, toks array<string>",
+    )
+    rows = {
+        r["id"]: r["sh"]
+        for r in df.select("id", shingles("toks", 2).alias("sh")).collect()
+    }
+    assert rows[0] == []
+    assert rows[1] == []
+    assert rows[2] == ["two words"]
+    assert rows[3] == ["a b", "b c"]
