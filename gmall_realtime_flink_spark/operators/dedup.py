@@ -233,13 +233,22 @@ def lsh_candidates(
     # pass dominates, so this halves the job
     bands = bands.repartition("band", "band_hash")
     if max_bucket is not None:
-        small = (
-            bands.groupBy("band", "band_hash")
-            .count()
-            .filter(F.col("count") <= max_bucket)
-            .drop("count")
+        # r13 (guide §2.4): bucket sizes via a WINDOW count over the
+        # exchange the self-join already establishes — the former
+        # groupBy + join-back planned as a broadcast join per side,
+        # which bypassed the shared exchange and re-ran the signature
+        # pipeline once per consumer (16 exchanges / 3 BHJ at sf0.1).
+        # A window partitioned by the repartition keys adds ZERO
+        # exchanges and drops hot buckets with identical semantics
+        # (count per (band, band_hash), keep <= max_bucket).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
         )
-        bands = bands.join(small, ["band", "band_hash"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

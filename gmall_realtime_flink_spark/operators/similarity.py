@@ -1218,7 +1218,15 @@ def semantic_admission_state(
     cent = kmeans_centroids(
         prefix_raw, n_cells=n_cells, iters=iters
     ).withColumn("cvec_nrm", F.sqrt(F.expr(DOT.format(a="cvec", b="cvec"))))
-    passign = _semantic_assign(prefix_raw, cent)
+    # r13 (guide §5 — lineage): the prefix assignment feeds THREE
+    # consumers (pair side a, pair side b, the survivor left join), so
+    # without a cut the broadcast-assign subtree executes three times
+    # per action; lazy localCheckpoint materializes it once inside the
+    # first action (production persists exactly this table as the
+    # admission state, so the cut mirrors the deployed shape).
+    passign = _semantic_assign(prefix_raw, cent).localCheckpoint(
+        eager=False
+    )
     pmls = (
         _semantic_side(passign, "a")
         .join(

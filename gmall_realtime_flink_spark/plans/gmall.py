@@ -1000,11 +1000,29 @@ def display_log_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     events = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    # P3: serialize the nested envelope to a JSON string
-    env = etl_filter(
+    # r13 optimization (guide §1.2 per-task work + §2.5 input skew):
+    # 1. evaluate get_json_object ONCE — the envelope references k in
+    #    three places, and the interpreted Project (to_json breaks
+    #    whole-stage codegen) re-parsed props per reference; a separate
+    #    projection holds (CollapseProject does not inline a non-cheap
+    #    alias used 3x).
+    # 2. the JSON round-trip is pure per-row compute and events arrives
+    #    as one unsplittable split at bench SFs, so spread the five
+    #    narrow input columns round-robin to the core count — skipped
+    #    whenever the scan already parallelizes (production-sized
+    #    inputs), same conditional as plans/datapipe._spread_docs.
+    src = etl_filter(
         events, required=["props"], min_len_col="props", min_len=3
-    ).select(
+    ).select("event_id", "user_id", "event_type", "value", "props")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    src = src.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    k = F.col("k")
+    # P3: serialize the nested envelope to a JSON string
+    env = src.select(
         "event_id",
         F.to_json(
             F.struct(
@@ -2525,10 +2543,17 @@ def keyword_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     register_keyword_udtf(spark)
+    # REPARTITION hint inside the subquery block (guide §2.5): the
+    # docs table is one unsplittable split at bench SFs, so the
+    # per-row Python UDTF otherwise runs in a single task. The hint
+    # lands at the top of the INNER block — i.e. below the LATERAL —
+    # and the target is the core count, not a constant.
+    par = spark.sparkContext.defaultParallelism
     return spark.sql(
-        """
+        f"""
         SELECT t.keyword, count(*) AS ct, 'SEARCH' AS source
-        FROM documents, LATERAL ik_analyze(text) AS t
+        FROM (SELECT /*+ REPARTITION({par}) */ text FROM documents) d,
+             LATERAL ik_analyze(d.text) AS t
         GROUP BY t.keyword
         """
     )
