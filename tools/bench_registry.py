@@ -74,10 +74,13 @@ def main() -> None:
     for name in names:
         spec = REGISTRY[name]
         try:
-            df = spec.builder(spark, sf_dir)
             secs = []
             sc.setJobDescription(name)
             for _ in range(reps):
+                # fresh build per rep so a lazy localCheckpoint inside
+                # the builder cannot warm later reps (bench.py has the
+                # same rule; plan_shape reads the last rep's df)
+                df = spec.builder(spark, sf_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 secs.append(time.perf_counter() - t0)
