@@ -31,6 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gmall_realtime_flink_spark.operators.lineage import (
+    cut_lineage,
+    cut_lineage_eager,
+)
+
 NUM_HASHES = 8
 ROWS_PER_BAND = 2  # 8 hashes -> 4 bands of 2
 
@@ -131,8 +136,17 @@ def minhash_signatures(
     hash_impl: str = "md5",
 ) -> DataFrame:
     """(id, h0..h{k-1}) signatures; docs with < n+1 tokens are dropped
-    (too short to shingle — at corpus scale these go to exact dedup)."""
-    toks = docs.select(
+    (too short to shingle — at corpus scale these go to exact dedup).
+
+    The narrow (id, text) input is conditionally round-robin spread
+    first (operators/spread.py, r14): the tokenize + shingle +
+    8×md5-min fold is the dominant per-row cost of the whole LSH
+    family, and at the bench SFs it otherwise runs inside the ONE
+    scan task of the single-row-group docs parquet (guide §2.5);
+    skipped whenever the scan parallelizes by itself."""
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    toks = spread_to_cores(docs.select(id_col, F.col(text_col))).select(
         id_col, tokenize(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n + 1)
     sh = toks.select(id_col, shingles("toks", n).alias("sh"))
@@ -227,10 +241,18 @@ def lsh_candidates(
     and survive. None (default) keeps the oracle-exact behavior.
     """
     bands = _band_rows(signatures, id_col, num_hashes, rows_per_band, hash_impl)
+    # r14: lazy lineage cut BEFORE the join-key repartition. The
+    # self-join consumes `bands` twice, and the ReuseExchange the
+    # repartition was meant to trigger did NOT fire under AQE (the r13
+    # captured plan shows the build side re-running the full signature
+    # pipeline under its own Exchange + BroadcastExchange) — so the
+    # (md5-heavy) signature pass executed once PER SIDE. The cut
+    # materializes the 4-narrow-rows-per-doc band table once and
+    # guarantees single execution regardless of planner behavior; at
+    # 100 TB the signature pass dominates, so this halves the job.
+    bands = cut_lineage(bands)
     # repartition on the join key so both sides of the self-join share
-    # one identical exchange: ReuseExchange then computes the (md5-heavy)
-    # signatures ONCE instead of once per side — at 100 TB the signature
-    # pass dominates, so this halves the job
+    # one identical exchange over the materialized band rows
     bands = bands.repartition("band", "band_hash")
     if max_bucket is not None:
         # r13 (guide §2.4): bucket sizes via a WINDOW count over the
@@ -302,8 +324,17 @@ def jaccard_verify(
     25.9 s with the prejoin. Exactness in both modes is pinned by
     test_jaccard_length_prefilter_is_exact.
     """
-    sets_df = (
-        docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    # r14: (a) conditional spread of the narrow (id, text) rows — the
+    # tokenize + shingle + array_distinct pipeline otherwise runs in
+    # the single scan task at bench SFs (guide §2.5); (b) lazy lineage
+    # cut — `sets_df` is consumed by BOTH join sides (plus two more
+    # size-join consumers under length_prefilter), so the shingle-set
+    # pipeline executed twice (or 4×) per action.
+    sets_df = cut_lineage(
+        spread_to_cores(docs.select(id_col, F.col(text_col)))
+        .select(id_col, tokenize(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= n + 1)
         .select(id_col, F.array_distinct(shingles("toks", n)).alias("sset"))
     )
@@ -455,14 +486,14 @@ def star_contraction(
     cur = (
         edges.filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage_eager)
     )
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         nxt = (
             _small_star(_large_star(cur))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage_eager)
         )
         # fixed-point test in ONE action (r13; was count + count +
         # subtract = 3 actions and a two-sided exchange): both sides
@@ -511,7 +542,17 @@ def connected_components(
     the plan stays constant-size instead of growing by one join per
     iteration (driver OOM / exponential re-analysis otherwise).
     """
-    e = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Lazy lineage cut on the candidate pairs (r14): `e` feeds BOTH
+    # unionByName branches of `nodes` AND the contraction loop's first
+    # round, so without the cut the upstream candidate pipeline (the
+    # full LSH signature + banding self-join for dedup_survivors /
+    # dedup_cluster) executed three times per action (guide §5). The
+    # narrow 2-column pair rows materialize once; star_contraction's
+    # own eager round-0 checkpoint forces them at build time exactly
+    # as before.
+    e = cut_lineage(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -544,11 +585,9 @@ def connected_components(
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage_eager)
     )
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(
-        eager=True
-    )
+    labels = nodes.select("id", F.col("id").alias("comp")).transform(cut_lineage_eager)
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
             F.col("src").alias("id"), "comp"
@@ -557,7 +596,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage_eager)
         )
         changed = (
             new_labels.alias("n")
@@ -638,19 +677,31 @@ def prefix_filter_candidates(
     # (where 1/|union| < 5e-7), silently breaking completeness.
     g = Fraction(str(threshold)) - Fraction(1, 10**6)
     gp, gq = g.numerator, g.denominator
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    # r14: conditional spread of the narrow (id, text) rows — the
+    # tokenize + shingle + array_distinct + explode otherwise runs in
+    # the single scan task at bench SFs (guide §2.5)
     sets_df = (
-        docs.select(id_col, tokenize(F.col(text_col)).alias("toks"))
+        spread_to_cores(docs.select(id_col, F.col(text_col)))
+        .select(id_col, tokenize(F.col(text_col)).alias("toks"))
         .filter(F.size("toks") >= n + 1)
         .select(id_col, F.array_distinct(shingles("toks", n)).alias("sset"))
     )
     tok = sets_df.select(
         id_col, F.size("sset").alias("sz"), F.explode("sset").alias("sh")
     )
-    dfreq = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # r14 (guide §2.4): document frequency as a WINDOW count over the
+    # shingle key instead of groupBy + join-back — the old form
+    # consumed `tok` twice (count build side + probe side), executing
+    # the whole shingle pipeline twice per action, and broadcast an
+    # unbounded distinct-shingle table. Identical df values; one
+    # execution, one exchange by the uniform shingle string.
+    dfw = Window.partitionBy("sh")
     pos_win = Window.partitionBy(id_col).orderBy("df", "sh")
-    ranked = tok.join(dfreq, "sh").withColumn(
-        "pos", F.row_number().over(pos_win)
-    )
+    ranked = tok.withColumn(
+        "df", F.count(F.lit(1)).over(dfw)
+    ).withColumn("pos", F.row_number().over(pos_win))
     # prefix length L = sz - ceil(g*sz) + 1, ceil computed as integer
     prefix = ranked.filter(
         F.col("pos")
@@ -663,7 +714,11 @@ def prefix_filter_candidates(
         # keeps its meaning for the positional filter (positions are
         # ranks in the full df-ordered permutation either way)
         prefix = prefix.filter(F.col("df") <= max_df)
-    prefix = prefix.select(id_col, "sz", "pos", "sh")
+    # r14: lazy lineage cut — the candidate self-join consumes
+    # `prefix` on both sides, so the shingle + df-window + rank
+    # pipeline executed once PER SIDE (same disease and cure as
+    # lsh_candidates); the prefix rows are narrow (id, sz, pos, sh)
+    prefix = cut_lineage(prefix.select(id_col, "sz", "pos", "sh"))
     # length filter fused into the candidate join (J <= min/max, so a
     # size-ratio below threshold can never qualify): sizes ride along
     # in the prefix frame, so this costs zero extra joins and prunes
@@ -738,35 +793,48 @@ def repeated_substring_spans(
     Output: (doc_id, span_start, span_end, span_len) with 1-based
     inclusive token positions, one row per maximal span.
 
-    Scale (100 TB): three shuffles, all linear in corpus token count —
-    (1) gram-digest groupBy for the >=2 occurrence count (uniform
-    128-bit md5 key, map-side partial count), (2) LEFT SEMI join of
-    gram occurrences against the duplicated digests (same key — AQE
-    reuses the exchange; output is |duplicated occurrences|, never a
-    pair product, so degenerate all-identical corpora stay LINEAR
-    where banded self-joins explode), (3) the per-document
-    gaps-and-islands window partitioned by doc_id (state bounded by
-    tokens-per-doc). Reference analogue: none — beyond-reference
-    LLM-pipeline tier; the 8-gram `span_dedup` reports which spans
-    repeat, this reports where each document must be cut."""
+    Scale (100 TB): two shuffles, both linear in corpus token count —
+    (1) ONE exchange of the gram occurrences by the uniform 128-bit
+    md5 digest feeding a window count (>=2 test in-partition; output
+    is |duplicated occurrences|, never a pair product, so degenerate
+    all-identical corpora stay LINEAR where banded self-joins
+    explode), (2) the per-document gaps-and-islands window partitioned
+    by doc_id (state bounded by tokens-per-doc). The r13 form ran a
+    gram-digest groupBy plus a semi-join back, which executed the
+    gram pipeline twice per action and broadcast the duplicated-digest
+    set (unbounded on boilerplate-heavy corpora). Reference analogue:
+    none — beyond-reference LLM-pipeline tier; the 8-gram `span_dedup`
+    reports which spans repeat, this reports where each document must
+    be cut."""
+    from pyspark.sql import Window
+
     occ = substring_gram_occurrences(documents, k=k, text_col=text_col)
-    dup = (
-        occ.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("ct"))
-        .filter(F.col("ct") >= 2)
-        .select("gh")
+    # r14 (guide §2.4): the >=2-occurrences test is a WINDOW count over
+    # the same gh key, not a groupBy + semi-join back. The old form
+    # consumed `occ` twice — once into the count agg (the dup build
+    # side) and once as the probe — so the whole tokenize + shingle +
+    # md5 explode pipeline EXECUTED twice per action (r13 before-plan:
+    # two Scan+Generate branches, zero ReusedExchange). The window form
+    # executes it once and shuffles occ exactly once, by the uniform
+    # 128-bit digest; at 100 TB this also removes the broadcast of the
+    # duplicated-digest set (unbounded on a boilerplate-heavy corpus —
+    # the old plan's availability hazard), at the cost of a per-
+    # partition sort by gh that the semi-join's SMJ fallback would have
+    # paid anyway.
+    wg = Window.partitionBy("gh")
+    hits = occ.withColumn("ct", F.count(F.lit(1)).over(wg)).filter(
+        F.col("ct") >= 2
     )
     # `target` (a boolean Column over `documents`) restricts which
     # docs EMIT spans; duplicate counts always see the whole corpus —
-    # the admission-time incremental form (new-batch spans against
-    # old corpus + batch-internal repeats) sets target to the
-    # new-batch predicate
-    emit = occ
+    # the window count above runs over ALL occurrences, the target
+    # semi-join prunes emission AFTER it (the admission-time
+    # incremental form: new-batch spans against old corpus +
+    # batch-internal repeats)
     if target is not None:
         target_ids = documents.filter(target).select("doc_id")
-        emit = occ.join(target_ids, "doc_id", "left_semi")
-    hits = emit.join(dup, "gh", "left_semi").select("doc_id", "pos")
-    return spans_from_hits(hits, k)
+        hits = hits.join(target_ids, "doc_id", "left_semi")
+    return spans_from_hits(hits.select("doc_id", "pos"), k)
 
 
 def spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
@@ -808,10 +876,18 @@ def substring_gram_occurrences(
     """(doc_id, pos, gh) rows: every k-token gram occurrence with its
     1-based start position and md5 digest — the shared front half of
     the substring-dedup family (batch counts them; the streaming
-    admission job probes them against a static corpus index)."""
-    toks = documents.select(
-        "doc_id", tokenize(F.col(text_col)).alias("toks")
-    )
+    admission job probes them against a static corpus index).
+
+    The narrow (doc_id, text) rows are conditionally round-robin
+    spread first (operators/spread.py): the tokenize + shingle + md5
+    explode otherwise runs inside the scan stage, which at the bench
+    SFs is ONE task over a single-row-group parquet (guide §2.5);
+    skipped whenever the scan parallelizes by itself."""
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    toks = spread_to_cores(
+        documents.select("doc_id", F.col(text_col))
+    ).select("doc_id", tokenize(F.col(text_col)).alias("toks"))
     grams = toks.filter(
         F.col("toks").isNotNull() & (F.size("toks") >= k)
     ).select(
@@ -838,9 +914,15 @@ def remove_repeated_substrings(
     intervals, not occurrences), so the coverage test is a LEFT ANTI
     join equi-keyed on doc_id with the BETWEEN as residual; the
     re-join is one per-doc sort_array fold (no window)."""
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
     spans = repeated_substring_spans(documents, k=k, text_col=text_col)
     t = (
-        documents.select("doc_id", tokenize(F.col(text_col)).alias("toks"))
+        # same conditional spread as substring_gram_occurrences: the
+        # re-tokenize + posexplode otherwise runs in the single scan
+        # task at bench SFs (guide §2.5)
+        spread_to_cores(documents.select("doc_id", F.col(text_col)))
+        .select("doc_id", tokenize(F.col(text_col)).alias("toks"))
         .select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     )

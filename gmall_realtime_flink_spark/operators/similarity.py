@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gmall_realtime_flink_spark.operators.lineage import cut_lineage
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), "
     "(acc, v) -> acc + v)"
@@ -345,6 +347,11 @@ def embedding_near_dup_pairs(
         # fold would re-run per PAIR — 3× the lambda steps
         .withColumn("nrm", F.sqrt(F.expr(DOT.format(a="emb", b="emb"))))
     )
+    # r14: lazy lineage cut — the self-join consumes `e` twice, so the
+    # scan + validity filter + norm fold executed once per side (the
+    # build side re-ran the pipeline under its own broadcast; same
+    # disease and cure as lsh_candidates)
+    e = cut_lineage(e)
     e = e.repartition("bucket")
     a = e.select(
         F.col("vec_id").alias("vec_a"),
@@ -442,7 +449,7 @@ def kmeans_centroids(
     # standard train-input persist, spillable to disk).
     e = e.repartition(
         int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cvec")
     )
@@ -499,7 +506,7 @@ def _lloyd_iterate(e: DataFrame, cent: DataFrame, iters: int) -> DataFrame:
         cent = (
             cent.join(means, cent["cid"] == means["cell"], "left")
             .select("cid", F.coalesce("mvec", "cvec").alias("cvec"))
-            .localCheckpoint(eager=False)
+            .transform(cut_lineage)
         )
     return cent
 
@@ -615,14 +622,14 @@ def ivf_recall_curve(
             ).alias("cell"),
             F.first("emb").alias("emb"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     q = embeddings.filter(F.col("vec_id") == query_id).select(
         F.expr(AS_DOUBLE.format(c="embedding")).alias("q_emb")
     )
     qsims = _centroid_sim(
         q.crossJoin(F.broadcast(cent)), "q_emb"
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage)
     out = None
     for nprobe in nprobes:
         qcells = (
@@ -683,7 +690,19 @@ def knn_self_join(
         # nrm fails `> 0` too. Mirrored in the registry oracles.
         .filter(F.col("nrm") > 0)
     )
-    a = e.select(
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    # r14 (guide §2.5, §5): lineage-cut `e` (it feeds both join sides,
+    # so the scan + validity + norm pipeline executed once per side),
+    # then spread the PROBE side to the core count — the per-pair
+    # dot-product fold (the operator's dominant cost) runs in the
+    # probe side's tasks when the build side broadcasts, and at bench
+    # SFs the embeddings scan is one split, so the whole candidate
+    # block otherwise computed in ONE task; skipped whenever the scan
+    # parallelizes (production), where the bucket-keyed shuffle join
+    # spreads the work by itself.
+    e = cut_lineage(e)
+    a = spread_to_cores(e).select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
@@ -747,7 +766,14 @@ def hard_negative_pairs(
         # see knn_self_join: zero-norm / NULL vectors excluded
         .filter(F.col("nrm") > 0)
     )
-    a = e.select(
+    # r14: lazy lineage cut + probe-side spread, as in knn_self_join —
+    # `e` feeds both join sides (pipeline executed once per side), and
+    # the per-pair dot fold otherwise runs in the single scan task at
+    # bench SFs
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    e = cut_lineage(e)
+    a = spread_to_cores(e).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("emb").alias("emb_a"),
@@ -878,7 +904,7 @@ def semantic_dedup(
         # materialized ONCE (lazily): three consumers (two self-join
         # sides + the verdict join) would otherwise each recompute the
         # N×K assignment cross
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     pair_src = assigned
     if max_cell is not None:
@@ -1012,7 +1038,7 @@ def semantic_dedup_numpy(
                 )
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
 
     out_schema = T.StructType([
@@ -1177,7 +1203,7 @@ def _semantic_assign(df: DataFrame, cent: DataFrame) -> DataFrame:
             F.first("emb").alias("emb"),
             F.first("emb_nrm").alias("nrm"),
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
 
 
@@ -1224,9 +1250,7 @@ def semantic_admission_state(
     # per action; lazy localCheckpoint materializes it once inside the
     # first action (production persists exactly this table as the
     # admission state, so the cut mirrors the deployed shape).
-    passign = _semantic_assign(prefix_raw, cent).localCheckpoint(
-        eager=False
-    )
+    passign = _semantic_assign(prefix_raw, cent).transform(cut_lineage)
     pmls = (
         _semantic_side(passign, "a")
         .join(
@@ -1448,7 +1472,7 @@ def semantic_dedup_resplit(
         )
         # one materialization for its four consumers (block counts,
         # both pair sides, verdict join) — the level-1 pattern
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     ct2 = assigned2.groupBy("cell", "subcell").agg(
         F.count(F.lit(1)).alias("sub_n")

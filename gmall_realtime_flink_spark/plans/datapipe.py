@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_realtime_flink_spark.catalog import load
+from gmall_realtime_flink_spark.operators.lineage import (
+    cut_lineage,
+)
 from gmall_realtime_flink_spark.operators.dedup import (
     jaccard_verify,
     lsh_candidates,
@@ -55,12 +58,12 @@ def _spread_docs(d: DataFrame) -> DataFrame:
     Conditional: when the scan already yields >= defaultParallelism
     splits (any production-sized table), the exchange is skipped
     entirely — the spread exists for unsplittable small inputs, not as
-    a constant tax on scans that parallelize by themselves."""
-    narrow = d.select("doc_id", "text")
-    par = d.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() >= par:
-        return narrow
-    return narrow.repartition(par)
+    a constant tax on scans that parallelize by themselves. The
+    probe-and-repartition itself lives in operators/spread.py (one
+    shared home, r14 — see that module for the Connect caveat)."""
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    return spread_to_cores(d.select("doc_id", "text"))
 
 
 # shared oracle CTEs for the minhash family (word 2-gram shingles,
@@ -568,7 +571,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lshc.unionByName(pfc)
         .groupBy("doc_a", "doc_b")
         .agg(F.max("il").alias("il"), F.max("ip").alias("ip"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage)
     )
     ver = jaccard_verify(
         cand.select("doc_a", "doc_b"), d, threshold=0.8
@@ -2101,6 +2104,11 @@ EVAL_SPLIT_MOD = 50  # doc_id % 50 == 0 -> held-out eval slice
 
 
 def _doc_tokens(d: DataFrame) -> DataFrame:
+    # deliberately NOT spread: of its consumers only span_dedup's
+    # 8-gram explode is heavy (it spreads explicitly); the light
+    # two-level aggs (doc_repetition 0.37 s, doc_decontaminate
+    # 0.66 s) measured SLOWER behind a blanket spread (0.37 → 0.68 —
+    # the exchange exceeds the kernel, the r13 light-media lesson)
     return d.select("doc_id", tokenize(F.col("text")).alias("toks"))
 
 
@@ -2247,7 +2255,16 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "dedup", "text"),
 )
 def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _doc_tokens(load(spark, sf_dir, "documents"))
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    # conditional spread (guide §2.5): the 8-gram explode + per-span
+    # md5 partial agg otherwise runs in the single scan task at bench
+    # SFs (heavy enough to win, unlike _doc_tokens' light consumers)
+    toks = _doc_tokens(
+        spread_to_cores(
+            load(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
     s = toks.filter(F.size("toks") >= 8).select(
         "doc_id", F.explode(shingles("toks", 8)).alias("span")
     )
@@ -2323,10 +2340,11 @@ assert _SUBSTR_SPANS_CTES_INCR != _SUBSTR_SPANS_CTES  # replace anchored
     "suffix-array pass would mark for removal, without materializing "
     "a suffix array (operators/dedup.repeated_substring_spans). "
     "span_dedup reports WHICH spans repeat; this reports WHERE each "
-    "document must be cut — 1-based inclusive token positions. Plan: "
-    "three linear shuffles (gram-digest count, LEFT SEMI occurrence "
-    "join — no pair product even on an all-identical corpus — and a "
-    "per-doc gaps-and-islands window), no self-join anywhere.",
+    "document must be cut — 1-based inclusive token positions. Plan "
+    "(r14): two linear shuffles — one gram-digest exchange feeding a "
+    "window count (>=2 test, no pair product even on an all-identical "
+    "corpus, gram pipeline executed ONCE) and the per-doc "
+    "gaps-and-islands window — no join, no self-join anywhere.",
     tags=("datapipe", "dedup", "text", "window"),
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2350,12 +2368,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "convention), but duplicate counts see the WHOLE corpus — a new "
     "doc is cut where it repeats the existing corpus OR another doc "
     "of its own batch. Completes the incremental family (exact / "
-    "minhash / substring). Plan: identical three linear shuffles as "
-    "dedup_substring_spans, with the emission side semi-joined to "
-    "the batch's doc ids first — the old corpus contributes only "
-    "gram COUNTS, never window rows, so steady-state ingest cost is "
-    "proportional to the batch, not the corpus "
-    "(operators/dedup.repeated_substring_spans target=...).",
+    "minhash / substring). Plan: identical two linear shuffles as "
+    "dedup_substring_spans, with the duplicated occurrences "
+    "semi-joined to the batch's doc ids before the island window — "
+    "the old corpus contributes only gram COUNTS, never window rows, "
+    "so island-window state is proportional to the batch, not the "
+    "corpus (operators/dedup.repeated_substring_spans target=...).",
     tags=("datapipe", "dedup", "text", "incremental"),
 )
 def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3982,14 +4000,14 @@ def _integer_pagerank(cand: DataFrame) -> DataFrame:
     # (guide §5 — cut lineage; lazy so no work moves outside the
     # timed region, and a fresh builder invocation always recomputes
     # from parquet).
-    cand = cand.localCheckpoint(eager=False)
+    cand = cand.transform(cut_lineage)
     edges = cand.select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     ).unionByName(
         cand.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "s").localCheckpoint(eager=False)
+    edges_deg = edges.join(deg, "s").transform(cut_lineage)
     rank = deg.select(F.col("s").alias("id"), F.lit(10**12).alias("r"))
     for _ in range(3):
         contrib = edges_deg.join(rank, edges_deg["s"] == rank["id"]).select(
@@ -4481,6 +4499,13 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
+    # deliberately NOT spread (r14, measured then reverted): a
+    # conditional round-robin spread of the text rows made the whole
+    # entry SLOWER (steady build+confirm 1.35 → 1.81 s) — the
+    # single-partition MG sketch is one vectorized pandas
+    # value_counts (C speed), so 32 Python-worker startups plus the
+    # exchange exceed the kernel, and the JVM confirm pass paid the
+    # exchange too (the r13 light-media lesson at token grain)
     toks = d.select(
         F.explode(tokenize(F.col("text"))).alias("token")
     )

@@ -993,7 +993,10 @@ def keyword_product_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RT/app/dwd/BaseLogAPP.java:64-70), then explode the displays array "
     "injecting the parent page_id/common fields into each element (F1, "
     "RT/app/dwd/BaseLogAPP.java:166-178). All JVM-side: json codegen + "
-    "generator explode, zero shuffles.",
+    "generator explode; shuffle-free when the events scan already "
+    "parallelizes, plus one conditional round-robin spread of the five "
+    "narrow input columns when it arrives as a single split "
+    "(operators/spread.py, r13 optimization).",
     tags=("json", "explode", "udtf"),
 )
 def display_log_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,12 +1014,13 @@ def display_log_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    narrow input columns round-robin to the core count — skipped
     #    whenever the scan already parallelizes (production-sized
     #    inputs), same conditional as plans/datapipe._spread_docs.
-    src = etl_filter(
-        events, required=["props"], min_len_col="props", min_len=3
-    ).select("event_id", "user_id", "event_type", "value", "props")
-    par = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
+    src = spread_to_cores(
+        etl_filter(
+            events, required=["props"], min_len_col="props", min_len=3
+        ).select("event_id", "user_id", "event_type", "value", "props")
+    )
     src = src.withColumn(
         "k", F.get_json_object("props", "$.k").cast("bigint")
     )

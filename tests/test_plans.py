@@ -507,13 +507,16 @@ def test_bucketed_aggregate_is_exchange_free(spark, sf_dir):
 
 
 def test_substring_spans_semi_join_no_pair_product(spark, sf_dir):
-    """Exact substring dedup stays linear by construction: duplicated
-    gram occurrences come from a LEFT SEMI join against the digest
-    counts — never a self equi-join that could go quadratic on an
-    all-identical corpus — and the only window is per-doc
-    gaps-and-islands (no global/unpartitioned WindowExec)."""
+    """Exact substring dedup stays linear by construction: the >=2
+    duplicate test is a WINDOW count over the gram digest (r14 — one
+    execution of the gram pipeline, one exchange; the r13 form was a
+    groupBy + LEFT SEMI join back, which executed the pipeline twice)
+    — never a self equi-join that could go quadratic on an
+    all-identical corpus; windows are keyed by gh or doc_id only (no
+    global/unpartitioned WindowExec), and the plan is join-free."""
     plan = plan_of(spark, sf_dir, "dedup_substring_spans")
-    assert "LeftSemi" in plan
+    assert "Join" not in plan, "span detection must stay join-free"
+    assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -657,8 +660,14 @@ def test_media_decode_entries_spread_not_keyed(spark, sf_dir):
         "doc_html_extract",
     ):
         plan = plan_of(spark, sf_dir, name)
-        assert plan.count("RoundRobinPartitioning") == 1, (
-            f"{name}: expected exactly one round-robin spread"
+        # <= 1, not == 1: the spread is CONDITIONAL (skipped when the
+        # docs scan already yields >= defaultParallelism splits, e.g.
+        # few-core hosts or multi-row-group parquet), so an exact
+        # count would pin the runtime environment, not the plan shape
+        # (r13 advice). What must hold everywhere: never more than one
+        # spread, never a keyed shuffle, never a join.
+        assert plan.count("RoundRobinPartitioning") <= 1, (
+            f"{name}: expected at most one round-robin spread"
         )
         assert "hashpartitioning" not in plan, f"{name} keyed shuffle"
         assert "Join" not in plan
@@ -680,6 +689,26 @@ def test_light_media_entries_stay_unspread(spark, sf_dir):
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_reliable_checkpoint_knob(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT=reliable swaps every lineage cut from
+    executor-local localCheckpoint (fast; NOT fault-tolerant — a lost
+    executor kills the job) to a reliable checkpoint() into a
+    fault-tolerant directory (operators/lineage.cut_lineage, the
+    production-posture knob). The two forms must be row-identical;
+    doc_dsir_select exercises a lazy cut (pb feeds three consumers)
+    end to end."""
+    from gmall_realtime_flink_spark.plans import REGISTRY
+
+    builder = REGISTRY["doc_dsir_select"].builder
+    base = sorted(map(tuple, builder(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT", "reliable")
+    rel = sorted(map(tuple, builder(spark, sf_dir).collect()))
+    assert spark.sparkContext.getCheckpointDir() is not None, (
+        "reliable mode must set a checkpoint dir"
+    )
+    assert rel == base
 
 
 def test_gopher_rules_zero_shuffle_single_scan(spark, sf_dir):

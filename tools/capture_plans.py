@@ -1,6 +1,8 @@
 """Capture `.explain("formatted")` for named registry entries to
-plans/r13/<query>_<suffix>.txt — the optimization round's before/after
-plan evidence (guide §1: measure first, §7.2: read the plan).
+plans/<round>/<query>_<suffix>.txt (round dir from
+$SPARK_GRAFT_PLANS_DIR, default plans/r14) — the optimization round's
+before/after plan evidence (guide §1: measure first, §7.2: read the
+plan).
 
 Usage: python tools/capture_plans.py <suffix> <name> [<name> ...]
        python tools/capture_plans.py <suffix> --file names.txt
@@ -19,8 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from gmall_realtime_flink_spark.plans import REGISTRY  # noqa: E402
 from gmall_realtime_flink_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLANS_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r14",
+    ),
 )
 
 
