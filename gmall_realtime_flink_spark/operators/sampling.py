@@ -232,11 +232,19 @@ def quality_tiers(
     """
     from pyspark.sql import Window
 
+    from gmall_realtime_flink_spark.operators.lineage import cut_lineage
+
     cell = F.least(
         F.lit(buckets - 1),
         F.floor(F.col(score_col) * buckets).cast("int"),
     )
-    w = scored.select(id_col, score_col).withColumn("__cell", cell)
+    # r14: lazy lineage cut — `w` feeds both the per-cell count agg
+    # and the rank join probe, so the whole upstream scoring pipeline
+    # (e.g. doc_common_token_score's explode + window) executed twice
+    # per action (guide §5); the cut frame is narrow (id, score, cell)
+    w = cut_lineage(
+        scored.select(id_col, score_col).withColumn("__cell", cell)
+    )
     per_cell = w.groupBy("__cell").agg(F.count(F.lit(1)).alias("__bc"))
     off_win = Window.orderBy("__cell").rowsBetween(
         Window.unboundedPreceding, -1

@@ -1692,12 +1692,19 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gmall_realtime_flink_spark.operators.dedup import tokenize
 
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
+    # r14 (guide §2.4, §2.5): spread the narrow rows (the explode ran
+    # in the single scan task), and document frequency as a WINDOW
+    # count over the (doc, term) aggregate instead of groupBy +
+    # join-back — the old form consumed `tf` twice, executing the
+    # explode + agg once per consumer. df per row = count of tf rows
+    # sharing the term = distinct docs containing it, identical.
+    toks = spread_to_cores(d.select("doc_id", "text")).select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.round(
         F.col("tf")
@@ -1705,7 +1712,9 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n))
         .withColumn("tfidf", tfidf)
     )
@@ -3923,18 +3932,32 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("datapipe", "text", "quality"),
 )
 def doc_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
-    # distinct (tok, doc_id) pairs first, then a plain count per tok —
-    # one dedup pass instead of dedup + count-distinct
-    df_tab = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # r14 (guide §2.4, §2.5): one execution of the token explode
+    # (spread to the core count) collapsed to (doc, tok, ct); document
+    # frequency is a WINDOW count over that table (rows per tok =
+    # distinct docs containing it — the old distinct+groupBy), and the
+    # old join-back becomes sum(df·ct) ≡ the old per-occurrence
+    # sum(df) exactly (integer arithmetic throughout).
+    toks = spread_to_cores(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    ct_tab = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     per_doc = (
-        toks.join(df_tab, "tok")
+        ct_tab.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
         .groupBy("doc_id")
         .agg(
-            F.sum("df").alias("df_sum"),
-            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.col("df") * F.col("ct")).alias("df_sum"),
+            F.sum("ct").alias("n_toks"),
         )
     )
     return per_doc.crossJoin(F.broadcast(n_docs)).select(
@@ -4858,8 +4881,16 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime_flink_spark.operators.dedup import tokenize
 
+    from pyspark.sql import Window
+
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # r14 (guide §2.5): spread the narrow rows — the token/bigram
+    # explodes otherwise run inside the single scan task at bench SFs
+    t = spread_to_cores(d.select("doc_id", "text")).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
     vsz = t.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").cast("long").alias("vsz")
     )
@@ -4882,15 +4913,22 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("w1", F.split(F.col("b"), " ").getItem(0))
     )
-    c12 = bgf.groupBy("b").agg(F.count("*").alias("c12"))
-    # c(w1) = sum of c(w1,·): derived from the bigram count table —
-    # vocabulary-grain input — instead of a third corpus scan+explode
-    c1 = c12.groupBy(
-        F.split(F.col("b"), " ").getItem(0).alias("w1")
-    ).agg(F.sum("c12").alias("c1"))
+    # r14 (guide §2.4): both count tables as WINDOW counts over the
+    # bigram rows instead of groupBy + join-back — the old form
+    # consumed `bgf` twice (the c12 build side and the scored probe
+    # side, with c1 a further derivation of c12), executing the
+    # bigram explode multiple times per action. Per row: c12 = count
+    # of rows sharing the bigram (the old groupBy count); c1 = count
+    # of rows sharing w1, which equals sum_b c12(w1, b) exactly (both
+    # count every bigram occurrence starting with w1). One execution,
+    # two keyed exchanges, no joins.
     scored = (
-        bgf.join(c1, "w1")
-        .join(c12, "b")
+        bgf.withColumn(
+            "c12", F.count(F.lit(1)).over(Window.partitionBy("b"))
+        )
+        .withColumn(
+            "c1", F.count(F.lit(1)).over(Window.partitionBy("w1"))
+        )
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
@@ -5067,30 +5105,39 @@ def doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_realtime_flink_spark.operators.dedup import shingles, tokenize
 
+    from pyspark.sql import Window
+
+    from gmall_realtime_flink_spark.operators.spread import spread_to_cores
+
     d = load(spark, sf_dir, "documents")
+    # r14 (guide §2.4, §2.5): document frequency as a WINDOW count
+    # over the gram instead of groupBy + join-back — the old form
+    # consumed `g` twice (count build side + probe side), executing
+    # the tokenize + 3-gram + array_distinct explode twice per action,
+    # each inside the single scan task. Identical df values; one
+    # execution (spread to the core count), one exchange by gram.
     g = (
-        d.select("doc_id", tokenize(F.col("text")).alias("toks"))
+        spread_to_cores(d.select("doc_id", "text"))
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
         .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
             F.explode(F.array_distinct(shingles("toks", 3))).alias("gram"),
         )
     )
-    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    gdf = g.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     novel = F.sum(
         F.when(F.col("df") == 1, F.lit(1)).otherwise(F.lit(0))
     ).cast("long")
-    return (
-        g.join(dfreq, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            novel.alias("novel_ct"),
-            (
-                F.round(novel.cast("double") / F.count(F.lit(1)), 6)
-                + F.lit(0.0)
-            ).alias("novelty"),
-        )
+    return gdf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        novel.alias("novel_ct"),
+        (
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("novelty"),
     )
 
 
